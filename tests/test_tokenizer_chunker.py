@@ -1,0 +1,111 @@
+"""Tokenizer properties + chunker parity vs the reference algorithm."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lightrag_ray.functions.chunking import (
+    ChunkTokenLimitExceededError,
+    chunk_id_for,
+    chunk_text,
+    expected_chunk_count,
+)
+from lightrag_ray.functions.tokenizer import SegmentTokenizer
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_tokenizer_lossless(s):
+    tok = SegmentTokenizer()
+    assert tok.decode(tok.encode(s)) == s
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200), st.integers(0, 50), st.integers(0, 50))
+def test_tokenizer_window_decode_is_substring(s, a, b):
+    tok = SegmentTokenizer()
+    toks = tok.encode(s)
+    lo, hi = sorted((min(a, len(toks)), min(b, len(toks))))
+    assert tok.decode(toks[lo:hi]) in s
+
+
+def test_word_count_equals_token_count():
+    tok = SegmentTokenizer()
+    assert len(tok.encode("one two three")) == 3
+    assert len(tok.encode("")) == 0
+    assert len(tok.encode("   ")) == 1  # whitespace-only → one lossless token
+    assert len(tok.encode(" lead trail ")) == 2  # trailing ws attaches to last
+
+
+def _ref_chunks(ref, tokenizer, content, **kw):
+    return ref.token_size.chunking_by_token_size(tokenizer, content, **kw)
+
+
+WORDS = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=6), min_size=0, max_size=300
+).map(" ".join)
+
+
+@settings(max_examples=100, deadline=None)
+@given(WORDS, st.integers(5, 40), st.integers(0, 4))
+def test_chunker_parity_fuzz(ref, content, size, overlap):
+    ours = chunk_text(
+        SegmentTokenizer(),
+        content,
+        chunk_token_size=size,
+        chunk_overlap_token_size=overlap,
+    )
+    theirs = _ref_chunks(
+        ref,
+        SegmentTokenizer(),
+        content,
+        chunk_token_size=size,
+        chunk_overlap_token_size=overlap,
+    )
+    assert ours == theirs
+    assert len(ours) == expected_chunk_count(
+        len(SegmentTokenizer().encode(content)), size, overlap
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(WORDS, st.booleans())
+def test_chunker_split_by_character_parity(ref, content, only):
+    content = content.replace(" ", "\n", 3)
+    kw = dict(
+        split_by_character="\n",
+        split_by_character_only=only,
+        chunk_token_size=8,
+        chunk_overlap_token_size=2,
+    )
+    try:
+        theirs = _ref_chunks(ref, SegmentTokenizer(), content, **kw)
+    except Exception:
+        with pytest.raises(ChunkTokenLimitExceededError):
+            chunk_text(SegmentTokenizer(), content, **kw)
+        return
+    assert chunk_text(SegmentTokenizer(), content, **kw) == theirs
+
+
+def test_overlap_ge_size_raises(ref):
+    with pytest.raises(ValueError):
+        chunk_text(SegmentTokenizer(), "a b c", chunk_token_size=5, chunk_overlap_token_size=5)
+    with pytest.raises(ValueError):
+        _ref_chunks(
+            ref, SegmentTokenizer(), "a b c", chunk_token_size=5, chunk_overlap_token_size=5
+        )
+
+
+def test_exact_multiple_produces_tail_window():
+    # L == size → reference yields a second, overlap-only window
+    content = " ".join(f"w{i}" for i in range(12))
+    out = chunk_text(SegmentTokenizer(), content, chunk_token_size=12, chunk_overlap_token_size=2)
+    assert [c["tokens"] for c in out] == [12, 2]
+    assert [c["chunk_order_index"] for c in out] == [0, 1]
+
+
+def test_chunk_id_format():
+    assert chunk_id_for("doc-abc", 7) == "doc-abc-chunk-007"
+    assert chunk_id_for("doc-abc", 1234) == "doc-abc-chunk-1234"
