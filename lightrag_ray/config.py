@@ -1,0 +1,57 @@
+"""Pipeline configuration.
+
+One dataclass carried (by value — it is tiny and pickle-cheap) into every
+stage.  Defaults mirror the reference's knobs (lightrag/constants.py); see
+lightrag_ray/constants.py for the file:line citations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from lightrag_ray import constants as C
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # chunking
+    chunk_token_size: int = C.CHUNK_TOKEN_SIZE
+    chunk_overlap_token_size: int = C.CHUNK_OVERLAP_TOKEN_SIZE
+    split_by_character: str | None = None
+    split_by_character_only: bool = False
+
+    # extraction
+    max_extraction_records: int = C.MAX_EXTRACTION_RECORDS
+    max_extraction_entities: int = C.MAX_EXTRACTION_ENTITIES
+    max_gleaning: int = 0  # deterministic extractor needs no gleaning rounds
+
+    # canonicalization caps
+    max_source_ids_per_entity: int = C.MAX_SOURCE_IDS_PER_ENTITY
+    max_source_ids_per_relation: int = C.MAX_SOURCE_IDS_PER_RELATION
+    source_ids_limit_method: str = C.DEFAULT_SOURCE_IDS_LIMIT_METHOD
+    max_file_paths: int = C.MAX_FILE_PATHS
+    file_path_more_placeholder: str = C.FILE_PATH_MORE_PLACEHOLDER
+
+    # summarization
+    force_llm_summary_on_merge: int = C.FORCE_LLM_SUMMARY_ON_MERGE
+    summary_max_tokens: int = C.SUMMARY_MAX_TOKENS
+    summary_context_size: int = C.SUMMARY_CONTEXT_SIZE
+    summary_length_recommended: int = C.SUMMARY_LENGTH_RECOMMENDED
+
+    # which page column feeds the pipeline: "html" (decode bytes) or "text"
+    text_source: str = "html"
+
+    # skew handling: number of salt buckets for the two-stage mention shuffle.
+    # Sized so a planet-hot key (present in ~every batch) fans its partials
+    # over `salt_buckets` reducers before the final per-key reduce.
+    salt_buckets: int = 16
+
+    # execution sizing (per stage; tuned via ds.stats() on the bench)
+    chunker_batch_size: int = 256
+    chunker_concurrency: int | tuple[int, int] = 4
+    extractor_batch_size: int = 256
+    extractor_concurrency: int | tuple[int, int] = 4
+
+    # extractor selection (pluggable; "rule" is the deterministic default)
+    extractor: str = "rule"
+    extractor_options: dict = field(default_factory=dict)

@@ -1,0 +1,217 @@
+"""End-to-end KG construction: pages parquet → nodes/edges parquet.
+
+Phase plan (each phase streams; Parquet between phases is the checkpoint):
+
+  A. pages → chunks          per input partition; stateless text-extract map +
+                             chunker actor pool; resumable per partition
+  B. chunks → mentions       per partition; extractor actor pool; resumable
+  C1. mentions(kind=e) → nodes_pre     salted two-stage groupby
+  C2. mentions(kind=r) → edges         salted two-stage groupby
+  C3. nodes_pre ∪ edge endpoints → nodes
+  D. lineage.parquet compiled from the manifest
+
+Parallels with the reference lifecycle (lightrag/pipeline.py:1585-5340): the
+three asyncio queue layers become operator pipelining; the doc-status state
+machine becomes the per-partition manifest; keyed locks disappear into the
+groupby shuffle.  The mentions table is first-class (unlike the reference,
+where extraction results live in an LLM-response cache), which is what makes
+delete/rebuild and resume cheap (SURVEY §3.4).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from dataclasses import dataclass
+
+from lightrag_ray.config import PipelineConfig
+from lightrag_ray.stages.chunk import ChunkerStage
+from lightrag_ray.stages.endpoints import FINAL_NODES_COLUMNS, apply_endpoints
+from lightrag_ray.stages.extract import ExtractStage
+from lightrag_ray.stages.extract_text import make_extract_text_fn
+from lightrag_ray.stages.merge import canonicalize_edges, canonicalize_entities
+from lightrag_ray.state import checkpoint as ckpt
+
+EDGE_OUTPUT_COLUMNS = [
+    "src_id",
+    "tgt_id",
+    "weight",
+    "description",
+    "keywords",
+    "source_ids",
+    "file_paths",
+    "created_at",
+    "truncate",
+    "n_mentions",
+]
+
+
+@dataclass
+class BuildResult:
+    chunks_dir: str
+    mentions_dir: str
+    nodes_dir: str
+    edges_dir: str
+    lineage_path: str
+
+
+def _partition_files(files: list[str], num_partitions: int) -> list[list[str]]:
+    num_partitions = max(1, min(num_partitions, len(files)))
+    parts: list[list[str]] = [[] for _ in range(num_partitions)]
+    for i, f in enumerate(sorted(files)):
+        parts[i % num_partitions].append(f)
+    return parts
+
+
+def _run_part(paths, unit: str, out_dir: str, build_ds, resume: bool, extra=None):
+    """Run one resumable unit: skip if marked done, else (re)compute."""
+    if resume and ckpt.is_done(paths, unit):
+        return False
+    ckpt.reset_unit(paths, unit, out_dir)
+    t0 = time.perf_counter()
+    build_ds().write_parquet(out_dir)
+    lineage = {
+        "status": "done",
+        "wall_s": round(time.perf_counter() - t0, 3),
+        "n_rows_out": ckpt.parquet_row_count(out_dir),
+    }
+    lo, hi = ckpt.parquet_column_range(out_dir, "url")
+    lineage["url_min"], lineage["url_max"] = lo, hi
+    if extra:
+        lineage.update(extra)
+    ckpt.mark_done(paths, unit, lineage)
+    return True
+
+
+def build_kg(
+    pages_paths: list[str] | str,
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+    num_partitions: int = 4,
+    resume: bool = True,
+) -> BuildResult:
+    """Run (or resume) the full build.  Ray must already be initialized."""
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    cfg = cfg or PipelineConfig()
+    paths = ckpt.BuildPaths(root=out_dir)
+    ckpt.ensure_dirs(paths)
+
+    if isinstance(pages_paths, str):
+        pages_files = sorted(glob.glob(os.path.join(pages_paths, "*.parquet")))
+    else:
+        pages_files = sorted(pages_paths)
+    if not pages_files:
+        raise FileNotFoundError(f"no pages parquet under {pages_paths!r}")
+    parts = _partition_files(pages_files, num_partitions)
+
+    # ---- Phase A: pages → chunks (per partition)
+    extract_text = make_extract_text_fn(cfg)
+    for k, files in enumerate(parts):
+        def build_chunks(files=files):
+            return (
+                rd.read_parquet(files)
+                .map_batches(
+                    extract_text, batch_format="pyarrow", zero_copy_batch=True
+                )
+                .map_batches(
+                    ChunkerStage,
+                    fn_constructor_args=(cfg,),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                    batch_size=cfg.chunker_batch_size,
+                    concurrency=cfg.chunker_concurrency,
+                )
+            )
+
+        _run_part(
+            paths,
+            f"chunks-part-{k:05d}",
+            paths.part_dir("chunks", k),
+            build_chunks,
+            resume,
+            extra={"phase": "chunks", "partition_id": k, "n_files_in": len(files)},
+        )
+
+    # ---- Phase B: chunks → mentions (per partition)
+    for k in range(len(parts)):
+        chunks_part = paths.part_dir("chunks", k)
+
+        def build_mentions(chunks_part=chunks_part):
+            return rd.read_parquet(chunks_part).map_batches(
+                ExtractStage,
+                fn_constructor_args=(cfg,),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=cfg.extractor_batch_size,
+                concurrency=cfg.extractor_concurrency,
+            )
+
+        _run_part(
+            paths,
+            f"mentions-part-{k:05d}",
+            paths.part_dir("mentions", k),
+            build_mentions,
+            resume,
+            extra={"phase": "mentions", "partition_id": k},
+        )
+
+    mentions_glob = os.path.join(out_dir, "mentions")
+
+    def _read_mentions(kind: str):
+        import pyarrow.compute as pc
+
+        return rd.read_parquet(
+            mentions_glob,
+            filter=(pc.field("kind") == kind),
+        )
+
+    # ---- Phase C1: entity canonicalization
+    nodes_pre_dir = paths.phase_dir("nodes_pre")
+    _run_part(
+        paths,
+        "nodes_pre",
+        nodes_pre_dir,
+        lambda: canonicalize_entities(_read_mentions("e"), cfg),
+        resume,
+        extra={"phase": "nodes_pre"},
+    )
+
+    # ---- Phase C2: edge canonicalization
+    edges_dir = paths.phase_dir("edges")
+    _run_part(
+        paths,
+        "edges",
+        edges_dir,
+        lambda: canonicalize_edges(_read_mentions("r"), cfg).select_columns(
+            EDGE_OUTPUT_COLUMNS + ["_ord"]
+        ),
+        resume,
+        extra={"phase": "edges"},
+    )
+
+    # ---- Phase C3: endpoint back-propagation → final nodes
+    nodes_dir = paths.phase_dir("nodes")
+    _run_part(
+        paths,
+        "nodes",
+        nodes_dir,
+        lambda: apply_endpoints(
+            rd.read_parquet(nodes_pre_dir), rd.read_parquet(edges_dir), cfg
+        ).select_columns(FINAL_NODES_COLUMNS),
+        resume,
+        extra={"phase": "nodes"},
+    )
+
+    lineage_path = ckpt.write_lineage_parquet(paths)
+    return BuildResult(
+        chunks_dir=paths.phase_dir("chunks"),
+        mentions_dir=mentions_glob,
+        nodes_dir=nodes_dir,
+        edges_dir=edges_dir,
+        lineage_path=lineage_path,
+    )

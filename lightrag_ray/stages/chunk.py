@@ -1,0 +1,73 @@
+"""docs → chunks: token-window chunking (stateful actor pool).
+
+The tokenizer is constructed ONCE per actor in ``__init__`` (the reference
+loads tiktoken once per process, lightrag/utils.py:3096-3123); each ``__call__``
+explodes a batch of documents into chunk rows.
+
+Output schema (chunks): chunk_id, doc_id, url, lang, chunk_order_index:int32,
+                        tokens:int32, content, timestamp:int64
+
+Chunks whose stripped content is empty are dropped, matching
+``build_chunks_dict_from_chunking_result`` (lightrag/utils_pipeline.py:150-151).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from lightrag_ray.config import PipelineConfig
+from lightrag_ray.functions.chunking import chunk_id_for, chunk_text
+from lightrag_ray.functions.tokenizer import default_tokenizer
+
+CHUNKS_SCHEMA = pa.schema(
+    [
+        ("chunk_id", pa.string()),
+        ("doc_id", pa.string()),
+        ("url", pa.string()),
+        ("lang", pa.string()),
+        ("chunk_order_index", pa.int32()),
+        ("tokens", pa.int32()),
+        ("content", pa.string()),
+        ("timestamp", pa.int64()),
+    ]
+)
+
+
+class ChunkerStage:
+    """Callable class for ``map_batches(..., concurrency=N)``."""
+
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+        self.tokenizer = default_tokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        out: dict[str, list] = {name: [] for name in CHUNKS_SCHEMA.names}
+        doc_ids = batch.column("doc_id").to_pylist()
+        urls = batch.column("url").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        texts = batch.column("text").to_pylist()
+        stamps = batch.column("timestamp").to_pylist()
+        for doc_id, url, lang, text, ts in zip(doc_ids, urls, langs, texts, stamps):
+            if not text:
+                continue
+            for chunk in chunk_text(
+                self.tokenizer,
+                text,
+                split_by_character=cfg.split_by_character,
+                split_by_character_only=cfg.split_by_character_only,
+                chunk_overlap_token_size=cfg.chunk_overlap_token_size,
+                chunk_token_size=cfg.chunk_token_size,
+            ):
+                if not chunk["content"]:
+                    continue
+                order = chunk["chunk_order_index"]
+                out["chunk_id"].append(chunk_id_for(doc_id, order))
+                out["doc_id"].append(doc_id)
+                out["url"].append(url)
+                out["lang"].append(lang)
+                out["chunk_order_index"].append(order)
+                out["tokens"].append(chunk["tokens"])
+                out["content"].append(chunk["content"])
+                out["timestamp"].append(ts)
+        return pa.table(out, schema=CHUNKS_SCHEMA)
