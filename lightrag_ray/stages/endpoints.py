@@ -133,6 +133,22 @@ def make_finalize_endpoint_groupfn(cfg: PipelineConfig):
                 "_ord", key=lambda col: col.map(tuple), kind="stable"
             )
 
+        def append_capped(sources: list[str], contrib_sids) -> list[str]:
+            # one reference edge-append step: first-seen dedup union, then the
+            # cap — applied PER EDGE because the FIFO tail-cap is not
+            # associative (each append re-truncates before the next edge sees
+            # the list, lightrag/operate.py:3062-3101); KEEP is prefix-stable
+            # so per-edge vs batch capping agree there.
+            seen = set(sources)
+            merged = list(sources)
+            for sid in contrib_sids:
+                if sid not in seen:
+                    seen.add(sid)
+                    merged.append(sid)
+            if len(merged) > cap:
+                merged = merged[:cap] if keep_mode else merged[-cap:]
+            return merged
+
         if len(nodes):
             node = nodes.iloc[0]
             out = {c: [node[c]] for c in FINAL_NODES_COLUMNS}
@@ -140,14 +156,8 @@ def make_finalize_endpoint_groupfn(cfg: PipelineConfig):
             out["file_paths"] = [list(node["file_paths"])]
             if len(contribs) and (node["_sources_complete"] or not keep_mode):
                 sources = list(node["source_ids"])
-                seen = set(sources)
                 for contrib_sids in contribs["source_ids"]:
-                    for sid in contrib_sids:
-                        if sid not in seen:
-                            seen.add(sid)
-                            sources.append(sid)
-                if len(sources) > cap:
-                    sources = sources[:cap] if keep_mode else sources[-cap:]
+                    sources = append_capped(sources, contrib_sids)
                 out["source_ids"] = [sources]
             return pa.table(out, schema=FINAL_NODES_SCHEMA)
 
@@ -155,14 +165,8 @@ def make_finalize_endpoint_groupfn(cfg: PipelineConfig):
         # contributing edge; later edges append their sources
         first = contribs.iloc[0]
         sources = list(first["source_ids"])
-        seen = set(sources)
         for contrib_sids in contribs["source_ids"].iloc[1:]:
-            for sid in contrib_sids:
-                if sid not in seen:
-                    seen.add(sid)
-                    sources.append(sid)
-        if len(sources) > cap:
-            sources = sources[:cap] if keep_mode else sources[-cap:]
+            sources = append_capped(sources, contrib_sids)
         return pa.table(
             {
                 "entity_id": [first["entity_id"]],

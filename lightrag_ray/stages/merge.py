@@ -465,8 +465,11 @@ def make_finalize_edges_groupfn(cfg: PipelineConfig):
                 "truncate": [flag],
                 "n_mentions": [merged["n_mentions"]],
                 # deterministic edge-processing order key for the endpoint
-                # stage (reference order is completion-nondeterministic)
-                "_ord": [[str(first[0]), str(first[1]), str(first[2]), str(first[3])]],
+                # stage (reference order is completion-nondeterministic);
+                # numeric parts zero-padded so string comparison == numeric
+                "_ord": [
+                    [f"{first[0]:020d}", first[1], f"{first[2]:010d}", f"{first[3]:010d}"]
+                ],
             },
             schema=EDGES_SCHEMA,
         )
