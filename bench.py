@@ -1,0 +1,209 @@
+"""Benchmark harness.
+
+Headline: full KG construction (pages → chunks → mentions → nodes/edges) over
+a deterministic Common-Crawl-style corpus synthesized from
+``$GRAFT_SF_DIR/documents.parquet`` (default /root/testdata/sf0.1), replicated
+``$BENCH_REPLICATE``× (default 20) with distinct urls so the corpus is large
+enough for parallelism to matter.  Prints ONE JSON line.
+
+    python bench.py                # headline + per-query timings
+    python bench.py --scaling      # same job at num_cpus=8 and 32 in fresh
+                                   # processes; reports scaling efficiency
+
+Ray session: ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "20"))
+WORK = os.environ.get("BENCH_WORK_DIR", "/tmp/lightrag_bench")
+
+TIMED_QUERIES = ["doc_chunk_stats", "kg_nodes_simple", "exact_dedup", "knn_top10"]
+
+
+def _pages_dir() -> str:
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    return os.path.join(WORK, f"pages-{tag}-x{REPLICATE}")
+
+
+def synth_replicated_pages(num_files: int = 16) -> list[str]:
+    """Deterministic replicated pages corpus (idempotent across runs — also
+    serves as the warm-read for scaling comparisons)."""
+    import glob
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    out_dir = _pages_dir()
+    existing = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+    if existing:
+        return existing
+
+    from lightrag_ray.sources.pages import PAGES_SCHEMA, _EPOCH_US
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        sources = batch.column("source").to_pylist()
+        urls, tss, htmls, out_texts, out_langs = [], [], [], [], []
+        for did, text, lang, src in zip(doc_ids, texts, langs, sources):
+            for k in range(REPLICATE):
+                urls.append(f"https://{src}.example.org/doc/{did:010d}/v{k:04d}")
+                tss.append(_EPOCH_US + (did * REPLICATE + k) * 1_000_000)
+                body = f"{text} variant{k:04d}"
+                htmls.append(f"<html><body><p>{body}</p></body></html>".encode())
+                out_texts.append(body)
+                out_langs.append(lang)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+                "text": pa.array(out_texts, pa.string()),
+                "lang": pa.array(out_langs, pa.string()),
+            },
+            schema=PAGES_SCHEMA,
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    ds.map_batches(replicate, batch_format="pyarrow", zero_copy_batch=True).repartition(
+        num_files
+    ).write_parquet(out_dir)
+    return sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+
+
+def run_headline() -> dict:
+    import ray.data as rd
+
+    from lightrag_ray.config import PipelineConfig
+    from lightrag_ray.pipelines.kg_build import build_kg
+
+    files = synth_replicated_pages()
+    n_pages = sum(
+        __import__("pyarrow.parquet", fromlist=["x"]).read_metadata(f).num_rows
+        for f in files
+    )
+    build_dir = os.path.join(WORK, f"build-cpus{NUM_CPUS}")
+    shutil.rmtree(build_dir, ignore_errors=True)
+
+    pool = max(2, NUM_CPUS - 2)
+    cfg = PipelineConfig(
+        chunker_concurrency=pool,
+        extractor_concurrency=pool,
+        chunker_batch_size=512,
+        extractor_batch_size=512,
+        shuffle_partitions=min(32, NUM_CPUS),
+    )
+    t0 = time.perf_counter()
+    result = build_kg(files, build_dir, cfg, num_partitions=1, resume=False)
+    wall = time.perf_counter() - t0
+    n_nodes = rd.read_parquet(result.nodes_dir).count()
+    n_edges = rd.read_parquet(result.edges_dir).count()
+    return {
+        "kg_build_sec": round(wall, 3),
+        "n_pages": n_pages,
+        "docs_per_sec": round(n_pages / wall, 1),
+        "n_nodes": n_nodes,
+        "n_edges": n_edges,
+    }
+
+
+def run_queries() -> dict:
+    from lightrag_ray.pipelines import queries as Q
+
+    out = {}
+    cat = Q.queries()
+    for name in TIMED_QUERIES:
+        t0 = time.perf_counter()
+        ds = cat[name](SF_DIR)
+        ds.to_pandas()  # consume
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    headline = run_headline()
+    qtimes = run_queries()
+    ray.shutdown()
+
+    print(
+        json.dumps(
+            {
+                "metric": "kg_construction_wall_seconds",
+                "value": headline["kg_build_sec"],
+                "unit": "sec",
+                "queries": {"kg_build": headline["kg_build_sec"], **qtimes},
+                "sf": os.path.basename(os.path.normpath(SF_DIR)),
+                "num_cpus": NUM_CPUS,
+                "docs_per_sec": headline["docs_per_sec"],
+                "n_pages": headline["n_pages"],
+                "n_nodes": headline["n_nodes"],
+                "n_edges": headline["n_edges"],
+            }
+        )
+    )
+
+
+def scaling() -> None:
+    """Same input, fresh processes at 8 and 32 CPUs (the sandbox proxy for the
+    north rule's N vs 4N cluster sizes)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    run(8)  # warm-up pass: page cache + corpus synthesis, untimed
+    lo = run(8)
+    hi = run(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "docs_per_sec_8": lo["docs_per_sec"],
+                "docs_per_sec_32": hi["docs_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "n_pages": lo["n_pages"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -9,4 +9,8 @@ This package never calls ``ray.init()`` — sessions are owned by the caller
 (bench.py, CLI, test fixtures).
 """
 
+from lightrag_ray import _compat as _compat
+
+_compat.install()
+
 __version__ = "0.1.0"

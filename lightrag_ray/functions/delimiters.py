@@ -50,6 +50,11 @@ def fix_tuple_delimiter_corruption(
 ) -> str:
     if not record or not delimiter_core or not tuple_delimiter:
         return record
+    # fast path: every repair rule's match contains '<' or '|'; a record whose
+    # non-canonical text has neither is already clean
+    stripped = record.replace(tuple_delimiter, "\x00")
+    if "<" not in stripped and "|" not in stripped:
+        return record
     for pattern, repl in _compiled_rules(delimiter_core, tuple_delimiter):
         record = pattern.sub(repl, record)
     return record

@@ -134,10 +134,26 @@ def _recover_misprefixed_relation(attrs: list[str]) -> list[str]:
 def _split_glued_records(records: list[str], tuple_delimiter: str) -> list[str]:
     """Recover records glued together by ``<|#|>entity<|#|>`` /
     ``<|#|>relation<|#|>`` instead of newlines (lightrag/operate.py:1444-1474)."""
+    entity_glue = f"{tuple_delimiter}entity{tuple_delimiter}"
+    rel_glues = (
+        f"{tuple_delimiter}relationship{tuple_delimiter}",
+        f"{tuple_delimiter}relation{tuple_delimiter}",
+    )
     fixed: list[str] = []
     for record in records:
         record = record.strip()
         if not record:
+            continue
+        # fast path: well-prefixed record with no glued sub-records passes
+        # through unchanged (the rewrite branches below only fire on pieces
+        # lacking an entity/relation prefix)
+        if (
+            (record.startswith("entity") or record.startswith("relation"))
+            and entity_glue not in record
+            and rel_glues[0] not in record
+            and rel_glues[1] not in record
+        ):
+            fixed.append(record)
             continue
         entity_pieces = split_string_by_multi_markers(
             record, [f"{tuple_delimiter}entity{tuple_delimiter}"]

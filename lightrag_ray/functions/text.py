@@ -62,8 +62,10 @@ def sanitize_text_for_encoding(text: str, replacement_char: str = "") -> str:
     text = text.strip()
     if not text:
         return text
-    text = html.unescape(text)
-    text = _SURROGATES_RE.sub(replacement_char, text)
+    if "&" in text:  # html.unescape touches only '&'-sequences
+        text = html.unescape(text)
+    if not text.isascii():
+        text = _SURROGATES_RE.sub(replacement_char, text)
     text = _CONTROL_RE.sub(replacement_char, text)
     return text.strip()
 
@@ -93,6 +95,25 @@ def normalize_extracted_info(name: str, remove_inner_quotes: bool = False) -> st
     CJK-adjacent quotes, and filters out short numeric-only strings
     (pure digits < 3 chars; digits+dots < 6 chars).
     """
+    # ASCII fast path: every full-width / CJK-adjacency rule targets non-ASCII
+    # characters (CJK lookarounds, full-width punctuation, NBSP variants), so
+    # for pure-ASCII input only the tag strip, ASCII outer-quote strip and
+    # numeric filters can fire.  Byte-equivalence is pinned by the fuzz parity
+    # tests against the reference.
+    if name.isascii():
+        if "<" in name:
+            name = _P_TAG_RE.sub("", name)
+            name = _BR_TAG_RE.sub("", name)
+        if len(name) >= 2 and name[0] in "\"'":
+            name = _strip_matched_outer(name, '"', '"')
+            name = _strip_matched_outer(name, "'", "'")
+        name = name.strip()
+        if len(name) < 3 and _PURE_DIGITS_RE.match(name):
+            return ""
+        if len(name) < 6 and _is_dotted_numeric(name):
+            return ""
+        return name
+
     name = _P_TAG_RE.sub("", name)
     name = _BR_TAG_RE.sub("", name)
 
@@ -160,13 +181,21 @@ def truncate_entity_identifier(
     return out
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _marker_splitter(markers: tuple[str, ...]) -> re.Pattern:
+    return re.compile("|".join(re.escape(m) for m in markers))
+
+
 def split_string_by_multi_markers(content: str, markers: list[str]) -> list[str]:
     """Split on any of the literal markers; strip pieces; drop empties
     (reference lightrag/utils.py:3310-3316)."""
     if not markers:
         return [content]
     content = content if content is not None else ""
-    parts = re.split("|".join(re.escape(m) for m in markers), content)
+    parts = _marker_splitter(tuple(markers)).split(content)
     return [p.strip() for p in parts if p.strip()]
 
 

@@ -170,29 +170,35 @@ def build_kg(
             filter=(pc.field("kind") == kind),
         )
 
-    # ---- Phase C1: entity canonicalization
+    # ---- Phases C1 + C2: entity/edge canonicalization (independent shuffles,
+    # run concurrently so the two Dataset executions share the cluster)
     nodes_pre_dir = paths.phase_dir("nodes_pre")
-    _run_part(
-        paths,
-        "nodes_pre",
-        nodes_pre_dir,
-        lambda: canonicalize_entities(_read_mentions("e"), cfg),
-        resume,
-        extra={"phase": "nodes_pre"},
-    )
-
-    # ---- Phase C2: edge canonicalization
     edges_dir = paths.phase_dir("edges")
-    _run_part(
-        paths,
-        "edges",
-        edges_dir,
-        lambda: canonicalize_edges(_read_mentions("r"), cfg).select_columns(
-            EDGE_OUTPUT_COLUMNS + ["_ord"]
-        ),
-        resume,
-        extra={"phase": "edges"},
-    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_nodes = pool.submit(
+            _run_part,
+            paths,
+            "nodes_pre",
+            nodes_pre_dir,
+            lambda: canonicalize_entities(_read_mentions("e"), cfg),
+            resume,
+            {"phase": "nodes_pre"},
+        )
+        f_edges = pool.submit(
+            _run_part,
+            paths,
+            "edges",
+            edges_dir,
+            lambda: canonicalize_edges(_read_mentions("r"), cfg).select_columns(
+                EDGE_OUTPUT_COLUMNS + ["_ord"]
+            ),
+            resume,
+            {"phase": "edges"},
+        )
+        f_nodes.result()
+        f_edges.result()
 
     # ---- Phase C3: endpoint back-propagation → final nodes
     nodes_dir = paths.phase_dir("nodes")

@@ -1,0 +1,421 @@
+"""Driver-facing query catalog: Ray pipelines + DuckDB oracle SQL.
+
+Each entry runs over the driver's read-only tables (`documents`,
+`embeddings`, ...) in ``sf_dir`` and has a matching ANSI-SQL oracle producing
+identical rows (same column NAMES and values) — the driver's correctness gate.
+Entries without an oracle (full KG build, LSH dedup, language-ID) get the
+driver's weaker rows-only check and are additionally pinned by the in-repo
+parity/golden tests.
+
+The SQL-checked KG queries restrict to single-chunk documents (token count ≤
+chunk stride) because token-window overlap is not expressible in SQL; the
+multi-chunk path is covered by the golden-pipeline tests.  All Ray sides run
+the REAL kernels (tokenizer → chunker → extractor → parser), not closed forms.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+
+from lightrag_ray.config import PipelineConfig
+from lightrag_ray.functions.chunking import chunk_text
+from lightrag_ray.functions.parse import parse_extraction_result
+from lightrag_ray.functions.text import md5_hex
+from lightrag_ray.functions.tokenizer import default_tokenizer
+from lightrag_ray.stages.extract import RuleExtractor
+
+CFG = PipelineConfig()
+_STRIDE = CFG.chunk_token_size - CFG.chunk_overlap_token_size  # 1100
+
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# chunk statistics (real chunker per doc)
+
+
+class _DocChunkStats:
+    def __init__(self):
+        self.tokenizer = default_tokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        n_tokens, n_chunks = [], []
+        for t in texts:
+            t = t or ""
+            toks = self.tokenizer.encode(t)
+            chunks = chunk_text(self.tokenizer, t) if t.strip() else []
+            n_tokens.append(len(toks) if t.strip() else 0)
+            n_chunks.append(len([c for c in chunks if c["content"]]))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_chunks": pa.array(n_chunks, pa.int64()),
+            }
+        )
+
+
+def q_doc_chunk_stats(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _DocChunkStats, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
+
+
+SQL_DOC_CHUNK_STATS = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       CAST(ceil(len(regexp_extract_all(text, '\S+')) / {_STRIDE}.0) AS BIGINT)
+           AS n_chunks
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# single-chunk KG queries (real extract+parse path)
+
+
+class _DocMentions:
+    """documents → (doc_id, kind, name, tgt) mention rows, single-chunk docs
+    only (token count ≤ stride)."""
+
+    def __init__(self):
+        self.tokenizer = default_tokenizer()
+        self.extractor = RuleExtractor(
+            max_entities=CFG.max_extraction_entities,
+            max_records=CFG.max_extraction_records,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "kind": [], "name": [], "tgt": []}
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        for doc_id, text in zip(doc_ids, texts):
+            text = (text or "").strip()
+            if not text or len(self.tokenizer.encode(text)) > _STRIDE:
+                continue
+            chunks = chunk_text(self.tokenizer, text)
+            assert len(chunks) == 1
+            result = self.extractor.extract(chunks[0]["content"], f"{doc_id}", 0, "")
+            entities, relations = parse_extraction_result(
+                result, chunk_key=str(doc_id), timestamp=0, file_path=str(doc_id)
+            )
+            for e in entities:
+                out["doc_id"].append(doc_id)
+                out["kind"].append("e")
+                out["name"].append(e.entity_name)
+                out["tgt"].append("")
+            for r in relations:
+                a, b = sorted((r.src_id, r.tgt_id))
+                out["doc_id"].append(doc_id)
+                out["kind"].append("r")
+                out["name"].append(a)
+                out["tgt"].append(b)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "kind": pa.array(out["kind"], pa.string()),
+                "name": pa.array(out["name"], pa.string()),
+                "tgt": pa.array(out["tgt"], pa.string()),
+            }
+        )
+
+
+def _mentions_ds(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _DocMentions, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
+
+
+def q_entity_mentions(sf_dir: str):
+    import pyarrow.compute as pc
+
+    return _mentions_ds(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "e")).select(["doc_id", "name"])
+        .rename_columns(["doc_id", "entity_name"]),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_WORDS_1CHUNK = rf"""
+  words AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(text, '\w+')) AS word,
+           generate_subscripts(regexp_extract_all(text, '\w+'), 1) AS pos
+    FROM documents
+    WHERE len(regexp_extract_all(text, '\S+')) BETWEEN 1 AND {_STRIDE}
+  ),
+  firsts AS (
+    SELECT doc_id, word, min(pos) AS first_pos
+    FROM words WHERE length(word) >= 5
+    GROUP BY doc_id, word
+  ),
+  ranked AS (
+    SELECT doc_id, word, first_pos,
+           row_number() OVER (PARTITION BY doc_id ORDER BY first_pos) AS rk
+    FROM firsts
+  ),
+  ents AS (
+    SELECT doc_id, word, first_pos, rk FROM ranked WHERE rk <= {CFG.max_extraction_entities}
+  )
+"""
+
+SQL_ENTITY_MENTIONS = f"""
+WITH {_SQL_WORDS_1CHUNK}
+SELECT doc_id, word AS entity_name FROM ents
+"""
+
+
+def q_kg_nodes_simple(sf_dir: str):
+    import pyarrow.compute as pc
+
+    ents = _mentions_ds(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "e")), batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Count
+
+    agg = ents.groupby("name").aggregate(Count(alias_name="n_mentions"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["entity_name", "n_mentions"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_KG_NODES_SIMPLE = f"""
+WITH {_SQL_WORDS_1CHUNK}
+SELECT word AS entity_name, count(*) AS n_mentions FROM ents GROUP BY word
+"""
+
+
+def q_kg_edges_simple(sf_dir: str):
+    import pyarrow.compute as pc
+
+    rels = _mentions_ds(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "r")), batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Count
+
+    agg = rels.groupby(["name", "tgt"]).aggregate(Count(alias_name="weight"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["src_id", "tgt_id", "weight"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_KG_EDGES_SIMPLE = f"""
+WITH {_SQL_WORDS_1CHUNK},
+pairs AS (
+  SELECT doc_id, word AS a,
+         lead(word) OVER (PARTITION BY doc_id ORDER BY first_pos) AS b
+  FROM ents
+)
+SELECT least(a, b) AS src_id, greatest(a, b) AS tgt_id, count(*) AS weight
+FROM pairs WHERE b IS NOT NULL AND a <> b
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / fingerprints
+
+
+def q_exact_dedup(sf_dir: str):
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "content_hash": pa.array([md5_hex(t or "") for t in texts]),
+                "doc_id": batch.column("doc_id"),
+            }
+        )
+
+    from ray.data.aggregate import Count, Min
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        hash_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="rep_doc_id"), Count(alias_name="n_copies")
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS content_hash, min(doc_id) AS rep_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_fingerprint(sf_dir: str):
+    import re
+
+    ws = re.compile(r"\s+")
+
+    def fp_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        fps = [md5_hex(ws.sub(" ", (t or "").strip().lower())) for t in texts]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps)}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fp_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# text quality stats
+
+
+def q_text_quality(sf_dir: str):
+    import re
+
+    word_re = re.compile(r"\w+")
+    stop = set(STOPWORDS)
+
+    def quality(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_words, n_uniq, n_stop = [], [], []
+        for t in texts:
+            words = word_re.findall(t or "")
+            n_words.append(len(words))
+            n_uniq.append(len(set(words)))
+            n_stop.append(sum(1 for w in words if w in stop))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_uniq_words": pa.array(n_uniq, pa.int64()),
+                "n_stopwords": pa.array(n_stop, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        quality, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_TEXT_QUALITY = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\w+')) AS n_words,
+       len(list_distinct(regexp_extract_all(text, '\w+'))) AS n_uniq_words,
+       len(list_filter(regexp_extract_all(text, '\w+'),
+                       w -> w IN {STOPWORDS!r})) AS n_stopwords
+FROM documents
+"""
+
+
+def q_lang_distribution(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return _docs(sf_dir, ["lang"]).groupby("lang").aggregate(
+        Count(alias_name="n_docs")
+    )
+
+
+SQL_LANG_DISTRIBUTION = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+
+
+# ---------------------------------------------------------------------------
+# similarity search: brute-force cosine top-k (the baseline ANN path)
+
+
+def q_knn_top10(sf_dir: str):
+    """Top-10 cosine neighbors of vec_id 0: the query vector is broadcast via
+    ray.put once; each batch does one float64 matmul."""
+    import ray
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    q_table = pq.read_table(path, columns=["vec_id", "embedding"])
+    q_vec = None
+    for batch in q_table.to_batches():
+        ids = batch.column("vec_id").to_pylist()
+        if 0 in ids:
+            q_vec = np.array(
+                batch.column("embedding")[ids.index(0)].as_py(), dtype=np.float64
+            )
+            break
+    q_ref = ray.put(q_vec / np.linalg.norm(q_vec))
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = np.asarray(batch.column("vec_id"))
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ q) / np.where(norms == 0, 1.0, norms)
+        keep = ids != 0
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], pa.int64()),
+                "sim": pa.array(np.round(sims[keep], 4), pa.float64()),
+            }
+        )
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["sim", "vec_id"], descending=[True, False]
+    ).limit(10)
+
+
+SQL_KNN_TOP10 = """
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4)
+           AS sim
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+ORDER BY sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# catalog
+
+
+def queries() -> dict[str, Callable]:
+    return {
+        "doc_chunk_stats": q_doc_chunk_stats,
+        "entity_mentions": q_entity_mentions,
+        "kg_nodes_simple": q_kg_nodes_simple,
+        "kg_edges_simple": q_kg_edges_simple,
+        "exact_dedup": q_exact_dedup,
+        "doc_fingerprint": q_doc_fingerprint,
+        "text_quality": q_text_quality,
+        "lang_distribution": q_lang_distribution,
+        "knn_top10": q_knn_top10,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "doc_chunk_stats": SQL_DOC_CHUNK_STATS,
+        "entity_mentions": SQL_ENTITY_MENTIONS,
+        "kg_nodes_simple": SQL_KG_NODES_SIMPLE,
+        "kg_edges_simple": SQL_KG_EDGES_SIMPLE,
+        "exact_dedup": SQL_EXACT_DEDUP,
+        "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "text_quality": SQL_TEXT_QUALITY,
+        "lang_distribution": SQL_LANG_DISTRIBUTION,
+        "knn_top10": SQL_KNN_TOP10,
+    }

@@ -194,6 +194,6 @@ def apply_endpoints(nodes_pre, edges, cfg: PipelineConfig):
         edges_to_endpoint_rows, batch_format="pyarrow", zero_copy_batch=True
     )
     unioned = node_rows.union(contrib_rows)
-    return unioned.groupby("entity_id").map_groups(
-        make_finalize_endpoint_groupfn(cfg), batch_format="pandas"
-    )
+    return unioned.groupby(
+        "entity_id", num_partitions=cfg.shuffle_partitions
+    ).map_groups(make_finalize_endpoint_groupfn(cfg), batch_format="pandas")

@@ -484,24 +484,30 @@ def make_finalize_edges_groupfn(cfg: PipelineConfig):
 def canonicalize_entities(mentions_e, cfg: PipelineConfig):
     """entity mention rows → node table (pre endpoint-append)."""
     partials = mentions_e.map_batches(
-        make_entity_partials_fn(cfg), batch_format="pyarrow", zero_copy_batch=True
+        make_entity_partials_fn(cfg),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=cfg.merge_batch_size,
     )
-    salted = partials.groupby(["name", "salt"]).map_groups(
-        make_partial_merge_groupfn(cfg, "e"), batch_format="pandas"
-    )
-    return salted.groupby("name").map_groups(
-        make_finalize_entities_groupfn(cfg), batch_format="pandas"
-    )
+    salted = partials.groupby(
+        ["name", "salt"], num_partitions=cfg.shuffle_partitions
+    ).map_groups(make_partial_merge_groupfn(cfg, "e"), batch_format="pandas")
+    return salted.groupby(
+        "name", num_partitions=cfg.shuffle_partitions
+    ).map_groups(make_finalize_entities_groupfn(cfg), batch_format="pandas")
 
 
 def canonicalize_edges(mentions_r, cfg: PipelineConfig):
     """relation mention rows → edge table."""
     partials = mentions_r.map_batches(
-        make_edge_partials_fn(cfg), batch_format="pyarrow", zero_copy_batch=True
+        make_edge_partials_fn(cfg),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=cfg.merge_batch_size,
     )
-    salted = partials.groupby(["src", "tgt", "salt"]).map_groups(
-        make_partial_merge_groupfn(cfg, "r"), batch_format="pandas"
-    )
-    return salted.groupby(["src", "tgt"]).map_groups(
-        make_finalize_edges_groupfn(cfg), batch_format="pandas"
-    )
+    salted = partials.groupby(
+        ["src", "tgt", "salt"], num_partitions=cfg.shuffle_partitions
+    ).map_groups(make_partial_merge_groupfn(cfg, "r"), batch_format="pandas")
+    return salted.groupby(
+        ["src", "tgt"], num_partitions=cfg.shuffle_partitions
+    ).map_groups(make_finalize_edges_groupfn(cfg), batch_format="pandas")

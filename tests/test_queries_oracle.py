@@ -1,0 +1,52 @@
+"""Run every SQL-checked query against its DuckDB oracle at sf0.001 — the
+same comparison the driver performs (row counts + order-insensitive values)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from lightrag_ray.pipelines import queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(6)
+        else:
+            try:
+                df[c] = df[c].astype("int64")
+            except (TypeError, ValueError):
+                pass
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(Q.oracle_sql()))
+def test_query_matches_oracle(ray_session, con, name):
+    ours = Q.queries()[name](SF_DIR)
+    ours_df = _normalize(ours.to_pandas())
+    oracle_df = _normalize(con.execute(Q.oracle_sql()[name]).fetchdf())
+    assert list(ours_df.columns) == list(oracle_df.columns), name
+    assert len(ours_df) == len(oracle_df), name
+    pd.testing.assert_frame_equal(ours_df, oracle_df, check_dtype=False)
