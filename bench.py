@@ -24,7 +24,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("BENCH_REPLICATE", "20"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "120"))
 WORK = os.environ.get("BENCH_WORK_DIR", "/tmp/lightrag_bench")
 
 TIMED_QUERIES = ["doc_chunk_stats", "kg_nodes_simple", "exact_dedup", "knn_top10"]
@@ -97,13 +97,17 @@ def run_headline() -> dict:
     build_dir = os.path.join(WORK, f"build-cpus{NUM_CPUS}")
     shutil.rmtree(build_dir, ignore_errors=True)
 
-    pool = max(2, NUM_CPUS - 2)
+    # fused phase runs BOTH pools at once: budget chunker + extractor + read
+    # tasks within NUM_CPUS or the executor deadlocks waiting for actors
+    chunker_pool = max(1, NUM_CPUS // 8)
+    extractor_pool = max(2, NUM_CPUS - 2 - chunker_pool)
     cfg = PipelineConfig(
-        chunker_concurrency=pool,
-        extractor_concurrency=pool,
+        chunker_concurrency=chunker_pool,
+        extractor_concurrency=extractor_pool,
         chunker_batch_size=512,
         extractor_batch_size=512,
         shuffle_partitions=min(32, NUM_CPUS),
+        write_chunks_table=False,  # fused streaming pass (the at-scale default)
     )
     t0 = time.perf_counter()
     result = build_kg(files, build_dir, cfg, num_partitions=1, resume=False)

@@ -56,12 +56,24 @@ class PipelineConfig:
     # faster canonicalization at 8192 vs 1024 on the bench corpus.
     merge_batch_size: int = 8192
 
-    # execution sizing (per stage; tuned via ds.stats() on the bench)
+    # execution sizing (per stage; tuned via ds.stats() on the bench).
+    # Defaults are AUTOSCALING (min, max) pools: a fixed pool whose size plus
+    # the other stages' tasks exceeds the cluster CPU count deadlocks the
+    # streaming executor (actors can never all start) — fixed sizes are for
+    # callers that have budgeted the whole node (see bench.py).
     chunker_batch_size: int = 256
-    chunker_concurrency: int | tuple[int, int] = 4
+    chunker_concurrency: int | tuple[int, int] = (1, 4)
     extractor_batch_size: int = 256
-    extractor_concurrency: int | tuple[int, int] = 4
+    extractor_concurrency: int | tuple[int, int] = (1, 8)
 
     # extractor selection (pluggable; "rule" is the deterministic default)
     extractor: str = "rule"
     extractor_options: dict = field(default_factory=dict)
+
+    # materialize the chunks table as its own phase (the reference persists
+    # text_chunks; True gives chunk-level provenance + a resume point at the
+    # cost of one extra write+read of ~input-sized data).  False fuses
+    # pages → chunks → mentions into ONE streaming pass — the 100-TB default,
+    # where re-chunking on resume is far cheaper than double-storing the
+    # corpus; resume granularity stays per input partition either way.
+    write_chunks_table: bool = True

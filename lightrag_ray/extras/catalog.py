@@ -1,0 +1,118 @@
+"""Driver-facing catalog for the extras operators (merged into
+__ray_entry__.queries()/oracle_sql())."""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from lightrag_ray.extras import dedup, multimodal, textstats
+
+
+def q_simhash(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(dedup.simhash_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_SIMHASH = r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS word FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::UBIGINT AS hv FROM w
+),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, (SELECT unnest(range(60)) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::UBIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def q_ngram_jaccard(sf_dir: str):
+    return dedup.ngram_jaccard_pairs(sf_dir, threshold=0.8)
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - 2, 0) + 1),
+                                      i -> substr(text, i::INT, 3))) AS sh
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+)
+SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8
+"""
+
+
+def q_embedding_near_dup(sf_dir: str):
+    return dedup.embedding_near_dup_pairs(sf_dir, threshold=0.45)
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+           AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+"""
+
+
+def q_media_feature_norms(sf_dir: str):
+    return multimodal.media_feature_norms(sf_dir)
+
+
+SQL_MEDIA_FEATURE_NORMS = """
+WITH f AS (
+  SELECT doc_id AS media_id,
+         list_transform(range(0, 8),
+                        i -> ('0x' || substr(md5(text), i::INT * 4 + 1, 4))::INT) AS ft
+  FROM documents
+)
+SELECT media_id,
+       round(sqrt(list_sum(list_transform(ft, x -> x::DOUBLE * x::DOUBLE))), 4)
+           AS feature_norm
+FROM f
+"""
+
+
+def q_minhash_lsh(sf_dir: str):
+    return dedup.minhash_lsh_pairs(sf_dir, threshold=0.5)
+
+
+def q_langid(sf_dir: str):
+    return textstats.langid(sf_dir)
+
+
+def queries() -> dict[str, Callable]:
+    return {
+        "simhash": q_simhash,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
+        "media_feature_norms": q_media_feature_norms,
+        "minhash_lsh_pairs": q_minhash_lsh,  # rows-only (LSH is approximate)
+        "langid": q_langid,  # rows-only (heuristic)
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "simhash": SQL_SIMHASH,
+        "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "media_feature_norms": SQL_MEDIA_FEATURE_NORMS,
+    }

@@ -109,56 +109,66 @@ def build_kg(
         raise FileNotFoundError(f"no pages parquet under {pages_paths!r}")
     parts = _partition_files(pages_files, num_partitions)
 
-    # ---- Phase A: pages → chunks (per partition)
+    # ---- Phases A/B: pages → chunks → mentions (per partition)
+    # With write_chunks_table=True the chunks table is its own resumable
+    # phase (reference-parity: text_chunks is persisted); with False the
+    # whole path fuses into one streaming pass per partition.
     extract_text = make_extract_text_fn(cfg)
-    for k, files in enumerate(parts):
-        def build_chunks(files=files):
-            return (
-                rd.read_parquet(files)
-                .map_batches(
-                    extract_text, batch_format="pyarrow", zero_copy_batch=True
-                )
-                .map_batches(
-                    ChunkerStage,
-                    fn_constructor_args=(cfg,),
-                    batch_format="pyarrow",
-                    zero_copy_batch=True,
-                    batch_size=cfg.chunker_batch_size,
-                    concurrency=cfg.chunker_concurrency,
-                )
-            )
 
-        _run_part(
-            paths,
-            f"chunks-part-{k:05d}",
-            paths.part_dir("chunks", k),
-            build_chunks,
-            resume,
-            extra={"phase": "chunks", "partition_id": k, "n_files_in": len(files)},
+    def _chunked(source_ds):
+        return source_ds.map_batches(
+            extract_text, batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(
+            ChunkerStage,
+            fn_constructor_args=(cfg,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.chunker_batch_size,
+            concurrency=cfg.chunker_concurrency,
         )
 
-    # ---- Phase B: chunks → mentions (per partition)
-    for k in range(len(parts)):
-        chunks_part = paths.part_dir("chunks", k)
-
-        def build_mentions(chunks_part=chunks_part):
-            return rd.read_parquet(chunks_part).map_batches(
-                ExtractStage,
-                fn_constructor_args=(cfg,),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-                batch_size=cfg.extractor_batch_size,
-                concurrency=cfg.extractor_concurrency,
-            )
-
-        _run_part(
-            paths,
-            f"mentions-part-{k:05d}",
-            paths.part_dir("mentions", k),
-            build_mentions,
-            resume,
-            extra={"phase": "mentions", "partition_id": k},
+    def _extracted(chunks_ds):
+        return chunks_ds.map_batches(
+            ExtractStage,
+            fn_constructor_args=(cfg,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.extractor_batch_size,
+            concurrency=cfg.extractor_concurrency,
         )
+
+    if cfg.write_chunks_table:
+        for k, files in enumerate(parts):
+            _run_part(
+                paths,
+                f"chunks-part-{k:05d}",
+                paths.part_dir("chunks", k),
+                lambda files=files: _chunked(rd.read_parquet(files)),
+                resume,
+                extra={"phase": "chunks", "partition_id": k, "n_files_in": len(files)},
+            )
+        for k in range(len(parts)):
+            chunks_part = paths.part_dir("chunks", k)
+            _run_part(
+                paths,
+                f"mentions-part-{k:05d}",
+                paths.part_dir("mentions", k),
+                lambda chunks_part=chunks_part: _extracted(
+                    rd.read_parquet(chunks_part)
+                ),
+                resume,
+                extra={"phase": "mentions", "partition_id": k},
+            )
+    else:
+        for k, files in enumerate(parts):
+            _run_part(
+                paths,
+                f"mentions-part-{k:05d}",
+                paths.part_dir("mentions", k),
+                lambda files=files: _extracted(_chunked(rd.read_parquet(files))),
+                resume,
+                extra={"phase": "mentions_fused", "partition_id": k},
+            )
 
     mentions_glob = os.path.join(out_dir, "mentions")
 

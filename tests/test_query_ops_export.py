@@ -1,0 +1,102 @@
+"""Query-side ops + export round-trips over a small built graph."""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+
+import pytest
+
+from lightrag_ray.pipelines.export import export_csv, write_graphml
+from lightrag_ray.pipelines.query_ops import (
+    dedup_chunk_hits,
+    node_degrees,
+    one_hop_edges,
+    popular_labels,
+    rank_edges,
+    round_robin_merge,
+)
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from lightrag_ray.config import PipelineConfig
+    from lightrag_ray.pipelines.kg_build import build_kg
+    from lightrag_ray.sources.pages import synth_pages_from_documents
+
+    work = str(tmp_path_factory.mktemp("qops"))
+    files = synth_pages_from_documents(
+        "/root/testdata/sf0.001", f"{work}/pages", num_files=2
+    )
+    res = build_kg(files, f"{work}/build", PipelineConfig(), num_partitions=1)
+    return rd.read_parquet(res.nodes_dir), rd.read_parquet(res.edges_dir)
+
+
+def test_node_degrees_match_edge_table(built):
+    nodes, edges = built
+    deg = node_degrees(edges).to_pandas()
+    edges_df = edges.to_pandas()
+    for _, row in deg.iterrows():
+        expected = int(
+            (edges_df["src_id"] == row["entity_id"]).sum()
+            + (edges_df["tgt_id"] == row["entity_id"]).sum()
+        )
+        assert row["degree"] == expected
+
+
+def test_rank_edges_sorted(built):
+    _, edges = built
+    ranked = rank_edges(edges).to_pandas()
+    keys = list(zip(ranked["rank"], ranked["weight"]))
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_popular_labels_topk(built):
+    _, edges = built
+    top = popular_labels(edges, k=5).to_pandas()
+    assert len(top) == 5
+    assert top["degree"].is_monotonic_decreasing
+
+
+def test_one_hop(built):
+    _, edges = built
+    seed = edges.take(1)[0]["src_id"]
+    hop = one_hop_edges(edges, [seed]).to_pandas()
+    assert len(hop) >= 1
+    assert ((hop["src_id"] == seed) | (hop["tgt_id"] == seed)).all()
+
+
+def test_dedup_chunk_hits_first_entity_wins():
+    out = dedup_chunk_hits(
+        [
+            {"name": "a", "chunks": ["c1", "c2"]},
+            {"name": "b", "chunks": ["c2", "c3"]},
+            {"name": "c", "chunks": ["c1", "c3", "c4"]},
+        ]
+    )
+    assert [o["chunks"] for o in out] == [["c1", "c2"], ["c3"], ["c4"]]
+
+
+def test_round_robin_merge():
+    a = [{"k": 1}, {"k": 2}, {"k": 3}]
+    b = [{"k": 2}, {"k": 4}]
+    merged = round_robin_merge(a, b, key=lambda x: x["k"])
+    assert [m["k"] for m in merged] == [1, 2, 4, 3]
+
+
+def test_export_csv_and_graphml(built, tmp_path):
+    nodes, edges = built
+    out = str(tmp_path)
+    export_csv(nodes, edges, out)
+    assert os.listdir(f"{out}/entities") and os.listdir(f"{out}/relations")
+
+    gml = f"{out}/graph.graphml"
+    write_graphml(nodes, edges, gml)
+    tree = ET.parse(gml)  # well-formed XML
+    ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
+    xml_nodes = tree.findall(".//g:node", ns)
+    xml_edges = tree.findall(".//g:edge", ns)
+    assert len(xml_nodes) == nodes.count()
+    assert len(xml_edges) == edges.count()
