@@ -46,6 +46,12 @@ class PipelineConfig:
     # over `salt_buckets` reducers before the final per-key reduce.
     salt_buckets: int = 16
 
+    # hash-bucket count for the canonicalization reduces: one group-fn call
+    # per bucket (dict-merge of its keys inside) instead of one per key —
+    # per-key map_groups overhead dominated the edge merge otherwise.  Size
+    # ≥ a few × total cores so buckets stay balanced.
+    reduce_buckets: int = 128
+
     # shuffle width for the canonicalization groupbys (None = Ray default).
     # Size ≈ total cores across the cluster; small corpora benefit from a
     # small value (fewer shuffle tasks), huge ones from a large one.

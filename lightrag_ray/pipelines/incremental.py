@@ -1,0 +1,112 @@
+"""Incremental corpus maintenance: add documents, delete documents, rebuild.
+
+The reference rebuilds KG objects after a doc deletion by re-parsing cached
+LLM extraction results (`adelete_by_doc_id` lightrag/lightrag.py:5387 +
+`rebuild_knowledge_from_chunks` lightrag/operate.py:1005-1318) — a cache
+side-channel.  Here the mention table is first-class Parquet, so both
+operations are Dataset jobs:
+
+  - delete: drop the docs' mention rows (and chunk rows), re-run the
+    canonicalization phases over the surviving mentions;
+  - add: run phases A/B over the new pages into new partitions, then re-run
+    canonicalization over all mentions.
+
+Canonicalization is deterministic and associative over mention rows (see
+stages/merge.py), so "re-run the merge" reproduces exactly what an
+incremental upsert would — without carrying graph state.  The merge input is
+the mentions table (≪ corpus bytes); phases A/B for already-processed
+partitions are skipped by the manifest.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from lightrag_ray.config import PipelineConfig
+from lightrag_ray.functions.text import compute_mdhash_id
+from lightrag_ray.pipelines.kg_build import BuildResult, build_kg
+from lightrag_ray.state import checkpoint as ckpt
+
+
+def _invalidate_merge_phases(out_dir: str) -> None:
+    paths = ckpt.BuildPaths(root=out_dir)
+    for unit, phase_dir in (
+        ("nodes_pre", paths.phase_dir("nodes_pre")),
+        ("edges", paths.phase_dir("edges")),
+        ("nodes", paths.phase_dir("nodes")),
+    ):
+        ckpt.reset_unit(paths, unit, phase_dir)
+
+
+def delete_documents(
+    out_dir: str,
+    urls: list[str],
+    pages_paths: list[str] | str,
+    cfg: PipelineConfig | None = None,
+    num_partitions: int = 4,
+) -> BuildResult:
+    """Remove documents by url and rebuild the graph from surviving mentions.
+
+    Mentions/chunks partitions are rewritten in place (filtered); the three
+    canonicalization phases are invalidated and re-run via ``build_kg``.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    cfg = cfg or PipelineConfig()
+    doc_ids = {compute_mdhash_id(u, prefix="doc-") for u in urls}
+    url_set = set(urls)
+
+    # filter mention partitions in place (atomic per file: write tmp, replace)
+    for f in glob.glob(os.path.join(out_dir, "mentions", "**", "*.parquet"), recursive=True):
+        table = pads.dataset(f).to_table()
+        mask = pc.invert(
+            pc.is_in(table.column("file_path"), value_set=pa_values(url_set))
+        )
+        filtered = table.filter(mask)
+        if filtered.num_rows != table.num_rows:
+            tmp = f + ".tmp"
+            pq.write_table(filtered, tmp)
+            os.replace(tmp, f)
+    for f in glob.glob(os.path.join(out_dir, "chunks", "**", "*.parquet"), recursive=True):
+        table = pads.dataset(f).to_table()
+        mask = pc.invert(
+            pc.is_in(table.column("doc_id"), value_set=pa_values(doc_ids))
+        )
+        filtered = table.filter(mask)
+        if filtered.num_rows != table.num_rows:
+            tmp = f + ".tmp"
+            pq.write_table(filtered, tmp)
+            os.replace(tmp, f)
+
+    _invalidate_merge_phases(out_dir)
+    return build_kg(pages_paths, out_dir, cfg, num_partitions=num_partitions)
+
+
+def pa_values(values: set[str]):
+    import pyarrow as pa
+
+    return pa.array(sorted(values), pa.string())
+
+
+def add_documents(
+    out_dir: str,
+    all_pages_paths: list[str] | str,
+    cfg: PipelineConfig | None = None,
+    num_partitions: int = 4,
+) -> BuildResult:
+    """Process any new input partitions and refresh the graph.
+
+    ``all_pages_paths`` is the full (old + new) corpus; completed A/B
+    partitions are skipped by the manifest, so only new files are chunked and
+    extracted.  The canonicalization phases are re-run over all mentions.
+
+    NOTE: partitioning is by sorted-file round-robin, so APPEND new files with
+    names sorting after the existing ones (or pass explicit per-partition file
+    lists) to keep old partitions stable.
+    """
+    cfg = cfg or PipelineConfig()
+    _invalidate_merge_phases(out_dir)
+    return build_kg(all_pages_paths, out_dir, cfg, num_partitions=num_partitions)

@@ -57,11 +57,24 @@ class BuildResult:
 
 
 def _partition_files(files: list[str], num_partitions: int) -> list[list[str]]:
+    """Stable hash partitioning: a file's partition never changes when other
+    files are added/removed, so incremental corpus growth only recomputes the
+    partitions whose file sets actually changed."""
+    import zlib
+
     num_partitions = max(1, min(num_partitions, len(files)))
     parts: list[list[str]] = [[] for _ in range(num_partitions)]
-    for i, f in enumerate(sorted(files)):
-        parts[i % num_partitions].append(f)
+    for f in sorted(files):
+        parts[zlib.crc32(os.path.basename(f).encode()) % num_partitions].append(f)
     return parts
+
+
+def _files_digest(files: list[str]) -> str:
+    """Content-address for a partition's input file set: the unit marker name
+    embeds it, so a changed file set invalidates the old marker automatically."""
+    import hashlib
+
+    return hashlib.md5("\n".join(sorted(files)).encode()).hexdigest()[:10]
 
 
 def _run_part(paths, unit: str, out_dir: str, build_ds, resume: bool, extra=None):
@@ -137,21 +150,34 @@ def build_kg(
             concurrency=cfg.extractor_concurrency,
         )
 
+    digests = [_files_digest(files) for files in parts]
+    any_part_ran = False
     if cfg.write_chunks_table:
         for k, files in enumerate(parts):
-            _run_part(
+            if not files:  # hash partitioning may leave a partition empty
+                continue
+            unit = f"chunks-part-{k:05d}-{digests[k]}"
+            ckpt.clear_stale_markers(paths, f"chunks-part-{k:05d}-", unit)
+            ran = _run_part(
                 paths,
-                f"chunks-part-{k:05d}",
+                unit,
                 paths.part_dir("chunks", k),
                 lambda files=files: _chunked(rd.read_parquet(files)),
                 resume,
                 extra={"phase": "chunks", "partition_id": k, "n_files_in": len(files)},
             )
+            if ran:  # downstream mentions partition is now stale
+                any_part_ran = True
+                ckpt.clear_stale_markers(paths, f"mentions-part-{k:05d}-", "")
         for k in range(len(parts)):
+            if not parts[k]:
+                continue
             chunks_part = paths.part_dir("chunks", k)
-            _run_part(
+            unit = f"mentions-part-{k:05d}-{digests[k]}"
+            ckpt.clear_stale_markers(paths, f"mentions-part-{k:05d}-", unit)
+            any_part_ran |= _run_part(
                 paths,
-                f"mentions-part-{k:05d}",
+                unit,
                 paths.part_dir("mentions", k),
                 lambda chunks_part=chunks_part: _extracted(
                     rd.read_parquet(chunks_part)
@@ -161,14 +187,23 @@ def build_kg(
             )
     else:
         for k, files in enumerate(parts):
-            _run_part(
+            if not files:
+                continue
+            unit = f"mentions-part-{k:05d}-{digests[k]}"
+            ckpt.clear_stale_markers(paths, f"mentions-part-{k:05d}-", unit)
+            any_part_ran |= _run_part(
                 paths,
-                f"mentions-part-{k:05d}",
+                unit,
                 paths.part_dir("mentions", k),
                 lambda files=files: _extracted(_chunked(rd.read_parquet(files))),
                 resume,
                 extra={"phase": "mentions_fused", "partition_id": k},
             )
+
+    if any_part_ran:
+        # new/changed mention partitions invalidate the merge outputs
+        for unit in ("nodes_pre", "edges", "nodes"):
+            ckpt.reset_unit(paths, unit, paths.phase_dir(unit))
 
     mentions_glob = os.path.join(out_dir, "mentions")
 

@@ -110,6 +110,14 @@ def build_extractor(cfg: PipelineConfig) -> Extractor:
             max_records=cfg.max_extraction_records,
             **cfg.extractor_options,
         )
+    if cfg.extractor == "llm":
+        from lightrag_ray.stages.llm_extractor import LLMExtractor
+
+        return LLMExtractor(
+            max_total_records=cfg.max_extraction_records,
+            max_entity_records=cfg.max_extraction_entities,
+            **cfg.extractor_options,  # must include model_fn
+        )
     raise ValueError(f"unknown extractor {cfg.extractor!r}")
 
 

@@ -7,35 +7,35 @@ Semantics-parity with the reference merge (fresh-build path):
   - description combine/dedup                    lightrag/operate.py:2226-2268
   - source-id union + caps                       lightrag/utils.py:5729-5822
 
-Executed as a **salted two-stage aggregation** so a planet-hot entity ("United
-States"-class, present in a large fraction of all chunks) never lands on one
-reducer:
+Physical plan — a salted, bucketed two-stage aggregation:
 
   stage 0 (map_batches combiner): partial-merge mention rows per key within
-      each batch → one compact partial row per (key, batch);
-  stage 1 (groupby [key, salt]):  merge partials; ≤ ``salt_buckets`` rows
-      per key survive;
-  stage 2 (groupby key):          final merge + summarization → output row.
+      each batch → one compact partial row per (key, batch); rows are capped
+      per partial in KEEP mode (safe: any sid in the global first-K is within
+      the first K of every partial containing it).
+  stage 1 (groupby bucket(key, salt)): merge partials per (key, salt).  The
+      SALT (hash of source chunk id, ``salt_buckets`` values) splits a
+      planet-hot key's partials across reducers; the BUCKET (hash of
+      key+salt, ``reduce_buckets`` values) makes the shuffle coarse — one
+      group-fn call per bucket, plain-dict merging inside, instead of one
+      pandas frame per key (per-key map_groups cost dominated edge
+      canonicalization before this).
+  stage 2 (groupby bucket(key)): ≤ ``salt_buckets`` partials per key arrive;
+      final merge + summarization per key, one output table per bucket.
 
-Every per-key field is merged associatively:
-  - ``sources``: ordered first-seen dedup by a total order key
+Every per-key field merges associatively:
+  - ``sources``: ordered first-seen dedup by the total order key
     ``ord = (timestamp, file_path, chunk_order, rec_index)`` — the
-    deterministic stand-in for the reference's sequential doc/chunk processing
-    order (lightrag/operate.py:4092-4125 pins chunk order for exactly this
-    reason); capped at the source-id limit per partial in KEEP mode (safe:
-    any sid in the global first-K is within the first K of every partial that
-    contains it).
-  - ``rows`` (mention fragments): restricted to sids within the partial's
-    source cap in KEEP mode — the final KEEP filter
-    (lightrag/operate.py:2367-2383) can only keep rows whose sid survives the
-    global cap, and that set is covered by the partial caps.
+    deterministic stand-in for the reference's sequential doc/chunk
+    processing order (lightrag/operate.py:4092-4125);
   - FIFO mode keeps full source lists in partials (tail-cap needs the whole
-    ordered list — same unboundedness as the reference; KEEP is the default).
+    ordered list — same unboundedness as the reference; KEEP is default).
 
 Deterministic deviations from the reference (documented, P/R-neutral):
-  - ``created_at`` = max mention timestamp (reference: wall clock).
-  - cross-document processing order is the total order above (the reference's
-    is completion-order nondeterministic at ``max_parallel_insert>1``).
+  - ``created_at`` = max mention timestamp (reference: wall clock);
+  - cross-document processing order is the total order above (the
+    reference's is completion-order nondeterministic at
+    ``max_parallel_insert>1``).
 """
 
 from __future__ import annotations
@@ -64,8 +64,7 @@ from lightrag_ray.stages.summarize import (
 def _worker_summary_ctx():
     from lightrag_ray.functions.tokenizer import default_tokenizer
 
-    tokenizer = default_tokenizer()
-    return tokenizer
+    return default_tokenizer()
 
 
 NODES_SCHEMA = pa.schema(
@@ -100,8 +99,12 @@ EDGES_SCHEMA = pa.schema(
 )
 
 
+def _crc(text: str) -> int:
+    return zlib.crc32(text.encode("utf-8"))
+
+
 def _salt_of(source_id: str, buckets: int) -> int:
-    return zlib.crc32(source_id.encode("utf-8")) % buckets
+    return _crc(source_id) % buckets
 
 
 # ---------------------------------------------------------------------------
@@ -181,7 +184,8 @@ def _partial_from_rows(rows: list[list], cap: int, keep_mode: bool) -> dict:
 def make_entity_partials_fn(cfg: PipelineConfig):
     cap = cfg.max_source_ids_per_entity
     keep_mode = cfg.source_ids_limit_method == SOURCE_IDS_LIMIT_KEEP
-    buckets = cfg.salt_buckets
+    salts = cfg.salt_buckets
+    rbuckets = cfg.reduce_buckets
 
     def to_partials(batch: pa.Table) -> pa.Table:
         names = batch.column("name").to_pylist()
@@ -198,17 +202,20 @@ def make_entity_partials_fn(cfg: PipelineConfig):
             grouped.setdefault(name, []).append(
                 [tss[i], fps[i], cos[i], ris[i], sids[i], types[i], descs[i]]
             )
-        out_names, out_salts, out_blobs = [], [], []
+        out = {"key": [], "salt": [], "b1": [], "blob": []}
         for name, rows in grouped.items():
             partial = _partial_from_rows(rows, cap, keep_mode)
-            out_names.append(name)
-            out_salts.append(_salt_of(rows[0][4], buckets))
-            out_blobs.append(json.dumps(partial, ensure_ascii=False))
+            salt = _salt_of(rows[0][4], salts)
+            out["key"].append(name)
+            out["salt"].append(salt)
+            out["b1"].append(_crc(f"{name}\x00{salt}") % rbuckets)
+            out["blob"].append(json.dumps(partial, ensure_ascii=False))
         return pa.table(
             {
-                "name": pa.array(out_names, pa.string()),
-                "salt": pa.array(out_salts, pa.int32()),
-                "blob": pa.array(out_blobs, pa.string()),
+                "key": pa.array(out["key"], pa.string()),
+                "salt": pa.array(out["salt"], pa.int32()),
+                "b1": pa.array(out["b1"], pa.int32()),
+                "blob": pa.array(out["blob"], pa.string()),
             }
         )
 
@@ -218,7 +225,8 @@ def make_entity_partials_fn(cfg: PipelineConfig):
 def make_edge_partials_fn(cfg: PipelineConfig):
     cap = cfg.max_source_ids_per_relation
     keep_mode = cfg.source_ids_limit_method == SOURCE_IDS_LIMIT_KEEP
-    buckets = cfg.salt_buckets
+    salts = cfg.salt_buckets
+    rbuckets = cfg.reduce_buckets
 
     def to_partials(batch: pa.Table) -> pa.Table:
         srcs = batch.column("name").to_pylist()
@@ -232,26 +240,27 @@ def make_edge_partials_fn(cfg: PipelineConfig):
         cos = batch.column("chunk_order").to_pylist()
         ris = batch.column("rec_index").to_pylist()
 
-        grouped: dict[tuple[str, str], list[list]] = {}
+        grouped: dict[str, list[list]] = {}
         for i in range(len(srcs)):
             # undirected: sorted pair (lightrag/operate.py:3383-3386)
-            key = (srcs[i], tgts[i]) if srcs[i] <= tgts[i] else (tgts[i], srcs[i])
-            grouped.setdefault(key, []).append(
+            a, b = (srcs[i], tgts[i]) if srcs[i] <= tgts[i] else (tgts[i], srcs[i])
+            grouped.setdefault(f"{a}\x00{b}", []).append(
                 [tss[i], fps[i], cos[i], ris[i], sids[i], kws[i], wts[i], descs[i]]
             )
-        out_src, out_tgt, out_salts, out_blobs = [], [], [], []
-        for (src, tgt), rows in grouped.items():
+        out = {"key": [], "salt": [], "b1": [], "blob": []}
+        for key, rows in grouped.items():
             partial = _partial_from_rows(rows, cap, keep_mode)
-            out_src.append(src)
-            out_tgt.append(tgt)
-            out_salts.append(_salt_of(rows[0][4], buckets))
-            out_blobs.append(json.dumps(partial, ensure_ascii=False))
+            salt = _salt_of(rows[0][4], salts)
+            out["key"].append(key)
+            out["salt"].append(salt)
+            out["b1"].append(_crc(f"{key}\x00{salt}") % rbuckets)
+            out["blob"].append(json.dumps(partial, ensure_ascii=False))
         return pa.table(
             {
-                "src": pa.array(out_src, pa.string()),
-                "tgt": pa.array(out_tgt, pa.string()),
-                "salt": pa.array(out_salts, pa.int32()),
-                "blob": pa.array(out_blobs, pa.string()),
+                "key": pa.array(out["key"], pa.string()),
+                "salt": pa.array(out["salt"], pa.int32()),
+                "b1": pa.array(out["b1"], pa.int32()),
+                "blob": pa.array(out["blob"], pa.string()),
             }
         )
 
@@ -259,29 +268,45 @@ def make_edge_partials_fn(cfg: PipelineConfig):
 
 
 # ---------------------------------------------------------------------------
-# stage 1: per-(key, salt) partial merge
+# stage 1: per-(key, salt) partial merge, one group-fn call per b1 bucket
 
 
-def make_partial_merge_groupfn(cfg: PipelineConfig, kind: str):
+def make_bucket_merge_groupfn(cfg: PipelineConfig, kind: str):
     cap = (
         cfg.max_source_ids_per_entity
         if kind == "e"
         else cfg.max_source_ids_per_relation
     )
     keep_mode = cfg.source_ids_limit_method == SOURCE_IDS_LIMIT_KEEP
+    rbuckets = cfg.reduce_buckets
 
-    def merge_group(group: pd.DataFrame) -> pd.DataFrame:
-        blobs = [json.loads(b) for b in group["blob"]]
-        merged = _merge_partials(blobs, cap, keep_mode)
-        first = group.iloc[:1].copy()
-        first["blob"] = json.dumps(merged, ensure_ascii=False)
-        return first
+    def merge_bucket(group: pd.DataFrame) -> pa.Table:
+        by_key: dict[tuple, list[dict]] = {}
+        for key, salt, blob in zip(group["key"], group["salt"], group["blob"]):
+            by_key.setdefault((key, int(salt)), []).append(json.loads(blob))
+        out = {"key": [], "salt": [], "b2": [], "blob": []}
+        for (key, salt), blobs in by_key.items():
+            merged = blobs[0] if len(blobs) == 1 else _merge_partials(
+                blobs, cap, keep_mode
+            )
+            out["key"].append(key)
+            out["salt"].append(salt)
+            out["b2"].append(_crc(key) % rbuckets)
+            out["blob"].append(json.dumps(merged, ensure_ascii=False))
+        return pa.table(
+            {
+                "key": pa.array(out["key"], pa.string()),
+                "salt": pa.array(out["salt"], pa.int32()),
+                "b2": pa.array(out["b2"], pa.int32()),
+                "blob": pa.array(out["blob"], pa.string()),
+            }
+        )
 
-    return merge_group
+    return merge_bucket
 
 
 # ---------------------------------------------------------------------------
-# stage 2: finalize
+# per-key finalize helpers (shared by the bucket reducers and unit tests)
 
 
 def _dedup_descriptions(rows: list[list], desc_idx: int) -> list[str]:
@@ -309,9 +334,7 @@ def _combine_sanitized(descriptions: list[str]) -> list[str]:
     return combined
 
 
-def _file_paths_capped(
-    rows: list[list], cfg: PipelineConfig
-) -> list[str]:
+def _file_paths_capped(rows: list[list], cfg: PipelineConfig) -> list[str]:
     """first-seen dedup of file paths over surviving rows, capped at
     max_file_paths with a placeholder entry (lightrag/operate.py:2464-2519)."""
     seen: set[str] = set()
@@ -368,113 +391,128 @@ def _finalize_common(
     return rows, source_ids, merged, flag, sources_complete
 
 
-def make_finalize_entities_groupfn(cfg: PipelineConfig):
-    def finalize(group: pd.DataFrame) -> pd.DataFrame:
+def finalize_entity_key(
+    name: str, blobs: list[dict], cfg: PipelineConfig, tokenizer, summarize_fn
+) -> dict:
+    rows, source_ids, merged, flag, complete = _finalize_common(
+        blobs, cfg.max_source_ids_per_entity, cfg
+    )
+    # entity_type: plurality vote over surviving mention rows, ties broken by
+    # first-seen order (lightrag/operate.py:2408-2415 — Counter insertion
+    # order + stable sort)
+    counts = Counter(r[5] for r in rows)
+    entity_type = (
+        sorted(counts.items(), key=lambda x: x[1], reverse=True)[0][0]
+        if counts
+        else "UNKNOWN"
+    )
+    description_list = _combine_sanitized(_dedup_descriptions(rows, 6))
+    if not description_list:
+        description_list = [f"Entity {name}"]
+    description, _used = summarize_descriptions(
+        "Entity", name, description_list, cfg, tokenizer, summarize_fn
+    )
+    return {
+        "entity_id": name,
+        "entity_type": entity_type,
+        "description": description,
+        "source_ids": source_ids,
+        "file_paths": _file_paths_capped(rows, cfg),
+        "created_at": max((r[0] for r in rows), default=0),
+        "truncate": flag,
+        "n_fragments": len(description_list),
+        "n_mentions": merged["n_mentions"],
+        "_sources_complete": complete,
+    }
+
+
+def finalize_edge_key(
+    src: str, tgt: str, blobs: list[dict], cfg: PipelineConfig, tokenizer,
+    summarize_fn,
+) -> dict:
+    rows, source_ids, merged, flag, _complete = _finalize_common(
+        blobs, cfg.max_source_ids_per_relation, cfg
+    )
+    # weight: sum of surviving mention weights (fresh-build arm of the
+    # anti-double-count rule, lightrag/operate.py:2765-2798)
+    weight = float(sum(r[6] for r in rows))
+    # keywords: set-union of comma-split keywords over surviving rows, sorted
+    # (lightrag/operate.py:2800-2817)
+    kw: set[str] = set()
+    for r in rows:
+        if r[5]:
+            kw.update(k.strip() for k in r[5].split(",") if k.strip())
+    description_list = _combine_sanitized(_dedup_descriptions(rows, 7))
+    if not description_list:
+        raise ValueError(f"Relation {src}~{tgt} has no description")
+    description, _used = summarize_descriptions(
+        "Relation", f"({src}, {tgt})", description_list, cfg, tokenizer, summarize_fn
+    )
+    first = rows[0]
+    return {
+        "src_id": src,
+        "tgt_id": tgt,
+        "weight": weight,
+        "description": description,
+        "keywords": sorted(kw),
+        "source_ids": source_ids,
+        "file_paths": _file_paths_capped(rows, cfg),
+        "created_at": max((r[0] for r in rows), default=0),
+        "truncate": flag,
+        "n_mentions": merged["n_mentions"],
+        # deterministic edge-processing order key for the endpoint stage
+        # (reference order is completion-nondeterministic); zero-padded
+        # numerics so string comparison == numeric
+        "_ord": [f"{first[0]:020d}", first[1], f"{first[2]:010d}", f"{first[3]:010d}"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# stage 2: per-b2-bucket finalize
+
+
+def _rows_to_table(rows: list[dict], schema: pa.Schema) -> pa.Table:
+    return pa.table(
+        {name: [r[name] for r in rows] for name in schema.names}, schema=schema
+    )
+
+
+def make_bucket_finalize_entities_groupfn(cfg: PipelineConfig):
+    def finalize_bucket(group: pd.DataFrame) -> pa.Table:
         tokenizer = _worker_summary_ctx()
         summarize_fn = make_deterministic_summary_model(
             tokenizer, cfg.summary_length_recommended
         )
-        name = group["name"].iloc[0]
-        blobs = [json.loads(b) for b in group["blob"]]
-        rows, source_ids, merged, flag, complete = _finalize_common(
-            blobs, cfg.max_source_ids_per_entity, cfg
-        )
+        by_key: dict[str, list[dict]] = {}
+        for key, blob in zip(group["key"], group["blob"]):
+            by_key.setdefault(key, []).append(json.loads(blob))
+        rows = [
+            finalize_entity_key(name, blobs, cfg, tokenizer, summarize_fn)
+            for name, blobs in by_key.items()
+        ]
+        return _rows_to_table(rows, NODES_SCHEMA)
 
-        # entity_type: plurality vote over surviving mention rows, ties broken
-        # by first-seen order (lightrag/operate.py:2408-2415 — Counter
-        # insertion order + stable sort)
-        counts = Counter(r[5] for r in rows)
-        entity_type = (
-            sorted(counts.items(), key=lambda x: x[1], reverse=True)[0][0]
-            if counts
-            else "UNKNOWN"
-        )
-
-        description_list = _combine_sanitized(_dedup_descriptions(rows, 6))
-        if not description_list:
-            description_list = [f"Entity {name}"]
-        description, _used = summarize_descriptions(
-            "Entity", name, description_list, cfg, tokenizer, summarize_fn
-        )
-        file_paths = _file_paths_capped(rows, cfg)
-        created_at = max((r[0] for r in rows), default=0)
-        return pa.table(
-            {
-                "entity_id": [name],
-                "entity_type": [entity_type],
-                "description": [description],
-                "source_ids": [source_ids],
-                "file_paths": [file_paths],
-                "created_at": [created_at],
-                "truncate": [flag],
-                "n_fragments": [len(description_list)],
-                "n_mentions": [merged["n_mentions"]],
-                "_sources_complete": [complete],
-            },
-            schema=NODES_SCHEMA,
-        )
-
-    return finalize
+    return finalize_bucket
 
 
-def make_finalize_edges_groupfn(cfg: PipelineConfig):
-    def finalize(group: pd.DataFrame) -> pd.DataFrame:
+def make_bucket_finalize_edges_groupfn(cfg: PipelineConfig):
+    def finalize_bucket(group: pd.DataFrame) -> pa.Table:
         tokenizer = _worker_summary_ctx()
         summarize_fn = make_deterministic_summary_model(
             tokenizer, cfg.summary_length_recommended
         )
-        src = group["src"].iloc[0]
-        tgt = group["tgt"].iloc[0]
-        blobs = [json.loads(b) for b in group["blob"]]
-        rows, source_ids, merged, flag, _complete = _finalize_common(
-            blobs, cfg.max_source_ids_per_relation, cfg
-        )
+        by_key: dict[str, list[dict]] = {}
+        for key, blob in zip(group["key"], group["blob"]):
+            by_key.setdefault(key, []).append(json.loads(blob))
+        rows = []
+        for key, blobs in by_key.items():
+            src, tgt = key.split("\x00", 1)
+            rows.append(
+                finalize_edge_key(src, tgt, blobs, cfg, tokenizer, summarize_fn)
+            )
+        return _rows_to_table(rows, EDGES_SCHEMA)
 
-        # weight: sum of surviving mention weights (fresh-build arm of the
-        # anti-double-count rule, lightrag/operate.py:2765-2798)
-        weight = float(sum(r[6] for r in rows))
-
-        # keywords: set-union of comma-split keywords over surviving rows,
-        # sorted (lightrag/operate.py:2800-2817)
-        kw: set[str] = set()
-        for r in rows:
-            if r[5]:
-                kw.update(k.strip() for k in r[5].split(",") if k.strip())
-        keywords = sorted(kw)
-
-        description_list = _combine_sanitized(_dedup_descriptions(rows, 7))
-        if not description_list:
-            raise ValueError(f"Relation {src}~{tgt} has no description")
-        description, _used = summarize_descriptions(
-            "Relation", f"({src}, {tgt})", description_list, cfg, tokenizer,
-            summarize_fn,
-        )
-        file_paths = _file_paths_capped(rows, cfg)
-        created_at = max((r[0] for r in rows), default=0)
-        first = rows[0]
-        return pa.table(
-            {
-                "src_id": [src],
-                "tgt_id": [tgt],
-                "weight": [weight],
-                "description": [description],
-                "keywords": [keywords],
-                "source_ids": [source_ids],
-                "file_paths": [file_paths],
-                "created_at": [created_at],
-                "truncate": [flag],
-                "n_mentions": [merged["n_mentions"]],
-                # deterministic edge-processing order key for the endpoint
-                # stage (reference order is completion-nondeterministic);
-                # numeric parts zero-padded so string comparison == numeric
-                "_ord": [
-                    [f"{first[0]:020d}", first[1], f"{first[2]:010d}", f"{first[3]:010d}"]
-                ],
-            },
-            schema=EDGES_SCHEMA,
-        )
-
-    return finalize
+    return finalize_bucket
 
 
 # ---------------------------------------------------------------------------
@@ -490,11 +528,11 @@ def canonicalize_entities(mentions_e, cfg: PipelineConfig):
         batch_size=cfg.merge_batch_size,
     )
     salted = partials.groupby(
-        ["name", "salt"], num_partitions=cfg.shuffle_partitions
-    ).map_groups(make_partial_merge_groupfn(cfg, "e"), batch_format="pandas")
+        "b1", num_partitions=cfg.shuffle_partitions
+    ).map_groups(make_bucket_merge_groupfn(cfg, "e"), batch_format="pandas")
     return salted.groupby(
-        "name", num_partitions=cfg.shuffle_partitions
-    ).map_groups(make_finalize_entities_groupfn(cfg), batch_format="pandas")
+        "b2", num_partitions=cfg.shuffle_partitions
+    ).map_groups(make_bucket_finalize_entities_groupfn(cfg), batch_format="pandas")
 
 
 def canonicalize_edges(mentions_r, cfg: PipelineConfig):
@@ -506,8 +544,8 @@ def canonicalize_edges(mentions_r, cfg: PipelineConfig):
         batch_size=cfg.merge_batch_size,
     )
     salted = partials.groupby(
-        ["src", "tgt", "salt"], num_partitions=cfg.shuffle_partitions
-    ).map_groups(make_partial_merge_groupfn(cfg, "r"), batch_format="pandas")
+        "b1", num_partitions=cfg.shuffle_partitions
+    ).map_groups(make_bucket_merge_groupfn(cfg, "r"), batch_format="pandas")
     return salted.groupby(
-        ["src", "tgt"], num_partitions=cfg.shuffle_partitions
-    ).map_groups(make_finalize_edges_groupfn(cfg), batch_format="pandas")
+        "b2", num_partitions=cfg.shuffle_partitions
+    ).map_groups(make_bucket_finalize_edges_groupfn(cfg), batch_format="pandas")

@@ -61,6 +61,21 @@ def reset_unit(paths: BuildPaths, unit: str, out_dir: str) -> None:
         os.remove(paths.marker(unit))
 
 
+def clear_stale_markers(paths: BuildPaths, prefix: str, current_unit: str) -> None:
+    """Drop markers for earlier versions of a unit (same prefix, different
+    content digest) so lineage reflects only the live partition state."""
+    manifest = paths.pages_manifest
+    if not os.path.isdir(manifest):
+        return
+    for name in os.listdir(manifest):
+        if (
+            name.endswith(".json")
+            and name.startswith(prefix)
+            and name != f"{current_unit}.json"
+        ):
+            os.remove(os.path.join(manifest, name))
+
+
 def lineage_rows(paths: BuildPaths) -> list[dict]:
     rows = []
     manifest = paths.pages_manifest

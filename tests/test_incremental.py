@@ -1,0 +1,114 @@
+"""Incremental maintenance: delete-rebuild equivalence and add-only-new-work."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+
+
+@pytest.fixture()
+def corpus(ray_session, tmp_path):
+    from lightrag_ray.sources.pages import synth_pages_from_documents
+
+    files = synth_pages_from_documents(
+        "/root/testdata/sf0.001", f"{tmp_path}/pages", num_files=4
+    )
+    return str(tmp_path), files
+
+
+def _nodes_edges(build_dir):
+    import ray.data as rd
+
+    nodes = rd.read_parquet(f"{build_dir}/nodes").to_pandas()
+    edges = rd.read_parquet(f"{build_dir}/edges").to_pandas()
+    return (
+        nodes.sort_values("entity_id").reset_index(drop=True),
+        edges.sort_values(["src_id", "tgt_id"]).reset_index(drop=True),
+    )
+
+
+def test_delete_matches_fresh_build_without_docs(corpus):
+    import pyarrow.parquet as pq
+
+    from lightrag_ray.config import PipelineConfig
+    from lightrag_ray.pipelines.incremental import delete_documents
+    from lightrag_ray.pipelines.kg_build import build_kg
+
+    work, files = corpus
+    cfg = PipelineConfig()
+    build_kg(files, f"{work}/full", cfg, num_partitions=2)
+
+    # delete every doc from one source prefix
+    urls = []
+    for f in files:
+        urls.extend(pq.read_table(f, columns=["url"]).column("url").to_pylist())
+    removed = [u for u in urls if "/src1." in u or u.endswith("5")][:40]
+    assert removed
+
+    res_inc = delete_documents(f"{work}/full", removed, files, cfg, num_partitions=2)
+
+    # oracle: fresh build over a pages copy with those docs filtered out
+    import pyarrow.compute as pc
+    import pyarrow as pa
+
+    os.makedirs(f"{work}/pages2", exist_ok=True)
+    for f in files:
+        t = pq.read_table(f)
+        mask = pc.invert(
+            pc.is_in(t.column("url"), value_set=pa.array(removed, pa.string()))
+        )
+        pq.write_table(t.filter(mask), f"{work}/pages2/{os.path.basename(f)}")
+    files2 = sorted(glob.glob(f"{work}/pages2/*.parquet"))
+    res_fresh = build_kg(files2, f"{work}/fresh", cfg, num_partitions=2)
+
+    n_inc, e_inc = _nodes_edges(f"{work}/full")
+    n_fresh, e_fresh = _nodes_edges(f"{work}/fresh")
+    assert list(n_inc["entity_id"]) == list(n_fresh["entity_id"])
+    assert list(n_inc["description"]) == list(n_fresh["description"])
+    assert [list(s) for s in n_inc["source_ids"]] == [
+        list(s) for s in n_fresh["source_ids"]
+    ]
+    assert list(e_inc["weight"]) == list(e_fresh["weight"])
+    assert list(zip(e_inc["src_id"], e_inc["tgt_id"])) == list(
+        zip(e_fresh["src_id"], e_fresh["tgt_id"])
+    )
+
+
+def test_add_documents_recomputes_only_new_partitions(corpus):
+    from lightrag_ray.config import PipelineConfig
+    from lightrag_ray.pipelines.incremental import add_documents
+    from lightrag_ray.pipelines.kg_build import build_kg
+
+    work, files = corpus
+    cfg = PipelineConfig()
+    first = files[:3]
+    build_kg(first, f"{work}/grow", cfg, num_partitions=3)
+    manifest = f"{work}/grow/_manifest"
+    markers_before = set(os.listdir(manifest))
+    mention_mtimes = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{work}/grow/mentions/**/*.parquet", recursive=True)
+    }
+
+    add_documents(f"{work}/grow", files, cfg, num_partitions=3)
+
+    # full-corpus result equals a fresh full build
+    res_fresh = build_kg(files, f"{work}/grow_fresh", cfg, num_partitions=3)
+    n_inc, e_inc = _nodes_edges(f"{work}/grow")
+    n_fresh, e_fresh = _nodes_edges(f"{work}/grow_fresh")
+    assert n_inc["entity_id"].equals(n_fresh["entity_id"])
+    assert e_inc["weight"].equals(e_fresh["weight"])
+
+    # partitions whose file set did not change were not recomputed
+    untouched = [
+        f
+        for f, t in mention_mtimes.items()
+        if os.path.exists(f) and os.path.getmtime(f) == t
+    ]
+    assert untouched, "expected at least one unchanged partition to be reused"
+
+    markers_after = set(os.listdir(manifest))
+    assert markers_before & markers_after, "stable partitions should keep markers"

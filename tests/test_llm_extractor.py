@@ -1,0 +1,105 @@
+"""LLM-shaped extractor: prompt wiring, think-tag stripping, gleaning."""
+
+from __future__ import annotations
+
+from lightrag_ray.functions.parse import parse_extraction_result
+from lightrag_ray.stages.llm_extractor import (
+    LLMExtractor,
+    build_user_prompt,
+    remove_think_tags,
+)
+
+
+def test_remove_think_tags():
+    assert remove_think_tags("<think>reasoning</think>answer") == "answer"
+    assert remove_think_tags("a<think>x</think>b<think>y</think>c") == "abc"
+    assert remove_think_tags("plain") == "plain"
+
+
+def _stub_model(responses: list[str]):
+    calls = []
+
+    def model(user_prompt, system_prompt, history):
+        calls.append({"user": user_prompt, "system": system_prompt, "history": history})
+        return responses[len(calls) - 1]
+
+    return model, calls
+
+
+def test_initial_round_prompts_and_parse():
+    model, calls = _stub_model(
+        ["<think>hmm</think>entity<|#|>Acme Corp<|#|>Organization<|#|>A company\n<|COMPLETE|>"]
+    )
+    ex = LLMExtractor(model)
+    out = ex.extract("Acme Corp builds rockets.", "chunk-1", 0, "")
+    assert out.startswith("entity<|#|>Acme Corp")
+    assert "Acme Corp builds rockets." in calls[0]["user"]
+    assert "Knowledge Graph Specialist" in calls[0]["system"]
+    assert calls[0]["history"] == []
+    entities, _ = parse_extraction_result(out, "chunk-1", 0, "fp")
+    assert entities[0].entity_name == "Acme Corp"
+    assert entities[0].entity_type == "organization"
+
+
+def test_gleaning_round_replays_history():
+    model, calls = _stub_model(
+        [
+            "entity<|#|>First<|#|>concept<|#|>initial\n<|COMPLETE|>",
+            "entity<|#|>Second<|#|>concept<|#|>gleaned\n<|COMPLETE|>",
+        ]
+    )
+    ex = LLMExtractor(model)
+    first = ex.extract("text", "c1", 0, "")
+    second = ex.extract("text", "c1", 1, first)
+    assert "Second" in second
+    history = calls[1]["history"]
+    assert history[0]["role"] == "user"
+    assert history[1]["role"] == "assistant"
+    assert "First" in history[1]["content"]
+
+
+def test_gleaning_skipped_over_token_budget():
+    model, calls = _stub_model(["entity<|#|>A1<|#|>concept<|#|>d\n<|COMPLETE|>"])
+    ex = LLMExtractor(model, max_extract_input_tokens=10)
+    first = ex.extract("some text here", "c1", 0, "")
+    second = ex.extract("some text here", "c1", 1, first)
+    assert second == "<|COMPLETE|>"
+    assert len(calls) == 1  # model NOT called for the skipped round
+
+
+def test_extract_stage_with_llm_extractor_and_gleaning():
+    import pyarrow as pa
+
+    from lightrag_ray.config import PipelineConfig
+    from lightrag_ray.stages.extract import ExtractStage
+
+    def model(user_prompt, system_prompt, history):
+        if not history:
+            return (
+                "entity<|#|>Alpha Co<|#|>organization<|#|>short\n"
+                "relation<|#|>Alpha Co<|#|>Beta Co<|#|>deal<|#|>a deal\n<|COMPLETE|>"
+            )
+        return (  # gleaning: longer description wins, new entity added
+            "entity<|#|>Alpha Co<|#|>organization<|#|>a much longer description\n"
+            "entity<|#|>Beta Co<|#|>organization<|#|>second company\n<|COMPLETE|>"
+        )
+
+    cfg = PipelineConfig(
+        extractor="llm", extractor_options={"model_fn": model}, max_gleaning=1
+    )
+    stage = ExtractStage(cfg)
+    batch = pa.table(
+        {
+            "chunk_id": ["d-chunk-000"],
+            "url": ["https://x"],
+            "chunk_order_index": pa.array([0], pa.int32()),
+            "content": ["Alpha Co and Beta Co made a deal."],
+            "timestamp": pa.array([1], pa.int64()),
+        }
+    )
+    out = stage(batch).to_pylist()
+    ents = {r["name"]: r for r in out if r["kind"] == "e"}
+    assert set(ents) == {"Alpha Co", "Beta Co"}
+    assert ents["Alpha Co"]["description"] == "a much longer description"
+    rels = [r for r in out if r["kind"] == "r"]
+    assert len(rels) == 1

@@ -25,19 +25,19 @@ from lightrag_ray.constants import GRAPH_FIELD_SEP
 from lightrag_ray.functions.tokenizer import SegmentTokenizer
 from lightrag_ray.stages.endpoints import (
     FINAL_NODES_SCHEMA,
-    edges_to_endpoint_rows,
-    make_finalize_endpoint_groupfn,
-    nodes_to_endpoint_rows,
+    make_edges_to_endpoint_rows,
+    make_finalize_endpoint_bucket_groupfn,
+    make_nodes_to_endpoint_rows,
 )
 from lightrag_ray.stages.extract import MENTIONS_SCHEMA
 from lightrag_ray.stages.merge import (
     EDGES_SCHEMA,
     NODES_SCHEMA,
+    make_bucket_finalize_edges_groupfn,
+    make_bucket_finalize_entities_groupfn,
+    make_bucket_merge_groupfn,
     make_edge_partials_fn,
     make_entity_partials_fn,
-    make_finalize_edges_groupfn,
-    make_finalize_entities_groupfn,
-    make_partial_merge_groupfn,
 )
 from lightrag_ray.stages.summarize import make_deterministic_summary_model
 
@@ -122,11 +122,12 @@ def run_ours(e_rows, r_rows, cfg: PipelineConfig, batch_size: int = 37):
     e_df = pa.concat_tables(e_parts).to_pandas() if e_parts else None
     nodes_pre = NODES_SCHEMA.empty_table()
     if e_df is not None and len(e_df):
-        merged = _apply_groupfn(
-            e_df, ["name", "salt"], make_partial_merge_groupfn(cfg, "e")
-        )
+        merged = _apply_groupfn(e_df, ["b1"], make_bucket_merge_groupfn(cfg, "e"))
         nodes_pre = _apply_groupfn(
-            merged, ["name"], make_finalize_entities_groupfn(cfg), NODES_SCHEMA
+            merged.to_pandas(),
+            ["b2"],
+            make_bucket_finalize_entities_groupfn(cfg),
+            NODES_SCHEMA,
         )
     # edges
     r_parts = [make_edge_partials_fn(cfg)(b) for b in batches(r_rows)]
@@ -134,23 +135,29 @@ def run_ours(e_rows, r_rows, cfg: PipelineConfig, batch_size: int = 37):
     if r_parts:
         r_df = pa.concat_tables(r_parts).to_pandas()
         if len(r_df):
-            merged = _apply_groupfn(
-                r_df, ["src", "tgt", "salt"], make_partial_merge_groupfn(cfg, "r")
-            )
+            merged = _apply_groupfn(r_df, ["b1"], make_bucket_merge_groupfn(cfg, "r"))
             edges = _apply_groupfn(
-                merged, ["src", "tgt"], make_finalize_edges_groupfn(cfg), EDGES_SCHEMA
+                merged.to_pandas(),
+                ["b2"],
+                make_bucket_finalize_edges_groupfn(cfg),
+                EDGES_SCHEMA,
             )
     # endpoints
     union = pa.concat_tables(
-        [nodes_to_endpoint_rows(nodes_pre), edges_to_endpoint_rows(edges)]
+        [
+            make_nodes_to_endpoint_rows(cfg)(nodes_pre),
+            make_edges_to_endpoint_rows(cfg)(edges),
+        ]
     )
     nodes = _apply_groupfn(
         union.to_pandas(),
-        ["entity_id"],
-        make_finalize_endpoint_groupfn(cfg),
+        ["_bucket"],
+        make_finalize_endpoint_bucket_groupfn(cfg),
         FINAL_NODES_SCHEMA,
     )
-    return nodes.to_pylist(), edges.to_pylist()
+    nodes_list = sorted(nodes.to_pylist(), key=lambda r: r["entity_id"])
+    edges_list = sorted(edges.to_pylist(), key=lambda r: (r["src_id"], r["tgt_id"]))
+    return nodes_list, edges_list
 
 
 # ---------------------------------------------------------------------------
