@@ -24,7 +24,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("BENCH_REPLICATE", "120"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "480"))
 WORK = os.environ.get("BENCH_WORK_DIR", "/tmp/lightrag_bench")
 
 TIMED_QUERIES = ["doc_chunk_stats", "kg_nodes_simple", "exact_dedup", "knn_top10"]

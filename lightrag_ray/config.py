@@ -14,7 +14,10 @@ from lightrag_ray import constants as C
 
 @dataclass(frozen=True)
 class PipelineConfig:
-    # chunking
+    # chunking — strategy letters follow the reference's per-doc dispatch
+    # (lightrag/pipeline.py:4951-5023): "F" fixed token window (default),
+    # "R" recursive-character with the i18n separator cascade
+    chunking_strategy: str = "F"
     chunk_token_size: int = C.CHUNK_TOKEN_SIZE
     chunk_overlap_token_size: int = C.CHUNK_OVERLAP_TOKEN_SIZE
     split_by_character: str | None = None
@@ -58,9 +61,11 @@ class PipelineConfig:
     shuffle_partitions: int | None = None
 
     # mention rows per combiner batch (stage 0 of the salted merge).  Bigger
-    # batches combine more duplicate keys before the shuffle — measured 3-4×
-    # faster canonicalization at 8192 vs 1024 on the bench corpus.
-    merge_batch_size: int = 8192
+    # batches combine more duplicate keys AND let the per-partial source caps
+    # bind before the shuffle — measured 2× faster canonicalization at 131072
+    # vs 8192 (and 3-4× at 8192 vs 1024) on the bench corpus.  ~20-50 MB of
+    # mention rows per batch; lower it if mention descriptions are huge.
+    merge_batch_size: int = 131072
 
     # execution sizing (per stage; tuned via ds.stats() on the bench).
     # Defaults are AUTOSCALING (min, max) pools: a fixed pool whose size plus

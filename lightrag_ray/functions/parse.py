@@ -60,25 +60,33 @@ class RelationMention:
     rec_index: int = 0
 
 
-def _parse_entity_fields(
-    attrs: list[str], chunk_key: str, timestamp: int, file_path: str
+def make_entity_mention(
+    name_raw: str,
+    type_raw: str,
+    desc_raw: str,
+    chunk_key: str,
+    timestamp: int,
+    file_path: str,
+    *,
+    comma_type_first_token: bool = True,
 ) -> EntityMention | None:
-    if len(attrs) != 4 or "entity" not in attrs[0]:
-        return None
-    entity_name = normalize_entity_name(attrs[1])
+    """Shared entity field rules (text mode lightrag/operate.py:614-696; JSON
+    mode :877-921 applies the same rules minus the comma-to-first-token
+    repair — hence the flag)."""
+    entity_name = normalize_entity_name(name_raw)
     if not entity_name or not entity_name.strip():
         return None
-    entity_type = sanitize_and_normalize(attrs[2], remove_inner_quotes=True)
+    entity_type = sanitize_and_normalize(type_raw, remove_inner_quotes=True)
     if not entity_type.strip() or any(ch in entity_type for ch in _TYPE_REJECT_CHARS):
         return None
-    if "," in entity_type:
+    if comma_type_first_token and "," in entity_type:
         tokens = [t.strip() for t in entity_type.split(",")]
         non_empty = [t for t in tokens if t]
         if not non_empty:
             return None
         entity_type = non_empty[0]
     entity_type = entity_type.replace(" ", "").lower()
-    description = sanitize_and_normalize(attrs[3])
+    description = sanitize_and_normalize(desc_raw)
     if not description.strip():
         return None
     return EntityMention(
@@ -91,30 +99,56 @@ def _parse_entity_fields(
     )
 
 
+def make_relation_mention(
+    src_raw: str,
+    tgt_raw: str,
+    kw_raw: str,
+    desc_raw: str,
+    chunk_key: str,
+    timestamp: int,
+    file_path: str,
+) -> RelationMention | None:
+    """Shared relation field rules (text mode lightrag/operate.py:699-776;
+    JSON mode :934-996)."""
+    source = normalize_entity_name(src_raw)
+    target = normalize_entity_name(tgt_raw)
+    if not source or not target or source == target:
+        return None
+    keywords = sanitize_and_normalize(kw_raw, remove_inner_quotes=True)
+    keywords = keywords.replace("，", ",")
+    description = sanitize_and_normalize(desc_raw)
+    if not description.strip():
+        return None
+    return RelationMention(
+        src_id=source,
+        tgt_id=target,
+        weight=1.0,  # rows carry no weight field; fixed 1.0
+        description=description,
+        keywords=keywords,
+        source_id=chunk_key,
+        file_path=file_path,
+        timestamp=timestamp,
+    )
+
+
+def _parse_entity_fields(
+    attrs: list[str], chunk_key: str, timestamp: int, file_path: str
+) -> EntityMention | None:
+    if len(attrs) != 4 or "entity" not in attrs[0]:
+        return None
+    return make_entity_mention(
+        attrs[1], attrs[2], attrs[3], chunk_key, timestamp, file_path
+    )
+
+
 def _parse_relation_fields(
     attrs: list[str], chunk_key: str, timestamp: int, file_path: str
 ) -> RelationMention | None:
     # "relationship" and "relation" are interchangeable prefixes.
     if len(attrs) != 5 or "relation" not in attrs[0]:
         return None
-    source = normalize_entity_name(attrs[1])
-    target = normalize_entity_name(attrs[2])
-    if not source or not target or source == target:
-        return None
-    keywords = sanitize_and_normalize(attrs[3], remove_inner_quotes=True)
-    keywords = keywords.replace("，", ",")
-    description = sanitize_and_normalize(attrs[4])
-    if not description.strip():
-        return None
-    return RelationMention(
-        src_id=source,
-        tgt_id=target,
-        weight=1.0,  # text-mode rows carry no weight field; fixed 1.0
-        description=description,
-        keywords=keywords,
-        source_id=chunk_key,
-        file_path=file_path,
-        timestamp=timestamp,
+    return make_relation_mention(
+        attrs[1], attrs[2], attrs[3], attrs[4], chunk_key, timestamp, file_path
     )
 
 

@@ -1,0 +1,211 @@
+"""Query-path data plane: the retrieval side of the reference's ``aquery``.
+
+Re-expresses the reference's retrieval modes (lightrag/lightrag.py:3643,
+QueryParam.mode ∈ {local, global, hybrid, naive, bypass} — lightrag/base.py:93-100)
+over the output tables, WITHOUT the answer LLM: the deliverable is the
+assembled context (entities / relations / chunks), which is what the data
+engine owns.  Pipeline per mode (lightrag/operate.py:4426-6145):
+
+  local:   keywords → entity-VDB top-k (cosine, threshold 0.2, top_k 40) →
+           1-hop edges ranked by (degree, weight) → related chunks from node
+           provenance (first-entity-wins dedup, ``related_chunk_number`` cap)
+  global:  keywords → relation-VDB top-k → endpoint entities
+  hybrid:  local ∪ global, round-robin merged
+  naive:   chunk-VDB top-k only
+  bypass:  no retrieval
+
+Keyword extraction is LLM-backed in the reference (X5); the deterministic
+stand-in extracts ≥5-char words from the query (pluggable via
+``keywords_fn``).  Embeddings use the same pluggable ``Embedder`` as the
+build side.  All lookups are Dataset jobs over the build output; the VDB
+tables are embedded once and reused across queries.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from lightrag_ray.pipelines.query_ops import (
+    dedup_chunk_hits,
+    one_hop_edges,
+    round_robin_merge,
+)
+from lightrag_ray.stages.embed import (
+    embed_table,
+    entity_vdb_rows,
+    relation_vdb_rows,
+    vector_topk,
+)
+
+TOP_K = 40                 # lightrag/constants.py:53
+CHUNK_TOP_K = 20           # lightrag/constants.py:54
+RELATED_CHUNK_NUMBER = 5   # lightrag/constants.py:60
+COSINE_THRESHOLD = 0.2     # lightrag/constants.py:59
+
+_WORD_RE = re.compile(r"\w{5,}", re.UNICODE)
+
+
+def default_keywords_fn(query: str) -> dict[str, list[str]]:
+    words = list(dict.fromkeys(_WORD_RE.findall(query)))
+    return {"high_level_keywords": words, "low_level_keywords": words}
+
+
+@dataclass
+class QueryContext:
+    entities: list[dict] = field(default_factory=list)
+    relations: list[dict] = field(default_factory=list)
+    chunks: list[dict] = field(default_factory=list)
+
+
+class KGQueryEngine:
+    """Holds the embedded VDB tables for a build output; answers context
+    queries.  Embedding happens once per engine (matching the reference's
+    persistent vector stores)."""
+
+    def __init__(self, nodes_dir: str, edges_dir: str, chunks_dir: str | None = None,
+                 keywords_fn=default_keywords_fn):
+        import ray.data as rd
+
+        self.keywords_fn = keywords_fn
+        self.nodes = rd.read_parquet(nodes_dir)
+        self.edges = rd.read_parquet(edges_dir)
+        self.entity_vdb = embed_table(
+            self.nodes.map_batches(
+                entity_vdb_rows, batch_format="pyarrow", zero_copy_batch=True
+            )
+        ).materialize()
+        self.relation_vdb = embed_table(
+            self.edges.map_batches(
+                relation_vdb_rows, batch_format="pyarrow", zero_copy_batch=True
+            )
+        ).materialize()
+        self.chunk_vdb = None
+        if chunks_dir is not None:
+            chunks = rd.read_parquet(chunks_dir)
+            self.chunk_vdb = embed_table(
+                chunks.map_batches(
+                    lambda t: t.select(["chunk_id", "content"]).rename_columns(
+                        ["vdb_id", "content"]
+                    ),
+                    batch_format="pyarrow",
+                )
+            ).materialize()
+        # small driver-side lookups (nodes/edges are the reduced output —
+        # orders of magnitude smaller than the corpus)
+        self._nodes_by_vdb_id = {}
+        self._nodes_by_name = {}
+        for row in self.nodes.iter_rows():
+            from lightrag_ray.functions.text import compute_mdhash_id
+
+            self._nodes_by_vdb_id[
+                compute_mdhash_id(row["entity_id"], prefix="ent-")
+            ] = row
+            self._nodes_by_name[row["entity_id"]] = row
+        self._edges_by_vdb_id = {}
+        for row in self.edges.iter_rows():
+            from lightrag_ray.functions.text import compute_mdhash_id
+
+            a, b = sorted((row["src_id"], row["tgt_id"]))
+            self._edges_by_vdb_id[compute_mdhash_id(a + b, prefix="rel-")] = row
+
+    # -- retrieval primitives ------------------------------------------------
+
+    def _entity_hits(self, text: str, k: int = TOP_K) -> list[dict]:
+        top = vector_topk(self.entity_vdb, text, k=k, threshold=COSINE_THRESHOLD)
+        return [
+            self._nodes_by_vdb_id[r["vdb_id"]]
+            for r in top.take_all()
+            if r["vdb_id"] in self._nodes_by_vdb_id
+        ]
+
+    def _relation_hits(self, text: str, k: int = TOP_K) -> list[dict]:
+        top = vector_topk(self.relation_vdb, text, k=k, threshold=COSINE_THRESHOLD)
+        return [
+            self._edges_by_vdb_id[r["vdb_id"]]
+            for r in top.take_all()
+            if r["vdb_id"] in self._edges_by_vdb_id
+        ]
+
+    def _related_chunks(self, entities: list[dict]) -> list[dict]:
+        infos = [
+            {"name": e["entity_id"], "chunks": list(e["source_ids"])}
+            for e in entities
+        ]
+        deduped = dedup_chunk_hits(infos)
+        out = []
+        for info in deduped:
+            for chunk_id in info["chunks"][:RELATED_CHUNK_NUMBER]:
+                out.append({"chunk_id": chunk_id, "via_entity": info["name"]})
+        return out[:CHUNK_TOP_K]
+
+    # -- modes ---------------------------------------------------------------
+
+    def query(self, query: str, mode: str = "hybrid") -> QueryContext:
+        if mode == "bypass":
+            return QueryContext()
+        if mode == "naive":
+            if self.chunk_vdb is None:
+                return QueryContext()
+            top = vector_topk(
+                self.chunk_vdb, query, k=CHUNK_TOP_K, threshold=COSINE_THRESHOLD
+            )
+            return QueryContext(
+                chunks=[{"chunk_id": r["vdb_id"], "sim": r["sim"]}
+                        for r in top.take_all()]
+            )
+
+        kw = self.keywords_fn(query)
+        ll = ", ".join(kw["low_level_keywords"]) or query
+        hl = ", ".join(kw["high_level_keywords"]) or query
+
+        local_entities: list[dict] = []
+        local_relations: list[dict] = []
+        if mode in ("local", "hybrid"):
+            local_entities = self._entity_hits(ll)
+            if local_entities:
+                hop = one_hop_edges(
+                    self.edges, [e["entity_id"] for e in local_entities]
+                )
+                local_relations = hop.take_all()
+
+        global_relations: list[dict] = []
+        global_entities: list[dict] = []
+        if mode in ("global", "hybrid"):
+            global_relations = self._relation_hits(hl)
+            seen = set()
+            for r in global_relations:
+                for endpoint in (r["src_id"], r["tgt_id"]):
+                    if endpoint not in seen and endpoint in self._nodes_by_name:
+                        seen.add(endpoint)
+                        global_entities.append(self._nodes_by_name[endpoint])
+
+        entities = round_robin_merge(
+            local_entities, global_entities, key=lambda e: e["entity_id"]
+        )
+        relations = round_robin_merge(
+            local_relations,
+            global_relations,
+            key=lambda r: tuple(sorted((r["src_id"], r["tgt_id"]))),
+        )
+        chunks = self._related_chunks(entities)
+        return QueryContext(
+            entities=[
+                {
+                    "entity": e["entity_id"],
+                    "type": e["entity_type"],
+                    "description": e["description"],
+                }
+                for e in entities
+            ],
+            relations=[
+                {
+                    "entity1": r["src_id"],
+                    "entity2": r["tgt_id"],
+                    "description": r["description"],
+                    "weight": r["weight"],
+                }
+                for r in relations
+            ],
+            chunks=chunks,
+        )

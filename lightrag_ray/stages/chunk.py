@@ -51,14 +51,27 @@ class ChunkerStage:
         for doc_id, url, lang, text, ts in zip(doc_ids, urls, langs, texts, stamps):
             if not text:
                 continue
-            for chunk in chunk_text(
-                self.tokenizer,
-                text,
-                split_by_character=cfg.split_by_character,
-                split_by_character_only=cfg.split_by_character_only,
-                chunk_overlap_token_size=cfg.chunk_overlap_token_size,
-                chunk_token_size=cfg.chunk_token_size,
-            ):
+            if cfg.chunking_strategy == "R":
+                from lightrag_ray.functions.recursive_chunking import (
+                    chunking_by_recursive_character,
+                )
+
+                chunks = chunking_by_recursive_character(
+                    self.tokenizer,
+                    text,
+                    chunk_overlap_token_size=cfg.chunk_overlap_token_size,
+                    chunk_token_size=cfg.chunk_token_size,
+                )
+            else:
+                chunks = chunk_text(
+                    self.tokenizer,
+                    text,
+                    split_by_character=cfg.split_by_character,
+                    split_by_character_only=cfg.split_by_character_only,
+                    chunk_overlap_token_size=cfg.chunk_overlap_token_size,
+                    chunk_token_size=cfg.chunk_token_size,
+                )
+            for chunk in chunks:
                 if not chunk["content"]:
                     continue
                 order = chunk["chunk_order_index"]

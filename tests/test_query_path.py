@@ -1,0 +1,56 @@
+"""Query-path modes over a small built graph."""
+
+from __future__ import annotations
+
+import pytest
+
+from lightrag_ray.pipelines.query_path import KGQueryEngine, default_keywords_fn
+
+
+@pytest.fixture(scope="module")
+def engine(ray_session, tmp_path_factory):
+    from lightrag_ray.config import PipelineConfig
+    from lightrag_ray.pipelines.kg_build import build_kg
+    from lightrag_ray.sources.pages import synth_pages_from_documents
+
+    work = str(tmp_path_factory.mktemp("qp"))
+    files = synth_pages_from_documents(
+        "/root/testdata/sf0.001", f"{work}/pages", num_files=2
+    )
+    res = build_kg(files, f"{work}/build", PipelineConfig(), num_partitions=1)
+    return KGQueryEngine(res.nodes_dir, res.edges_dir, chunks_dir=res.chunks_dir)
+
+
+def test_keywords_fn():
+    kw = default_keywords_fn("find the stream table merge relations")
+    assert "stream" in kw["low_level_keywords"]
+    assert "the" not in kw["low_level_keywords"]
+
+
+def test_hybrid_mode(engine):
+    ctx = engine.query("how do stream and merge relate to the table", mode="hybrid")
+    assert ctx.entities, "expected entity hits"
+    assert ctx.relations, "expected relation hits"
+    assert ctx.chunks, "expected related chunks"
+    names = {e["entity"] for e in ctx.entities}
+    for r in ctx.relations[:5]:
+        assert r["weight"] > 0
+    # related chunks reference retrieved entities
+    assert all(c["via_entity"] in names for c in ctx.chunks)
+
+
+def test_local_vs_global(engine):
+    local = engine.query("stream merge table", mode="local")
+    glob = engine.query("stream merge table", mode="global")
+    assert local.entities
+    assert glob.relations
+    # hybrid is a round-robin superset of sorts
+    hybrid = engine.query("stream merge table", mode="hybrid")
+    assert len(hybrid.entities) >= max(len(local.entities), 1)
+
+
+def test_naive_and_bypass(engine):
+    naive = engine.query("stream merge table", mode="naive")
+    assert naive.chunks and not naive.entities
+    bypass = engine.query("anything", mode="bypass")
+    assert not bypass.entities and not bypass.chunks
