@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from lightrag_ray.extras import dedup, multimodal, textstats
+from lightrag_ray.extras import dedup, events, multimodal, textstats
 
 
 def q_simhash(sf_dir: str):
@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable]:
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
         "media_feature_norms": q_media_feature_norms,
+        "event_windows": events.tumbling_window_user_stats,
+        "event_type_rates": events.event_type_rates,
         "minhash_lsh_pairs": q_minhash_lsh,  # rows-only (LSH is approximate)
         "langid": q_langid,  # rows-only (heuristic)
     }
@@ -115,4 +117,6 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "media_feature_norms": SQL_MEDIA_FEATURE_NORMS,
+        "event_windows": events.SQL_TUMBLING_WINDOW,
+        "event_type_rates": events.SQL_EVENT_TYPE_RATES,
     }

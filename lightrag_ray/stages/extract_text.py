@@ -41,9 +41,9 @@ def make_extract_text_fn(cfg: PipelineConfig):
             texts = [sanitize_text_for_encoding(t or "") for t in raw]
 
         doc_ids = [compute_mdhash_id(u, prefix="doc-") for u in urls]
-        ts = pc.cast(
-            pc.cast(batch.column("warc_ts"), pa.timestamp("s")), pa.int64()
-        )
+        # µs → s by integer division (a straight cast to timestamp[s] raises
+        # on sub-second timestamps)
+        ts = pc.divide(pc.cast(batch.column("warc_ts"), pa.int64()), 1_000_000)
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.string()),

@@ -101,6 +101,27 @@ def write_lineage_parquet(paths: BuildPaths) -> str:
     return out
 
 
+def build_status(root: str) -> dict:
+    """Summarize a build directory from its manifest — the introspection
+    surface the reference exposes as pipeline_status/doc_status."""
+    paths = BuildPaths(root=root)
+    rows = lineage_rows(paths)
+    by_phase: dict[str, dict] = {}
+    for r in rows:
+        phase = r.get("phase", "unknown")
+        agg = by_phase.setdefault(
+            phase, {"units": 0, "rows_out": 0, "wall_s": 0.0}
+        )
+        agg["units"] += 1
+        agg["rows_out"] += int(r.get("n_rows_out") or 0)
+        agg["wall_s"] = round(agg["wall_s"] + float(r.get("wall_s") or 0.0), 3)
+    return {
+        "root": root,
+        "completed_units": len(rows),
+        "phases": by_phase,
+    }
+
+
 def parquet_row_count(directory: str) -> int:
     import glob
 

@@ -157,6 +157,63 @@ def test_triple_precision_recall(ours, reference):
     assert ours_triples == ref_triples
 
 
+def test_multichunk_docs_parity(ref, ray_session, tmp_path_factory):
+    """Long documents (several token windows, overlap regions repeating
+    entities) through both engines — exercises chunk ordering, per-chunk
+    mention keys and overlap-duplicate merging end-to-end."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lightrag_ray.pipelines.kg_build import build_kg
+    from lightrag_ray.sources.pages import PAGES_SCHEMA, _EPOCH_US
+
+    base = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    # 12 long docs, each the concatenation of ~40 short texts (≈ 3-4 windows)
+    rows = []
+    for d in range(12):
+        text = " ".join(base[(d * 37 + i) % len(base)]["text"] for i in range(40))
+        rows.append(
+            {
+                "url": f"https://long.example.org/doc/{d:04d}",
+                "warc_ts": _EPOCH_US + d * 1_000_000,
+                "html": f"<p>{text}</p>".encode(),
+                "text": text,
+                "lang": "en",
+            }
+        )
+    work = str(tmp_path_factory.mktemp("e2e_long"))
+    pages_path = f"{work}/pages.parquet"
+    pq.write_table(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA), pages_path)
+
+    cfg = PipelineConfig(chunk_token_size=400, chunk_overlap_token_size=50)
+    res = build_kg([pages_path], f"{work}/build", cfg, num_partitions=1)
+    chunks_per_doc = (
+        rd.read_parquet(res.chunks_dir).groupby("doc_id").count().to_pandas()
+    )
+    assert (chunks_per_doc["count()"] > 1).all(), "docs must be multi-chunk"
+
+    nodes = rd.read_parquet(res.nodes_dir).to_pandas()
+    edges = rd.read_parquet(res.edges_dir).to_pandas()
+    graph, _ = _reference_build(ref, [pages_path], cfg)
+
+    assert set(zip(nodes["entity_id"], nodes["entity_type"])) == {
+        (n, d["entity_type"]) for n, d in graph.nodes.items()
+    }
+    assert set(zip(edges["src_id"], edges["tgt_id"])) == {
+        tuple(sorted(k)) for k in graph.edges
+    }
+    ours_nodes = {r["entity_id"]: r for _, r in nodes.iterrows()}
+    for name, ref_node in graph.nodes.items():
+        assert list(ours_nodes[name]["source_ids"]) == _split(
+            ref_node["source_id"]
+        ), name
+    ours_edges = {(r["src_id"], r["tgt_id"]): r for _, r in edges.iterrows()}
+    for key, ref_edge in graph.edges.items():
+        assert ours_edges[tuple(sorted(key))]["weight"] == ref_edge["weight"], key
+
+
 def test_field_level_equality(ours, reference):
     """Provenance, weights and keywords are associative across the reference's
     per-document incremental merging, so they must match EXACTLY.
