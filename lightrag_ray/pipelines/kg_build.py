@@ -77,13 +77,16 @@ def _files_digest(files: list[str]) -> str:
     return hashlib.md5("\n".join(sorted(files)).encode()).hexdigest()[:10]
 
 
+MIN_ROWS_PER_FILE = 100_000  # bounded file counts at scale; tiny runs unaffected
+
+
 def _run_part(paths, unit: str, out_dir: str, build_ds, resume: bool, extra=None):
     """Run one resumable unit: skip if marked done, else (re)compute."""
     if resume and ckpt.is_done(paths, unit):
         return False
     ckpt.reset_unit(paths, unit, out_dir)
     t0 = time.perf_counter()
-    build_ds().write_parquet(out_dir)
+    build_ds().write_parquet(out_dir, min_rows_per_file=MIN_ROWS_PER_FILE)
     lineage = {
         "status": "done",
         "wall_s": round(time.perf_counter() - t0, 3),

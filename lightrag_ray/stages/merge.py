@@ -41,7 +41,6 @@ Deterministic deviations from the reference (documented, P/R-neutral):
 from __future__ import annotations
 
 import json
-import zlib
 from collections import Counter
 from functools import lru_cache
 
@@ -100,7 +99,13 @@ EDGES_SCHEMA = pa.schema(
 
 
 def _crc(text: str) -> int:
-    return zlib.crc32(text.encode("utf-8"))
+    """Well-mixed deterministic hash for salt/bucket routing.  NOT crc32:
+    crc is XOR-linear, so structured ids (``doc-000100-chunk-000``...) land
+    in periodic patterns that defeat the spread.  md5 cost is per PARTIAL
+    (per key per batch), not per mention row."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(text.encode("utf-8")).digest()[:8], "big")
 
 
 def _salt_of(source_id: str, buckets: int) -> int:
