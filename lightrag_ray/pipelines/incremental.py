@@ -91,6 +91,34 @@ def pa_values(values: set[str]):
     return pa.array(sorted(values), pa.string())
 
 
+def update_kg(
+    prior_build_dir: str,
+    new_pages_paths: list[str] | str,
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+    num_partitions: int = 4,
+) -> BuildResult:
+    """Incremental UPSERT: merge newly-arrived pages into an existing graph
+    snapshot without re-reducing the old mentions (the reference's
+    ``already_*`` merge arm, lightrag/operate.py:2293-2330 / 2640-2680).
+
+    Compared to :func:`add_documents` (which re-reduces ALL mentions), this
+    touches only the new pages' mentions plus the prior node/edge tables —
+    the right trade when the prior corpus dwarfs the increment.  Field
+    semantics are pinned to the reference by
+    tests/test_merge_parity.py::test_incremental_merge_parity.
+    """
+    cfg = cfg or PipelineConfig()
+    return build_kg(
+        new_pages_paths,
+        out_dir,
+        cfg,
+        num_partitions=num_partitions,
+        prior_nodes_dir=os.path.join(prior_build_dir, "nodes"),
+        prior_edges_dir=os.path.join(prior_build_dir, "edges"),
+    )
+
+
 def add_documents(
     out_dir: str,
     all_pages_paths: list[str] | str,

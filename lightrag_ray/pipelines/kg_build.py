@@ -106,8 +106,16 @@ def build_kg(
     cfg: PipelineConfig | None = None,
     num_partitions: int = 4,
     resume: bool = True,
+    prior_nodes_dir: str | None = None,
+    prior_edges_dir: str | None = None,
 ) -> BuildResult:
-    """Run (or resume) the full build.  Ray must already be initialized."""
+    """Run (or resume) the full build.  Ray must already be initialized.
+
+    ``prior_nodes_dir``/``prior_edges_dir`` turn the merge into an
+    INCREMENTAL upsert against an existing graph snapshot (the reference's
+    `already_*` arm): stored rows enter the reduce as pass-through partials,
+    new mentions merge into them with stored-first provenance, stored-only
+    keys re-emit verbatim.  See pipelines/incremental.update_kg."""
     import ray.data as rd
     from ray.data import DataContext
 
@@ -224,13 +232,18 @@ def build_kg(
     edges_dir = paths.phase_dir("edges")
     from concurrent.futures import ThreadPoolExecutor
 
+    def _prior(path):
+        return rd.read_parquet(path) if path else None
+
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_nodes = pool.submit(
             _run_part,
             paths,
             "nodes_pre",
             nodes_pre_dir,
-            lambda: canonicalize_entities(_read_mentions("e"), cfg),
+            lambda: canonicalize_entities(
+                _read_mentions("e"), cfg, prior_nodes=_prior(prior_nodes_dir)
+            ),
             resume,
             {"phase": "nodes_pre"},
         )
@@ -239,9 +252,9 @@ def build_kg(
             paths,
             "edges",
             edges_dir,
-            lambda: canonicalize_edges(_read_mentions("r"), cfg).select_columns(
-                EDGE_OUTPUT_COLUMNS + ["_ord"]
-            ),
+            lambda: canonicalize_edges(
+                _read_mentions("r"), cfg, prior_edges=_prior(prior_edges_dir)
+            ).select_columns(EDGE_OUTPUT_COLUMNS + ["_ord"]),
             resume,
             {"phase": "edges"},
         )

@@ -126,7 +126,13 @@ def make_edges_to_endpoint_rows(cfg: PipelineConfig):
         ords = batch.column("_ord").to_pylist()
 
         out = {name: [] for name in ENDPOINT_SCHEMA.names}
+        sentinel = ["0" * 20, "", "0" * 10, "0" * 10]
         for i in range(len(srcs)):
+            if list(ords[i]) == sentinel:
+                # stored-passthrough edge (incremental run, no new mentions):
+                # its provenance was appended to the endpoints in the run that
+                # created it — re-contributing would re-append FIFO-dropped ids
+                continue
             for endpoint in (srcs[i], tgts[i]):
                 out["entity_id"].append(endpoint)
                 out["_bucket"].append(_bucket_of(endpoint, buckets))

@@ -273,6 +273,83 @@ def make_edge_partials_fn(cfg: PipelineConfig):
 
 
 # ---------------------------------------------------------------------------
+# prior-snapshot partials (incremental runs: the reference's `already_*` arm,
+# lightrag/operate.py:2293-2330 / 2640-2680).  A stored node/edge row becomes
+# a pass-through blob {"stored": {...}} routed to the same final reducer as
+# the key's new mention partials (reserved salt -1 keeps stage 1 from trying
+# to merge it).
+
+STORED_SALT = -1
+
+
+def make_prior_nodes_to_partials_fn(cfg: PipelineConfig):
+    rbuckets = cfg.reduce_buckets
+
+    def to_partials(batch: pa.Table) -> pa.Table:
+        out = {"key": [], "salt": [], "b1": [], "blob": []}
+        for row in batch.to_pylist():
+            key = row["entity_id"]
+            stored = {
+                "entity_type": row["entity_type"],
+                "description": row["description"],
+                "source_ids": list(row["source_ids"]),
+                "file_paths": list(row["file_paths"]),
+                "created_at": row["created_at"],
+                "truncate": row["truncate"],
+                "n_fragments": row.get("n_fragments", 0),
+                "n_mentions": row.get("n_mentions", 0),
+            }
+            out["key"].append(key)
+            out["salt"].append(STORED_SALT)
+            out["b1"].append(_crc(f"{key}\x00stored") % rbuckets)
+            out["blob"].append(json.dumps({"stored": stored}, ensure_ascii=False))
+        return pa.table(
+            {
+                "key": pa.array(out["key"], pa.string()),
+                "salt": pa.array(out["salt"], pa.int32()),
+                "b1": pa.array(out["b1"], pa.int32()),
+                "blob": pa.array(out["blob"], pa.string()),
+            }
+        )
+
+    return to_partials
+
+
+def make_prior_edges_to_partials_fn(cfg: PipelineConfig):
+    rbuckets = cfg.reduce_buckets
+
+    def to_partials(batch: pa.Table) -> pa.Table:
+        out = {"key": [], "salt": [], "b1": [], "blob": []}
+        for row in batch.to_pylist():
+            a, b = sorted((row["src_id"], row["tgt_id"]))
+            key = f"{a}\x00{b}"
+            stored = {
+                "weight": row["weight"],
+                "description": row["description"],
+                "keywords": list(row["keywords"]),
+                "source_ids": list(row["source_ids"]),
+                "file_paths": list(row["file_paths"]),
+                "created_at": row["created_at"],
+                "truncate": row["truncate"],
+                "n_mentions": row.get("n_mentions", 0),
+            }
+            out["key"].append(key)
+            out["salt"].append(STORED_SALT)
+            out["b1"].append(_crc(f"{key}\x00stored") % rbuckets)
+            out["blob"].append(json.dumps({"stored": stored}, ensure_ascii=False))
+        return pa.table(
+            {
+                "key": pa.array(out["key"], pa.string()),
+                "salt": pa.array(out["salt"], pa.int32()),
+                "b1": pa.array(out["b1"], pa.int32()),
+                "blob": pa.array(out["blob"], pa.string()),
+            }
+        )
+
+    return to_partials
+
+
+# ---------------------------------------------------------------------------
 # stage 1: per-(key, salt) partial merge, one group-fn call per b1 bucket
 
 
@@ -291,9 +368,10 @@ def make_bucket_merge_groupfn(cfg: PipelineConfig, kind: str):
             by_key.setdefault((key, int(salt)), []).append(json.loads(blob))
         out = {"key": [], "salt": [], "b2": [], "blob": []}
         for (key, salt), blobs in by_key.items():
-            merged = blobs[0] if len(blobs) == 1 else _merge_partials(
-                blobs, cap, keep_mode
-            )
+            if salt == STORED_SALT or len(blobs) == 1:
+                merged = blobs[0]  # stored snapshots pass through untouched
+            else:
+                merged = _merge_partials(blobs, cap, keep_mode)
             out["key"].append(key)
             out["salt"].append(salt)
             out["b2"].append(_crc(key) % rbuckets)
@@ -339,11 +417,21 @@ def _combine_sanitized(descriptions: list[str]) -> list[str]:
     return combined
 
 
-def _file_paths_capped(rows: list[list], cfg: PipelineConfig) -> list[str]:
-    """first-seen dedup of file paths over surviving rows, capped at
-    max_file_paths with a placeholder entry (lightrag/operate.py:2464-2519)."""
+def _file_paths_capped(
+    rows: list[list], cfg: PipelineConfig, already_fps: list[str] | None = None
+) -> list[str]:
+    """first-seen dedup of file paths — stored paths first (placeholder
+    entries dropped), then surviving rows' paths — capped at max_file_paths
+    with a placeholder entry (lightrag/operate.py:2464-2519)."""
     seen: set[str] = set()
     paths: list[str] = []
+    ph_prefix = f"...{cfg.file_path_more_placeholder}"
+    for fp in already_fps or []:
+        if fp and fp.startswith(ph_prefix):
+            continue  # prior truncation placeholder
+        if fp and fp not in seen:
+            seen.add(fp)
+            paths.append(fp)
     for r in rows:
         fp = r[1]
         if fp and fp not in seen:
@@ -360,100 +448,204 @@ def _file_paths_capped(rows: list[list], cfg: PipelineConfig) -> list[str]:
 
 
 def _finalize_common(
-    blobs: list[dict], cap: int, cfg: PipelineConfig
-) -> tuple[list[list], list[str], dict, str, bool]:
+    blobs: list[dict], cap: int, cfg: PipelineConfig, stored: dict | None = None
+) -> tuple[list[list], list[str], dict, str, bool, bool]:
     """Shared tail of both finalizers.
 
-    Returns (surviving_rows_sorted, source_ids, merged_partial, truncate_flag,
-    sources_complete)."""
+    Fresh arm (``stored is None``): mirror the reference merge with no
+    existing graph row.  Incremental arm: existing source ids come FIRST in
+    the union (``merge_source_ids(existing, new)``, lightrag/utils.py:5729),
+    new rows survive the KEEP filter when their source is in the final cap OR
+    already stored (lightrag/operate.py:2367-2383), and a fully-capped key
+    with no surviving new rows short-circuits to the stored row (#5,
+    lightrag/operate.py:2386-2404 — signalled via ``skip``).
+
+    Returns (surviving_rows_sorted, source_ids, merged_partial,
+    truncate_flag, sources_complete, skip_to_stored)."""
     keep_mode = cfg.source_ids_limit_method == SOURCE_IDS_LIMIT_KEEP
-    merged = _merge_partials(blobs, cap, keep_mode)
-    sources = merged["sources"]
-    if not keep_mode and len(sources) > cap:  # FIFO: tail-cap at final only
-        kept_sources = sources[-cap:]
-        fifo_truncated = True
+    merged = _merge_partials(blobs, cap, keep_mode) if blobs else {
+        "rows": [], "sources": [], "n_mentions": 0, "src_truncated": False,
+        "n_sources_seen": 0,
+    }
+    new_sources = [s[4] for s in merged["sources"]]
+
+    existing_full: list[str] = list(stored["source_ids"]) if stored else []
+    existing_set = set(existing_full)
+    full = existing_full + [s for s in new_sources if s not in existing_set]
+
+    if len(full) > cap:
+        kept_ids = full[:cap] if keep_mode else full[-cap:]
+        truncated = True
     else:
-        kept_sources = sources
-        fifo_truncated = False
-    allowed = {s[4] for s in kept_sources}
+        kept_ids = full
+        truncated = merged["src_truncated"] if keep_mode else False
+    allowed = set(kept_ids)
+
     if keep_mode:
-        rows = [r for r in merged["rows"] if r[4] in allowed]
-        truncated = merged["src_truncated"]
+        rows = [
+            r for r in merged["rows"] if r[4] in allowed or r[4] in existing_set
+        ]
     else:
         rows = list(merged["rows"])  # FIFO keeps all mention rows
-        truncated = fifo_truncated
     rows.sort(key=lambda r: (r[0], r[1], r[2], r[3]))
+
+    skip = bool(
+        stored
+        and keep_mode
+        and len(existing_full) >= cap
+        and not rows
+    )
 
     if truncated:
         if keep_mode:
             flag = "KEEP Old"
         else:
-            flag = f"FIFO {len(kept_sources)}/{merged['n_sources_seen']}"
+            n_total = (
+                len(full)
+                if not merged["src_truncated"]
+                else max(len(full), merged["n_sources_seen"] + len(existing_full))
+            )
+            flag = f"FIFO {len(kept_ids)}/{n_total}"
     else:
         flag = ""
-    source_ids = [s[4] for s in kept_sources]
-    sources_complete = not truncated
-    return rows, source_ids, merged, flag, sources_complete
+    return rows, kept_ids, merged, flag, not truncated, skip
+
+
+def _stored_node_row(name: str, stored: dict) -> dict:
+    return {
+        "entity_id": name,
+        "entity_type": stored["entity_type"],
+        "description": stored["description"],
+        "source_ids": list(stored["source_ids"]),
+        "file_paths": list(stored["file_paths"]),
+        "created_at": stored["created_at"],
+        "truncate": stored["truncate"],
+        "n_fragments": stored.get("n_fragments", 0),
+        "n_mentions": stored.get("n_mentions", 0),
+        "_sources_complete": not stored["truncate"],
+    }
+
+
+def _split_sep(joined: str) -> list[str]:
+    from lightrag_ray.constants import GRAPH_FIELD_SEP
+
+    return [p for p in (joined or "").split(GRAPH_FIELD_SEP) if p.strip()]
 
 
 def finalize_entity_key(
-    name: str, blobs: list[dict], cfg: PipelineConfig, tokenizer, summarize_fn
+    name: str,
+    blobs: list[dict],
+    cfg: PipelineConfig,
+    tokenizer,
+    summarize_fn,
+    stored: dict | None = None,
 ) -> dict:
-    rows, source_ids, merged, flag, complete = _finalize_common(
-        blobs, cfg.max_source_ids_per_entity, cfg
+    if stored is not None and not blobs:
+        # key untouched by this batch → reference never re-merges it
+        return _stored_node_row(name, stored)
+    rows, source_ids, merged, flag, complete, skip = _finalize_common(
+        blobs, cfg.max_source_ids_per_entity, cfg, stored
     )
-    # entity_type: plurality vote over surviving mention rows, ties broken by
-    # first-seen order (lightrag/operate.py:2408-2415 — Counter insertion
-    # order + stable sort)
-    counts = Counter(r[5] for r in rows)
+    if skip:
+        return _stored_node_row(name, stored)
+    # entity_type: plurality vote over surviving new mention rows (arrival
+    # order) plus ONE stored vote appended last, ties broken by first-seen
+    # order (lightrag/operate.py:2408-2415 — Counter insertion + stable sort)
+    type_seq = [r[5] for r in rows]
+    if stored is not None:
+        type_seq.append(stored["entity_type"] or "UNKNOWN")
+    counts = Counter(type_seq)
     entity_type = (
         sorted(counts.items(), key=lambda x: x[1], reverse=True)[0][0]
         if counts
         else "UNKNOWN"
     )
-    description_list = _combine_sanitized(_dedup_descriptions(rows, 6))
+    already_descs = _split_sep(stored["description"]) if stored else []
+    description_list = _combine_sanitized(
+        already_descs + _dedup_descriptions(rows, 6)
+    )
     if not description_list:
         description_list = [f"Entity {name}"]
     description, _used = summarize_descriptions(
         "Entity", name, description_list, cfg, tokenizer, summarize_fn
     )
+    already_fps = stored["file_paths"] if stored else []
+    created = max((r[0] for r in rows), default=0)
+    if stored is not None:
+        created = max(created, stored["created_at"])
     return {
         "entity_id": name,
         "entity_type": entity_type,
         "description": description,
         "source_ids": source_ids,
-        "file_paths": _file_paths_capped(rows, cfg),
-        "created_at": max((r[0] for r in rows), default=0),
+        "file_paths": _file_paths_capped(rows, cfg, already_fps),
+        "created_at": created,
         "truncate": flag,
         "n_fragments": len(description_list),
-        "n_mentions": merged["n_mentions"],
+        "n_mentions": merged["n_mentions"]
+        + (stored.get("n_mentions", 0) if stored else 0),
         "_sources_complete": complete,
+    }
+
+
+def _stored_edge_row(src: str, tgt: str, stored: dict) -> dict:
+    return {
+        "src_id": src,
+        "tgt_id": tgt,
+        "weight": stored["weight"],
+        "description": stored["description"],
+        "keywords": list(stored["keywords"]),
+        "source_ids": list(stored["source_ids"]),
+        "file_paths": list(stored["file_paths"]),
+        "created_at": stored["created_at"],
+        "truncate": stored["truncate"],
+        "n_mentions": stored.get("n_mentions", 0),
+        # stored edges sort before any new edge in endpoint ordering
+        "_ord": ["0" * 20, "", "0" * 10, "0" * 10],
     }
 
 
 def finalize_edge_key(
     src: str, tgt: str, blobs: list[dict], cfg: PipelineConfig, tokenizer,
-    summarize_fn,
+    summarize_fn, stored: dict | None = None,
 ) -> dict:
-    rows, source_ids, merged, flag, _complete = _finalize_common(
-        blobs, cfg.max_source_ids_per_relation, cfg
+    if stored is not None and not blobs:
+        return _stored_edge_row(src, tgt, stored)
+    rows, source_ids, merged, flag, _complete, skip = _finalize_common(
+        blobs, cfg.max_source_ids_per_relation, cfg, stored
     )
-    # weight: sum of surviving mention weights (fresh-build arm of the
-    # anti-double-count rule, lightrag/operate.py:2765-2798)
-    weight = float(sum(r[6] for r in rows))
-    # keywords: set-union of comma-split keywords over surviving rows, sorted
-    # (lightrag/operate.py:2800-2817)
+    if skip:
+        return _stored_edge_row(src, tgt, stored)
+    # weight: stored scalar + surviving mention weights whose source is not
+    # already reflected in the stored edge (anti-double-count,
+    # lightrag/operate.py:2765-2798)
+    already_sids = set(stored["source_ids"]) if stored else set()
+    weight = float(
+        sum(r[6] for r in rows if r[4] and r[4] not in already_sids)
+        + (stored["weight"] if stored else 0.0)
+    )
+    # keywords: set-union of comma-split keywords over stored + surviving rows,
+    # sorted (lightrag/operate.py:2800-2817)
     kw: set[str] = set()
+    for stored_kw in stored["keywords"] if stored else []:
+        kw.update(k.strip() for k in stored_kw.split(",") if k.strip())
     for r in rows:
         if r[5]:
             kw.update(k.strip() for k in r[5].split(",") if k.strip())
-    description_list = _combine_sanitized(_dedup_descriptions(rows, 7))
+    already_descs = _split_sep(stored["description"]) if stored else []
+    description_list = _combine_sanitized(
+        already_descs + _dedup_descriptions(rows, 7)
+    )
     if not description_list:
         raise ValueError(f"Relation {src}~{tgt} has no description")
     description, _used = summarize_descriptions(
         "Relation", f"({src}, {tgt})", description_list, cfg, tokenizer, summarize_fn
     )
-    first = rows[0]
+    already_fps = stored["file_paths"] if stored else []
+    created = max((r[0] for r in rows), default=0)
+    if stored is not None:
+        created = max(created, stored["created_at"])
+    first = rows[0] if rows else [0, "", 0, 0, "", "", 0.0, ""]
     return {
         "src_id": src,
         "tgt_id": tgt,
@@ -461,10 +653,11 @@ def finalize_edge_key(
         "description": description,
         "keywords": sorted(kw),
         "source_ids": source_ids,
-        "file_paths": _file_paths_capped(rows, cfg),
-        "created_at": max((r[0] for r in rows), default=0),
+        "file_paths": _file_paths_capped(rows, cfg, already_fps),
+        "created_at": created,
         "truncate": flag,
-        "n_mentions": merged["n_mentions"],
+        "n_mentions": merged["n_mentions"]
+        + (stored.get("n_mentions", 0) if stored else 0),
         # deterministic edge-processing order key for the endpoint stage
         # (reference order is completion-nondeterministic); zero-padded
         # numerics so string comparison == numeric
@@ -482,6 +675,12 @@ def _rows_to_table(rows: list[dict], schema: pa.Schema) -> pa.Table:
     )
 
 
+def _split_stored(raw: list[dict]) -> tuple[list[dict], dict | None]:
+    blobs = [b for b in raw if "stored" not in b]
+    stored_blobs = [b["stored"] for b in raw if "stored" in b]
+    return blobs, (stored_blobs[0] if stored_blobs else None)
+
+
 def make_bucket_finalize_entities_groupfn(cfg: PipelineConfig):
     def finalize_bucket(group: pd.DataFrame) -> pa.Table:
         tokenizer = _worker_summary_ctx()
@@ -491,10 +690,14 @@ def make_bucket_finalize_entities_groupfn(cfg: PipelineConfig):
         by_key: dict[str, list[dict]] = {}
         for key, blob in zip(group["key"], group["blob"]):
             by_key.setdefault(key, []).append(json.loads(blob))
-        rows = [
-            finalize_entity_key(name, blobs, cfg, tokenizer, summarize_fn)
-            for name, blobs in by_key.items()
-        ]
+        rows = []
+        for name, raw in by_key.items():
+            blobs, stored = _split_stored(raw)
+            rows.append(
+                finalize_entity_key(
+                    name, blobs, cfg, tokenizer, summarize_fn, stored=stored
+                )
+            )
         return _rows_to_table(rows, NODES_SCHEMA)
 
     return finalize_bucket
@@ -510,10 +713,13 @@ def make_bucket_finalize_edges_groupfn(cfg: PipelineConfig):
         for key, blob in zip(group["key"], group["blob"]):
             by_key.setdefault(key, []).append(json.loads(blob))
         rows = []
-        for key, blobs in by_key.items():
+        for key, raw in by_key.items():
             src, tgt = key.split("\x00", 1)
+            blobs, stored = _split_stored(raw)
             rows.append(
-                finalize_edge_key(src, tgt, blobs, cfg, tokenizer, summarize_fn)
+                finalize_edge_key(
+                    src, tgt, blobs, cfg, tokenizer, summarize_fn, stored=stored
+                )
             )
         return _rows_to_table(rows, EDGES_SCHEMA)
 
@@ -524,14 +730,23 @@ def make_bucket_finalize_edges_groupfn(cfg: PipelineConfig):
 # dataset-level drivers
 
 
-def canonicalize_entities(mentions_e, cfg: PipelineConfig):
-    """entity mention rows → node table (pre endpoint-append)."""
+def canonicalize_entities(mentions_e, cfg: PipelineConfig, prior_nodes=None):
+    """entity mention rows (∪ optional prior node snapshot) → node table
+    (pre endpoint-append)."""
     partials = mentions_e.map_batches(
         make_entity_partials_fn(cfg),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=cfg.merge_batch_size,
     )
+    if prior_nodes is not None:
+        partials = partials.union(
+            prior_nodes.map_batches(
+                make_prior_nodes_to_partials_fn(cfg),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
     salted = partials.groupby(
         "b1", num_partitions=cfg.shuffle_partitions
     ).map_groups(make_bucket_merge_groupfn(cfg, "e"), batch_format="pandas")
@@ -540,14 +755,22 @@ def canonicalize_entities(mentions_e, cfg: PipelineConfig):
     ).map_groups(make_bucket_finalize_entities_groupfn(cfg), batch_format="pandas")
 
 
-def canonicalize_edges(mentions_r, cfg: PipelineConfig):
-    """relation mention rows → edge table."""
+def canonicalize_edges(mentions_r, cfg: PipelineConfig, prior_edges=None):
+    """relation mention rows (∪ optional prior edge snapshot) → edge table."""
     partials = mentions_r.map_batches(
         make_edge_partials_fn(cfg),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=cfg.merge_batch_size,
     )
+    if prior_edges is not None:
+        partials = partials.union(
+            prior_edges.map_batches(
+                make_prior_edges_to_partials_fn(cfg),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
     salted = partials.groupby(
         "b1", num_partitions=cfg.shuffle_partitions
     ).map_groups(make_bucket_merge_groupfn(cfg, "r"), batch_format="pandas")

@@ -77,6 +77,44 @@ def test_delete_matches_fresh_build_without_docs(corpus):
     )
 
 
+def test_update_kg_upserts_against_prior_snapshot(corpus):
+    """update_kg (snapshot upsert, no old-mention re-reduce) must agree with
+    add_documents (full re-reduce) on the graph topology and provenance."""
+    import ray.data as rd
+
+    from lightrag_ray.config import PipelineConfig
+    from lightrag_ray.pipelines.incremental import update_kg
+    from lightrag_ray.pipelines.kg_build import build_kg
+
+    work, files = corpus
+    cfg = PipelineConfig()
+    build_kg(files[:2], f"{work}/base", cfg, num_partitions=1)
+    res_up = update_kg(f"{work}/base", files[2:], f"{work}/upsert", cfg,
+                       num_partitions=1)
+
+    res_full = build_kg(files, f"{work}/oracle", cfg, num_partitions=1)
+
+    up_n = rd.read_parquet(res_up.nodes_dir).to_pandas().set_index("entity_id")
+    full_n = rd.read_parquet(res_full.nodes_dir).to_pandas().set_index("entity_id")
+    assert set(up_n.index) == set(full_n.index)
+    up_e = rd.read_parquet(res_up.edges_dir).to_pandas()
+    full_e = rd.read_parquet(res_full.edges_dir).to_pandas()
+    assert set(zip(up_e["src_id"], up_e["tgt_id"])) == set(
+        zip(full_e["src_id"], full_e["tgt_id"])
+    )
+    # provenance sets agree (ORDER may differ: the upsert path fixes the
+    # prior snapshot's ordering first, the full rebuild re-sorts globally —
+    # exactly the reference's incremental behavior)
+    for name in full_n.index:
+        assert set(up_n.loc[name, "source_ids"]) == set(
+            full_n.loc[name, "source_ids"]
+        ), name
+    # weights agree (anti-double-count across the snapshot boundary)
+    up_w = {(r.src_id, r.tgt_id): r.weight for r in up_e.itertuples()}
+    full_w = {(r.src_id, r.tgt_id): r.weight for r in full_e.itertuples()}
+    assert up_w == full_w
+
+
 def test_add_documents_recomputes_only_new_partitions(corpus):
     from lightrag_ray.config import PipelineConfig
     from lightrag_ray.pipelines.incremental import add_documents

@@ -38,6 +38,8 @@ from lightrag_ray.stages.merge import (
     make_bucket_merge_groupfn,
     make_edge_partials_fn,
     make_entity_partials_fn,
+    make_prior_edges_to_partials_fn,
+    make_prior_nodes_to_partials_fn,
 )
 from lightrag_ray.stages.summarize import make_deterministic_summary_model
 
@@ -111,7 +113,10 @@ def _apply_groupfn(df: pd.DataFrame, keys: list[str], fn, out_schema=None):
     return pa.concat_tables(outs)
 
 
-def run_ours(e_rows, r_rows, cfg: PipelineConfig, batch_size: int = 37):
+def run_ours(
+    e_rows, r_rows, cfg: PipelineConfig, batch_size: int = 37,
+    prior_nodes: pa.Table | None = None, prior_edges: pa.Table | None = None,
+):
     def batches(rows):
         for i in range(0, len(rows), batch_size):
             chunk = rows[i : i + batch_size]
@@ -119,6 +124,8 @@ def run_ours(e_rows, r_rows, cfg: PipelineConfig, batch_size: int = 37):
 
     # entities
     e_parts = [make_entity_partials_fn(cfg)(b) for b in batches(e_rows)]
+    if prior_nodes is not None and prior_nodes.num_rows:
+        e_parts.append(make_prior_nodes_to_partials_fn(cfg)(prior_nodes))
     e_df = pa.concat_tables(e_parts).to_pandas() if e_parts else None
     nodes_pre = NODES_SCHEMA.empty_table()
     if e_df is not None and len(e_df):
@@ -131,6 +138,8 @@ def run_ours(e_rows, r_rows, cfg: PipelineConfig, batch_size: int = 37):
         )
     # edges
     r_parts = [make_edge_partials_fn(cfg)(b) for b in batches(r_rows)]
+    if prior_edges is not None and prior_edges.num_rows:
+        r_parts.append(make_prior_edges_to_partials_fn(cfg)(prior_edges))
     edges = EDGES_SCHEMA.empty_table()
     if r_parts:
         r_df = pa.concat_tables(r_parts).to_pandas()
@@ -226,8 +235,8 @@ def _ref_config(ref, cfg: PipelineConfig):
     }
 
 
-def run_reference(ref, e_rows, r_rows, cfg: PipelineConfig):
-    graph = _MemGraph()
+def run_reference(ref, e_rows, r_rows, cfg: PipelineConfig, graph=None):
+    graph = graph or _MemGraph()
     config = _ref_config(ref, cfg)
 
     # group mentions exactly as merge_nodes_and_edges does
@@ -350,6 +359,57 @@ def test_merge_parity_summary_gate(ref, seed):
     e_rows, r_rows = gen_mentions(seed, n_chunks=30)
     nodes, edges = run_ours(e_rows, r_rows, cfg)
     _compare(run_reference(ref, e_rows, r_rows, cfg), nodes, edges)
+
+
+def _two_batches(seed: int, n_chunks: int = 60):
+    e_rows, r_rows = gen_mentions(seed, n_chunks=n_chunks)
+    cut_e = len(e_rows) // 2
+    cut_r = len(r_rows) // 2
+    return (e_rows[:cut_e], r_rows[:cut_r]), (e_rows[cut_e:], r_rows[cut_r:])
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        PipelineConfig(),
+        PipelineConfig(
+            max_source_ids_per_entity=6, max_source_ids_per_relation=4,
+            max_file_paths=3,
+        ),
+        PipelineConfig(
+            source_ids_limit_method="FIFO",
+            max_source_ids_per_entity=6, max_source_ids_per_relation=4,
+            max_file_paths=3,
+        ),
+        PipelineConfig(
+            force_llm_summary_on_merge=3, summary_max_tokens=20,
+            summary_context_size=40, summary_length_recommended=15,
+        ),
+    ],
+    ids=["default", "tight-keep", "fifo", "summary-gate"],
+)
+@pytest.mark.parametrize("seed", [41, 42])
+def test_incremental_merge_parity(ref, seed, cfg):
+    """Batch 1 builds a graph; batch 2 merges INTO it (the reference's
+    `already_*` incremental arm) — ours via prior-snapshot partials."""
+    (e1, r1), (e2, r2) = _two_batches(seed)
+
+    # reference: sequential batches over one live graph
+    graph = run_reference(ref, e1, r1, cfg)
+    graph = run_reference(ref, e2, r2, cfg, graph=graph)
+
+    # ours: batch 1 fresh, batch 2 against the batch-1 snapshot
+    nodes1, edges1 = run_ours(e1, r1, cfg)
+    nodes2, edges2 = run_ours(
+        e2,
+        r2,
+        cfg,
+        prior_nodes=pa.Table.from_pylist(
+            [dict(n, _sources_complete=not n["truncate"]) for n in nodes1]
+        ),
+        prior_edges=pa.Table.from_pylist(edges1, schema=EDGES_SCHEMA),
+    )
+    _compare(graph, nodes2, edges2)
 
 
 def test_merge_partitioning_invariance():
