@@ -80,13 +80,16 @@ def _files_digest(files: list[str]) -> str:
 MIN_ROWS_PER_FILE = 100_000  # bounded file counts at scale; tiny runs unaffected
 
 
-def _run_part(paths, unit: str, out_dir: str, build_ds, resume: bool, extra=None):
+def _run_part(paths, unit: str, out_dir: str, build_ds, resume: bool, extra=None,
+              partition_cols=None):
     """Run one resumable unit: skip if marked done, else (re)compute."""
     if resume and ckpt.is_done(paths, unit):
         return False
     ckpt.reset_unit(paths, unit, out_dir)
     t0 = time.perf_counter()
-    build_ds().write_parquet(out_dir, min_rows_per_file=MIN_ROWS_PER_FILE)
+    build_ds().write_parquet(
+        out_dir, min_rows_per_file=MIN_ROWS_PER_FILE, partition_cols=partition_cols
+    )
     lineage = {
         "status": "done",
         "wall_s": round(time.perf_counter() - t0, 3),
@@ -195,6 +198,7 @@ def build_kg(
                 ),
                 resume,
                 extra={"phase": "mentions", "partition_id": k},
+                partition_cols=["kind"],
             )
     else:
         for k, files in enumerate(parts):
@@ -209,6 +213,7 @@ def build_kg(
                 lambda files=files: _extracted(_chunked(rd.read_parquet(files))),
                 resume,
                 extra={"phase": "mentions_fused", "partition_id": k},
+                partition_cols=["kind"],
             )
 
     if any_part_ran:
@@ -219,12 +224,19 @@ def build_kg(
     mentions_glob = os.path.join(out_dir, "mentions")
 
     def _read_mentions(kind: str):
-        import pyarrow.compute as pc
-
-        return rd.read_parquet(
-            mentions_glob,
-            filter=(pc.field("kind") == kind),
+        # mentions are hive-partitioned by kind: select the partition
+        # directories directly — only that half of the table leaves storage
+        files = sorted(
+            glob.glob(
+                os.path.join(mentions_glob, "**", f"kind={kind}", "*.parquet"),
+                recursive=True,
+            )
         )
+        if not files:
+            raise FileNotFoundError(
+                f"no mention partitions of kind={kind!r} under {mentions_glob}"
+            )
+        return rd.read_parquet(files)
 
     # ---- Phases C1 + C2: entity/edge canonicalization (independent shuffles,
     # run concurrently so the two Dataset executions share the cluster)
