@@ -119,6 +119,30 @@ with `{cd}`.  Output language: {language}.
 """
 
 
+def offline_stub_model_fn(
+    user_prompt: str, system_prompt: str | None, history: list
+) -> str:
+    """Deterministic offline 'model': extracts ≥6-char words from the
+    prompt's fenced input text and emits the reference record format.
+    Module-level so Ray actors can unpickle it by reference — use this to
+    exercise the LLM-shaped path without a provider."""
+    m = re.search(r"```\n(.*?)\n```", user_prompt, re.DOTALL)
+    text = m.group(1) if m else ""
+    words = list(dict.fromkeys(re.findall(r"\w{6,}", text)))[:10]
+    lines = [
+        f"entity{TUPLE_DELIMITER}{w}{TUPLE_DELIMITER}concept{TUPLE_DELIMITER}"
+        f"{w} found by the stub model"
+        for w in words
+    ]
+    lines += [
+        f"relation{TUPLE_DELIMITER}{a}{TUPLE_DELIMITER}{b}{TUPLE_DELIMITER}"
+        f"stub{TUPLE_DELIMITER}{a} with {b}"
+        for a, b in zip(words, words[1:])
+    ]
+    lines.append(COMPLETION_DELIMITER)
+    return "\n".join(lines)
+
+
 class LLMExtractor:
     """Extractor-protocol implementation over an injected model callable."""
 
