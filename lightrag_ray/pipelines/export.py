@@ -13,7 +13,7 @@ is inherently a single-writer artifact (same in the reference).
 
 from __future__ import annotations
 
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 import pyarrow as pa
 
@@ -103,7 +103,7 @@ def write_graphml(nodes_ds, edges_ds, path: str) -> None:
         ).iter_batches(batch_size=4096, batch_format="pyarrow"):
             rows = batch.to_pylist()
             for row in rows:
-                f.write(f'    <node id="{escape(str(row["entity_id"]))}">\n')
+                f.write(f'    <node id={quoteattr(str(row["entity_id"]))}>\n')
                 for i, k in enumerate(_NODE_KEYS):
                     f.write(f'      <data key="dn{i}">{escape(str(row[k]))}</data>\n')
                 f.write("    </node>\n")
@@ -112,8 +112,8 @@ def write_graphml(nodes_ds, edges_ds, path: str) -> None:
         ).iter_batches(batch_size=4096, batch_format="pyarrow"):
             for row in batch.to_pylist():
                 f.write(
-                    f'    <edge source="{escape(str(row["src_id"]))}" '
-                    f'target="{escape(str(row["tgt_id"]))}">\n'
+                    f'    <edge source={quoteattr(str(row["src_id"]))} '
+                    f'target={quoteattr(str(row["tgt_id"]))}>\n'
                 )
                 for i, k in enumerate(_EDGE_KEYS):
                     f.write(f'      <data key="de{i}">{escape(str(row[k]))}</data>\n')

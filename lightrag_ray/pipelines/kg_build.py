@@ -25,6 +25,8 @@ import os
 import time
 from dataclasses import dataclass
 
+import pyarrow as pa
+
 from lightrag_ray.config import PipelineConfig
 from lightrag_ray.stages.chunk import ChunkerStage
 from lightrag_ray.stages.endpoints import FINAL_NODES_COLUMNS, apply_endpoints
@@ -81,8 +83,12 @@ MIN_ROWS_PER_FILE = 100_000  # bounded file counts at scale; tiny runs unaffecte
 
 
 def _run_part(paths, unit: str, out_dir: str, build_ds, resume: bool, extra=None,
-              partition_cols=None):
-    """Run one resumable unit: skip if marked done, else (re)compute."""
+              partition_cols=None, empty_schema: pa.Schema | None = None):
+    """Run one resumable unit: skip if marked done, else (re)compute.
+
+    ``empty_schema``: write_parquet on a zero-row dataset creates no files;
+    phases whose output another phase reads back pass their output schema so
+    an empty-but-readable parquet file is left behind instead of nothing."""
     if resume and ckpt.is_done(paths, unit):
         return False
     ckpt.reset_unit(paths, unit, out_dir)
@@ -90,6 +96,15 @@ def _run_part(paths, unit: str, out_dir: str, build_ds, resume: bool, extra=None
     build_ds().write_parquet(
         out_dir, min_rows_per_file=MIN_ROWS_PER_FILE, partition_cols=partition_cols
     )
+    if empty_schema is not None and not glob.glob(
+        os.path.join(out_dir, "**", "*.parquet"), recursive=True
+    ):
+        import pyarrow.parquet as pq
+
+        os.makedirs(out_dir, exist_ok=True)
+        pq.write_table(
+            empty_schema.empty_table(), os.path.join(out_dir, "empty-0.parquet")
+        )
     lineage = {
         "status": "done",
         "wall_s": round(time.perf_counter() - t0, 3),
@@ -233,9 +248,17 @@ def build_kg(
             )
         )
         if not files:
-            raise FileNotFoundError(
-                f"no mention partitions of kind={kind!r} under {mentions_glob}"
+            # A valid corpus can legitimately produce zero mentions of one
+            # kind (e.g. every chunk yields ≤ 1 entity ⇒ no relations), and
+            # write_parquet(partition_cols=["kind"]) only creates directories
+            # for observed kinds — emit an empty, schema-carrying dataset
+            # instead of failing the build.
+            from lightrag_ray.stages.extract import MENTIONS_SCHEMA
+
+            schema = pa.schema(
+                [f for f in MENTIONS_SCHEMA if f.name != "kind"]
             )
+            return rd.from_arrow(schema.empty_table())
         return rd.read_parquet(files)
 
     # ---- Phases C1 + C2: entity/edge canonicalization (independent shuffles,
@@ -259,6 +282,11 @@ def build_kg(
             resume,
             {"phase": "nodes_pre"},
         )
+        from lightrag_ray.stages.merge import EDGES_SCHEMA
+
+        edges_out_schema = pa.schema(
+            [EDGES_SCHEMA.field(c) for c in EDGE_OUTPUT_COLUMNS + ["_ord"]]
+        )
         f_edges = pool.submit(
             _run_part,
             paths,
@@ -269,6 +297,7 @@ def build_kg(
             ).select_columns(EDGE_OUTPUT_COLUMNS + ["_ord"]),
             resume,
             {"phase": "edges"},
+            empty_schema=edges_out_schema,
         )
         f_nodes.result()
         f_edges.result()

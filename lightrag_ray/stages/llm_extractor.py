@@ -167,8 +167,14 @@ class LLMExtractor:
             language, entity_types_guidance, max_total_records, max_entity_records
         )
         self.max_extract_input_tokens = max_extract_input_tokens
-        # per-actor conversation state for gleaning, keyed by chunk
-        self._history: dict[str, list[dict]] = {}
+        # Single-slot conversation state for gleaning.  The pipeline driver
+        # (stages/extract.py ExtractStage.__call__) runs every round of one
+        # chunk consecutively before moving to the next chunk, so one slot is
+        # sufficient — and, unlike a dict keyed by chunk, it is bounded: with
+        # max_gleaning=0 the slot is simply overwritten by the next chunk
+        # instead of accumulating one entry per chunk the actor ever sees.
+        self._history_key: str | None = None
+        self._history: list[dict] = []
 
     def extract(
         self, content: str, chunk_key: str, round_index: int, prior_output: str
@@ -178,15 +184,19 @@ class LLMExtractor:
             result = remove_think_tags(
                 self.model_fn(user, self.system_prompt, [])
             )
-            self._history[chunk_key] = [
+            self._history_key = chunk_key
+            self._history = [
                 {"role": "user", "content": user},
                 {"role": "assistant", "content": result},
             ]
             return result
 
         # gleaning round: skip when projected input exceeds the token budget
-        # (lightrag/operate.py:3864-3892)
-        history = self._history.pop(chunk_key, [])
+        # (lightrag/operate.py:3864-3892).  The reference replays the FULL
+        # accumulated conversation each gleaning round, appending each
+        # continue-prompt/response pair to it (lightrag/operate.py:3928-3965),
+        # so rounds ≥ 2 must see rounds 0..k-1, not an emptied history.
+        history = list(self._history) if self._history_key == chunk_key else []
         continue_prompt = build_continue_prompt(self.language)
         projected = (
             len(self.tokenizer.encode(self.system_prompt))
@@ -195,6 +205,14 @@ class LLMExtractor:
         )
         if projected > self.max_extract_input_tokens:
             return COMPLETION_DELIMITER
-        return remove_think_tags(
+        result = remove_think_tags(
             self.model_fn(continue_prompt, self.system_prompt, history)
         )
+        if self._history_key == chunk_key:
+            self._history.extend(
+                [
+                    {"role": "user", "content": continue_prompt},
+                    {"role": "assistant", "content": result},
+                ]
+            )
+        return result

@@ -186,9 +186,16 @@ def _partial_from_rows(rows: list[list], cap: int, keep_mode: bool) -> dict:
 # stage 0: combiner (map_batches over mention rows → partial rows)
 
 
-def make_entity_partials_fn(cfg: PipelineConfig):
+def make_entity_partials_fn(cfg: PipelineConfig, incremental: bool = False):
     cap = cfg.max_source_ids_per_entity
-    keep_mode = cfg.source_ids_limit_method == SOURCE_IDS_LIMIT_KEEP
+    # Incremental KEEP runs must NOT cap at the partial level: the finalizer
+    # re-admits rows whose source_id is already stored (reference keeps
+    # existing_full_source_ids, lightrag/operate.py:2367-2383), and a
+    # partial-level cap computed over new mentions only would drop those rows
+    # before they reach it.  Same unboundedness trade-off as FIFO partials.
+    keep_mode = (
+        cfg.source_ids_limit_method == SOURCE_IDS_LIMIT_KEEP and not incremental
+    )
     salts = cfg.salt_buckets
     rbuckets = cfg.reduce_buckets
 
@@ -227,9 +234,12 @@ def make_entity_partials_fn(cfg: PipelineConfig):
     return to_partials
 
 
-def make_edge_partials_fn(cfg: PipelineConfig):
+def make_edge_partials_fn(cfg: PipelineConfig, incremental: bool = False):
     cap = cfg.max_source_ids_per_relation
-    keep_mode = cfg.source_ids_limit_method == SOURCE_IDS_LIMIT_KEEP
+    # see make_entity_partials_fn on the incremental KEEP-cap interplay
+    keep_mode = (
+        cfg.source_ids_limit_method == SOURCE_IDS_LIMIT_KEEP and not incremental
+    )
     salts = cfg.salt_buckets
     rbuckets = cfg.reduce_buckets
 
@@ -353,13 +363,16 @@ def make_prior_edges_to_partials_fn(cfg: PipelineConfig):
 # stage 1: per-(key, salt) partial merge, one group-fn call per b1 bucket
 
 
-def make_bucket_merge_groupfn(cfg: PipelineConfig, kind: str):
+def make_bucket_merge_groupfn(cfg: PipelineConfig, kind: str,
+                              incremental: bool = False):
     cap = (
         cfg.max_source_ids_per_entity
         if kind == "e"
         else cfg.max_source_ids_per_relation
     )
-    keep_mode = cfg.source_ids_limit_method == SOURCE_IDS_LIMIT_KEEP
+    keep_mode = (
+        cfg.source_ids_limit_method == SOURCE_IDS_LIMIT_KEEP and not incremental
+    )
     rbuckets = cfg.reduce_buckets
 
     def merge_bucket(group: pd.DataFrame) -> pa.Table:
@@ -448,7 +461,8 @@ def _file_paths_capped(
 
 
 def _finalize_common(
-    blobs: list[dict], cap: int, cfg: PipelineConfig, stored: dict | None = None
+    blobs: list[dict], cap: int, cfg: PipelineConfig, stored: dict | None = None,
+    capped_partials: bool = True,
 ) -> tuple[list[list], list[str], dict, str, bool, bool]:
     """Shared tail of both finalizers.
 
@@ -463,7 +477,11 @@ def _finalize_common(
     Returns (surviving_rows_sorted, source_ids, merged_partial,
     truncate_flag, sources_complete, skip_to_stored)."""
     keep_mode = cfg.source_ids_limit_method == SOURCE_IDS_LIMIT_KEEP
-    merged = _merge_partials(blobs, cap, keep_mode) if blobs else {
+    # Incremental runs ship uncapped partials (see make_entity_partials_fn);
+    # merge them uncapped too, so already-stored-source rows survive to the
+    # existing_set re-admission filter below.  KEEP truncation is then applied
+    # exactly once, over the stored-first full source union.
+    merged = _merge_partials(blobs, cap, keep_mode and capped_partials) if blobs else {
         "rows": [], "sources": [], "n_mentions": 0, "src_truncated": False,
         "n_sources_seen": 0,
     }
@@ -539,12 +557,13 @@ def finalize_entity_key(
     tokenizer,
     summarize_fn,
     stored: dict | None = None,
+    capped_partials: bool = True,
 ) -> dict:
     if stored is not None and not blobs:
         # key untouched by this batch → reference never re-merges it
         return _stored_node_row(name, stored)
     rows, source_ids, merged, flag, complete, skip = _finalize_common(
-        blobs, cfg.max_source_ids_per_entity, cfg, stored
+        blobs, cfg.max_source_ids_per_entity, cfg, stored, capped_partials
     )
     if skip:
         return _stored_node_row(name, stored)
@@ -607,12 +626,12 @@ def _stored_edge_row(src: str, tgt: str, stored: dict) -> dict:
 
 def finalize_edge_key(
     src: str, tgt: str, blobs: list[dict], cfg: PipelineConfig, tokenizer,
-    summarize_fn, stored: dict | None = None,
+    summarize_fn, stored: dict | None = None, capped_partials: bool = True,
 ) -> dict:
     if stored is not None and not blobs:
         return _stored_edge_row(src, tgt, stored)
     rows, source_ids, merged, flag, _complete, skip = _finalize_common(
-        blobs, cfg.max_source_ids_per_relation, cfg, stored
+        blobs, cfg.max_source_ids_per_relation, cfg, stored, capped_partials
     )
     if skip:
         return _stored_edge_row(src, tgt, stored)
@@ -681,7 +700,8 @@ def _split_stored(raw: list[dict]) -> tuple[list[dict], dict | None]:
     return blobs, (stored_blobs[0] if stored_blobs else None)
 
 
-def make_bucket_finalize_entities_groupfn(cfg: PipelineConfig):
+def make_bucket_finalize_entities_groupfn(cfg: PipelineConfig,
+                                          incremental: bool = False):
     def finalize_bucket(group: pd.DataFrame) -> pa.Table:
         tokenizer = _worker_summary_ctx()
         summarize_fn = make_deterministic_summary_model(
@@ -695,7 +715,8 @@ def make_bucket_finalize_entities_groupfn(cfg: PipelineConfig):
             blobs, stored = _split_stored(raw)
             rows.append(
                 finalize_entity_key(
-                    name, blobs, cfg, tokenizer, summarize_fn, stored=stored
+                    name, blobs, cfg, tokenizer, summarize_fn, stored=stored,
+                    capped_partials=not incremental,
                 )
             )
         return _rows_to_table(rows, NODES_SCHEMA)
@@ -703,7 +724,8 @@ def make_bucket_finalize_entities_groupfn(cfg: PipelineConfig):
     return finalize_bucket
 
 
-def make_bucket_finalize_edges_groupfn(cfg: PipelineConfig):
+def make_bucket_finalize_edges_groupfn(cfg: PipelineConfig,
+                                       incremental: bool = False):
     def finalize_bucket(group: pd.DataFrame) -> pa.Table:
         tokenizer = _worker_summary_ctx()
         summarize_fn = make_deterministic_summary_model(
@@ -718,7 +740,8 @@ def make_bucket_finalize_edges_groupfn(cfg: PipelineConfig):
             blobs, stored = _split_stored(raw)
             rows.append(
                 finalize_edge_key(
-                    src, tgt, blobs, cfg, tokenizer, summarize_fn, stored=stored
+                    src, tgt, blobs, cfg, tokenizer, summarize_fn, stored=stored,
+                    capped_partials=not incremental,
                 )
             )
         return _rows_to_table(rows, EDGES_SCHEMA)
@@ -733,8 +756,9 @@ def make_bucket_finalize_edges_groupfn(cfg: PipelineConfig):
 def canonicalize_entities(mentions_e, cfg: PipelineConfig, prior_nodes=None):
     """entity mention rows (∪ optional prior node snapshot) → node table
     (pre endpoint-append)."""
+    incremental = prior_nodes is not None
     partials = mentions_e.map_batches(
-        make_entity_partials_fn(cfg),
+        make_entity_partials_fn(cfg, incremental),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=cfg.merge_batch_size,
@@ -749,16 +773,22 @@ def canonicalize_entities(mentions_e, cfg: PipelineConfig, prior_nodes=None):
         )
     salted = partials.groupby(
         "b1", num_partitions=cfg.shuffle_partitions
-    ).map_groups(make_bucket_merge_groupfn(cfg, "e"), batch_format="pandas")
+    ).map_groups(
+        make_bucket_merge_groupfn(cfg, "e", incremental), batch_format="pandas"
+    )
     return salted.groupby(
         "b2", num_partitions=cfg.shuffle_partitions
-    ).map_groups(make_bucket_finalize_entities_groupfn(cfg), batch_format="pandas")
+    ).map_groups(
+        make_bucket_finalize_entities_groupfn(cfg, incremental),
+        batch_format="pandas",
+    )
 
 
 def canonicalize_edges(mentions_r, cfg: PipelineConfig, prior_edges=None):
     """relation mention rows (∪ optional prior edge snapshot) → edge table."""
+    incremental = prior_edges is not None
     partials = mentions_r.map_batches(
-        make_edge_partials_fn(cfg),
+        make_edge_partials_fn(cfg, incremental),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=cfg.merge_batch_size,
@@ -773,7 +803,12 @@ def canonicalize_edges(mentions_r, cfg: PipelineConfig, prior_edges=None):
         )
     salted = partials.groupby(
         "b1", num_partitions=cfg.shuffle_partitions
-    ).map_groups(make_bucket_merge_groupfn(cfg, "r"), batch_format="pandas")
+    ).map_groups(
+        make_bucket_merge_groupfn(cfg, "r", incremental), batch_format="pandas"
+    )
     return salted.groupby(
         "b2", num_partitions=cfg.shuffle_partitions
-    ).map_groups(make_bucket_finalize_edges_groupfn(cfg), batch_format="pandas")
+    ).map_groups(
+        make_bucket_finalize_edges_groupfn(cfg, incremental),
+        batch_format="pandas",
+    )

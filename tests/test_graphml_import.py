@@ -97,3 +97,52 @@ def test_import_networkx_written_graphml(tmp_path):
     assert e["weight"] == 2.0
     assert e["keywords"] == ["employment", "work"]
     assert e["source_ids"] == ["chunk-1", "chunk-2"]
+
+
+def test_quotes_in_entity_names_roundtrip(ray_session, tmp_path):
+    """Double quotes survive normalize_entity_name (only OUTER quote pairs are
+    stripped), so attribute values must be emitted with quoteattr — plain
+    escape() leaves '"' intact and produces unparseable GraphML."""
+    import ray.data as rd
+
+    from lightrag_ray.pipelines.export import write_graphml
+
+    name = 'ACME "HOLDINGS" LLC'
+    other = "Partner & <Co>"
+    nodes = rd.from_items(
+        [
+            {
+                "entity_id": n,
+                "entity_type": "organization",
+                "description": 'desc with "quotes" & <angles>',
+                "source_ids": ["c1"],
+                "file_paths": ["https://x"],
+                "created_at": 1,
+                "truncate": "",
+            }
+            for n in (name, other)
+        ]
+    )
+    edges = rd.from_items(
+        [
+            {
+                "src_id": name,
+                "tgt_id": other,
+                "weight": 1.0,
+                "description": "d",
+                "keywords": ["k"],
+                "source_ids": ["c1"],
+                "file_paths": ["https://x"],
+                "created_at": 1,
+                "truncate": "",
+            }
+        ]
+    )
+    path = str(tmp_path / "g.graphml")
+    write_graphml(nodes, edges, path)
+    nodes_dir, edges_dir = import_graphml(path, str(tmp_path / "imp"))
+    imp_nodes = pq.read_table(nodes_dir).to_pylist()
+    assert {r["entity_id"] for r in imp_nodes} == {name, other}
+    assert imp_nodes[0]["description"] == 'desc with "quotes" & <angles>'
+    imp_edges = pq.read_table(edges_dir).to_pylist()
+    assert (imp_edges[0]["src_id"], imp_edges[0]["tgt_id"]) == (name, other)

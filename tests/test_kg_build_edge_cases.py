@@ -1,0 +1,45 @@
+"""Build-level edge cases: corpora that legitimately produce empty tables."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_build_with_zero_relation_mentions(ray_session, tmp_path):
+    """Every chunk yields ≤1 entity ⇒ no relation mentions at all; the build
+    must emit an empty edges table, not raise (round-1 ADVICE on
+    kg_build._read_mentions)."""
+    import ray.data as rd
+
+    from lightrag_ray.config import PipelineConfig
+    from lightrag_ray.pipelines.kg_build import build_kg
+    from lightrag_ray.sources.pages import PAGES_SCHEMA
+
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    # single ≥5-char word per page → exactly one entity, zero relations
+    words = [f"solitary{i:03d}" for i in range(20)]
+    table = pa.table(
+        {
+            "url": [f"https://z.example.org/doc/{i}" for i in range(20)],
+            "warc_ts": pa.array([1_000_000 + i for i in range(20)],
+                                pa.timestamp("us")),
+            "html": [f"<p>{w}</p>".encode() for w in words],
+            "text": words,
+            "lang": ["en"] * 20,
+        },
+        schema=PAGES_SCHEMA,
+    )
+    pq.write_table(table, pages_dir / "part-0.parquet")
+
+    res = build_kg(
+        [str(pages_dir / "part-0.parquet")],
+        str(tmp_path / "build"),
+        PipelineConfig(),
+        num_partitions=1,
+    )
+    edges = rd.read_parquet(res.edges_dir)
+    assert edges.count() == 0
+    nodes = rd.read_parquet(res.nodes_dir).take_all()
+    assert {r["entity_id"] for r in nodes} == set(words)

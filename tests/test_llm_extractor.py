@@ -103,3 +103,40 @@ def test_extract_stage_with_llm_extractor_and_gleaning():
     assert ents["Alpha Co"]["description"] == "a much longer description"
     rels = [r for r in out if r["kind"] == "r"]
     assert len(rels) == 1
+
+
+def test_gleaning_rounds_ge2_accumulate_history():
+    """Rounds ≥ 2 must replay the FULL accumulated conversation — round 0's
+    exchange plus every prior gleaning exchange (lightrag/operate.py:3928-3965),
+    not an emptied history."""
+    model, calls = _stub_model(
+        [
+            "entity<|#|>First<|#|>concept<|#|>initial\n<|COMPLETE|>",
+            "entity<|#|>Second<|#|>concept<|#|>gleaned\n<|COMPLETE|>",
+            "entity<|#|>Third<|#|>concept<|#|>gleaned again\n<|COMPLETE|>",
+        ]
+    )
+    ex = LLMExtractor(model)
+    out0 = ex.extract("text", "c1", 0, "")
+    out1 = ex.extract("text", "c1", 1, out0)
+    ex.extract("text", "c1", 2, out1)
+    h2 = calls[2]["history"]
+    assert len(h2) == 4  # round-0 pair + round-1 pair
+    assert "First" in h2[1]["content"]
+    assert "Second" in h2[3]["content"]
+    assert h2[2]["role"] == "user"  # the round-1 continue-prompt
+
+
+def test_history_memory_bounded_across_chunks():
+    """With max_gleaning=0 (round 0 only) the extractor must not retain one
+    history entry per chunk ever seen — single-slot state, overwritten per
+    chunk (round-1 VERDICT flag on llm_extractor.py)."""
+    model, _ = _stub_model(
+        ["entity<|#|>E<|#|>concept<|#|>d\n<|COMPLETE|>"] * 500
+    )
+    ex = LLMExtractor(model)
+    for i in range(500):
+        ex.extract(f"text {i}", f"chunk-{i}", 0, "")
+    # state is one conversation (2 messages), not 500 dict entries
+    assert ex._history_key == "chunk-499"
+    assert len(ex._history) == 2

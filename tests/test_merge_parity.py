@@ -122,33 +122,40 @@ def run_ours(
             chunk = rows[i : i + batch_size]
             yield pa.Table.from_pylist(chunk, schema=MENTIONS_SCHEMA)
 
-    # entities
-    e_parts = [make_entity_partials_fn(cfg)(b) for b in batches(e_rows)]
+    # entities (`incremental` mirrors canonicalize_entities/edges: partial
+    # caps off whenever a prior snapshot joins the reduce)
+    inc_n = prior_nodes is not None
+    e_parts = [make_entity_partials_fn(cfg, inc_n)(b) for b in batches(e_rows)]
     if prior_nodes is not None and prior_nodes.num_rows:
         e_parts.append(make_prior_nodes_to_partials_fn(cfg)(prior_nodes))
     e_df = pa.concat_tables(e_parts).to_pandas() if e_parts else None
     nodes_pre = NODES_SCHEMA.empty_table()
     if e_df is not None and len(e_df):
-        merged = _apply_groupfn(e_df, ["b1"], make_bucket_merge_groupfn(cfg, "e"))
+        merged = _apply_groupfn(
+            e_df, ["b1"], make_bucket_merge_groupfn(cfg, "e", inc_n)
+        )
         nodes_pre = _apply_groupfn(
             merged.to_pandas(),
             ["b2"],
-            make_bucket_finalize_entities_groupfn(cfg),
+            make_bucket_finalize_entities_groupfn(cfg, inc_n),
             NODES_SCHEMA,
         )
     # edges
-    r_parts = [make_edge_partials_fn(cfg)(b) for b in batches(r_rows)]
+    inc_r = prior_edges is not None
+    r_parts = [make_edge_partials_fn(cfg, inc_r)(b) for b in batches(r_rows)]
     if prior_edges is not None and prior_edges.num_rows:
         r_parts.append(make_prior_edges_to_partials_fn(cfg)(prior_edges))
     edges = EDGES_SCHEMA.empty_table()
     if r_parts:
         r_df = pa.concat_tables(r_parts).to_pandas()
         if len(r_df):
-            merged = _apply_groupfn(r_df, ["b1"], make_bucket_merge_groupfn(cfg, "r"))
+            merged = _apply_groupfn(
+                r_df, ["b1"], make_bucket_merge_groupfn(cfg, "r", inc_r)
+            )
             edges = _apply_groupfn(
                 merged.to_pandas(),
                 ["b2"],
-                make_bucket_finalize_edges_groupfn(cfg),
+                make_bucket_finalize_edges_groupfn(cfg, inc_r),
                 EDGES_SCHEMA,
             )
     # endpoints
@@ -425,3 +432,41 @@ def test_merge_partitioning_invariance():
     rng.shuffle(e2)
     rng.shuffle(r2)
     assert run_ours(e2, r2, cfg, batch_size=13) == base
+
+
+@pytest.mark.parametrize("seed", [51, 52])
+def test_incremental_reingest_hot_keys_keep(ref, seed):
+    """Round-1 ADVICE regression: KEEP-mode incremental RE-INGEST of hot keys.
+
+    Batch 2 replays many of batch 1's mentions (already-stored source_ids)
+    plus more new sources than the cap.  The reference admits replayed rows
+    because their source_id is already stored (operate.py step 4 keeps
+    existing_full_source_ids); partial-level capping computed over the
+    new-mention order alone would drop them before the finalizer."""
+    cfg = PipelineConfig(
+        max_source_ids_per_entity=4, max_source_ids_per_relation=3,
+        max_file_paths=2,
+    )
+    e_rows, r_rows = gen_mentions(seed, n_chunks=60, hot_every=1)
+    cut_e, cut_r = 2 * len(e_rows) // 3, 2 * len(r_rows) // 3
+    # batch 1 = the chronologically LAST third (largest ord keys), so its
+    # stored source_ids sort BEYOND the new-order cap when batch 2 replays
+    # them together with the earlier two-thirds — the exact dropped-early case
+    e1, r1 = e_rows[cut_e:], r_rows[cut_r:]
+    e2 = e_rows[:cut_e] + e1[:-5]
+    r2 = r_rows[:cut_r] + r1[:-5]
+
+    graph = run_reference(ref, e1, r1, cfg)
+    graph = run_reference(ref, e2, r2, cfg, graph=graph)
+
+    nodes1, edges1 = run_ours(e1, r1, cfg)
+    nodes2, edges2 = run_ours(
+        e2,
+        r2,
+        cfg,
+        prior_nodes=pa.Table.from_pylist(
+            [dict(n, _sources_complete=not n["truncate"]) for n in nodes1]
+        ),
+        prior_edges=pa.Table.from_pylist(edges1, schema=EDGES_SCHEMA),
+    )
+    _compare(graph, nodes2, edges2)
