@@ -90,8 +90,86 @@ FROM f
 """
 
 
+def q_binary_extract(sf_dir: str):
+    """Binary-document extraction (SURVEY §2.1 S2) exercised end-to-end:
+    each document's text is packaged as a REAL docx / pptx / xlsx payload
+    (cycling by doc_id), then recovered through the binary extraction stage
+    (stages/extract_binary.py over functions/extractors.py — the stdlib
+    re-expression of lightrag/parser/legacy/extractors.py:41-162).  The
+    oracle states each format's expected text transform in SQL, so the zip +
+    OOXML write/parse round trip is hash-checked, not just row-counted."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lightrag_ray.sources.binary_docs import make_docx, make_pptx, make_xlsx
+    from lightrag_ray.stages.extract_binary import make_binary_extract_fn
+
+    def to_payloads(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        payloads, suffixes = [], []
+        for doc_id, text in zip(doc_ids, texts):
+            text = text or ""
+            kind = doc_id % 3
+            if kind == 0:
+                payloads.append(make_docx(text.split("\n")))
+                suffixes.append("docx")
+            elif kind == 1:
+                payloads.append(make_pptx([[text]]))
+                suffixes.append("pptx")
+            else:
+                payloads.append(make_xlsx({"Sheet1": [[text]]}))
+                suffixes.append("xlsx")
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "suffix": pa.array(suffixes, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return (
+        ds.map_batches(to_payloads, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            make_binary_extract_fn(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .drop_columns(["error"])
+    )
+
+
+# expected per format: docx round-trips text exactly (one paragraph per
+# line, w:br for embedded newlines); pptx appends '\n' per shape; xlsx
+# wraps in sheet banners and escapes '\'→'\\', newline→literal '\n'
+# (documents.text contains no TAB/CR — checked in TESTDATA)
+SQL_BINARY_EXTRACT = r"""
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'docx' WHEN 1 THEN 'pptx' ELSE 'xlsx' END
+           AS suffix,
+       CASE doc_id % 3
+         WHEN 0 THEN text
+         WHEN 1 THEN text || chr(10)
+         ELSE '==================== Sheet: Sheet1 ====================' ||
+              chr(10) ||
+              replace(replace(text, '\', '\\'), chr(10), '\n') ||
+              chr(10) || '===================='
+       END AS text
+FROM documents
+"""
+
+
 def q_minhash_lsh(sf_dir: str):
     return dedup.minhash_lsh_pairs(sf_dir, threshold=0.5)
+
+
+def q_embedding_lsh(sf_dir: str):
+    return dedup.embedding_lsh_pairs(sf_dir, threshold=0.45)
 
 
 def q_langid(sf_dir: str):
@@ -106,7 +184,9 @@ def queries() -> dict[str, Callable]:
         "media_feature_norms": q_media_feature_norms,
         "event_windows": events.tumbling_window_user_stats,
         "event_type_rates": events.event_type_rates,
+        "binary_extract": q_binary_extract,
         "minhash_lsh_pairs": q_minhash_lsh,  # rows-only (LSH is approximate)
+        "embedding_lsh_pairs": q_embedding_lsh,  # rows-only (ANN; exact = embedding_near_dup)
         "langid": q_langid,  # rows-only (heuristic)
     }
 
@@ -119,4 +199,5 @@ def oracle_sql() -> dict[str, str]:
         "media_feature_norms": SQL_MEDIA_FEATURE_NORMS,
         "event_windows": events.SQL_TUMBLING_WINDOW,
         "event_type_rates": events.SQL_EVENT_TYPE_RATES,
+        "binary_extract": SQL_BINARY_EXTRACT,
     }

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import os
-from itertools import combinations
+from functools import lru_cache
 
 import numpy as np
 import pyarrow as pa
@@ -46,33 +46,58 @@ def _char_shingles(text: str, k: int = 3) -> set[str]:
 
 # ---------------------------------------------------------------------------
 # SimHash (60-bit, word tokens weighted by occurrence count)
+#
+# The per-word hash stays md5 (oracle-parity with DuckDB's
+# ``('0x' || substr(md5(w),1,15))::UBIGINT``), computed once per DISTINCT
+# word per batch; the per-bit vote is a numpy matrix op instead of the
+# round-1 60-ops-per-word Python loop (VERDICT perf flag).
+
+_BIT_IDX60 = np.arange(60, dtype=np.uint64)
+
+
+def _simhash_from_hash_counts(hashes: np.ndarray, counts: np.ndarray) -> int:
+    bits = ((hashes[:, None] >> _BIT_IDX60[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    v = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
+    return int(((v > 0).astype(np.uint64) << _BIT_IDX60).sum())
 
 
 def simhash60(text: str) -> int | None:
     words = _words(text)
     if not words:
         return None
-    v = [0] * 60
-    for w in words:
-        h = _md5_u60(w)
-        for b in range(60):
-            v[b] += 1 if (h >> b) & 1 else -1
-    out = 0
-    for b in range(60):
-        if v[b] > 0:
-            out |= 1 << b
-    return out
+    from collections import Counter
+
+    counter = Counter(words)
+    hashes = np.fromiter(
+        (_md5_u60(w) for w in counter), np.uint64, len(counter)
+    )
+    counts = np.fromiter(counter.values(), np.int64, len(counter))
+    return _simhash_from_hash_counts(hashes, counts)
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
+    from collections import Counter
+
     doc_ids, hashes = [], []
+    word_cache: dict[str, int] = {}  # vocab repeats heavily across docs
     for doc_id, text in zip(
         batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
     ):
-        h = simhash60(text or "")
-        if h is not None:
-            doc_ids.append(doc_id)
-            hashes.append(h)
+        words = _words(text or "")
+        if not words:
+            continue
+        counter = Counter(words)
+        hs = np.empty(len(counter), np.uint64)
+        for i, w in enumerate(counter):
+            h = word_cache.get(w)
+            if h is None:
+                h = word_cache[w] = _md5_u60(w)
+            hs[i] = h
+        counts = np.fromiter(counter.values(), np.int64, len(counter))
+        doc_ids.append(doc_id)
+        hashes.append(_simhash_from_hash_counts(hs, counts))
     return pa.table(
         {
             "doc_id": pa.array(doc_ids, pa.int64()),
@@ -83,57 +108,122 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH
+#
+# Round-2 vectorization (VERDICT perf flag): the round-1 kernel ran one md5
+# per (shingle × permutation) in Python.  Now each utf-8 byte k-gram is
+# hashed ONCE by a vectorized rolling polynomial hash, and the ``num_perm``
+# permutations are xor-seed + splitmix64-finalizer mixes over the whole
+# shingle-hash array — all numpy uint64 ops, no per-shingle Python work.
+
+_POLY_B = np.uint64(1099511628211)  # FNV-1a prime as polynomial base
 
 
-def minhash_signature(shingles: set[str], num_perm: int = 64) -> list[int]:
-    """Deterministic one-hash-per-permutation via salted md5."""
-    if not shingles:
-        return [0] * num_perm
-    sig = []
-    for p in range(num_perm):
-        salt = f"{p}:".encode()
-        sig.append(
-            min(
-                int.from_bytes(
-                    hashlib.md5(salt + s.encode("utf-8")).digest()[:8], "big"
-                )
-                for s in shingles
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public domain constants), vectorized."""
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
+def _byte_kgram_hashes(text: str, k: int) -> np.ndarray:
+    """Mixed 64-bit hash of every utf-8 byte k-gram (vectorized Horner:
+    k vector ops total, not n×k)."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = data.size - k + 1
+    if n <= 0:
+        return np.empty(0, np.uint64)
+    h = np.zeros(n, np.uint64)
+    for j in range(k):
+        h = h * _POLY_B + data[j : j + n]
+    return _mix64(h)
+
+
+@lru_cache(maxsize=8)
+def _perm_seeds(num_perm: int) -> np.ndarray:
+    """Deterministic permutation seeds (md5 of the permutation index)."""
+    return np.array(
+        [
+            int.from_bytes(
+                hashlib.md5(f"minhash-perm-{i}".encode()).digest()[:8], "big"
             )
-        )
-    return sig
+            for i in range(num_perm)
+        ],
+        np.uint64,
+    )
+
+
+def _sig_from_hashes(hashes: np.ndarray, num_perm: int) -> np.ndarray:
+    """MinHash signature: min over shingles of mix64(h ^ seed_p) per perm."""
+    u = np.unique(hashes)
+    return _mix64(u[:, None] ^ _perm_seeds(num_perm)[None, :]).min(axis=0)
+
+
+def minhash_signature(text: str, num_perm: int = 64, k: int = 5) -> np.ndarray:
+    """Signature of one text (distinct utf-8 byte k-grams)."""
+    hashes = _byte_kgram_hashes(text, k)
+    if not hashes.size:
+        return np.zeros(num_perm, np.uint64)
+    return _sig_from_hashes(hashes, num_perm)
 
 
 def make_minhash_bands_fn(num_perm: int = 64, bands: int = 16, shingle_k: int = 5):
     rows_per_band = num_perm // bands
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        out = {"band_id": [], "band_hash": [], "doc_id": [], "sig": []}
+        doc_ids, sig_rows = [], []
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            shingles = _char_shingles(text or "", shingle_k)
-            if not shingles:
+            hashes = _byte_kgram_hashes(text or "", shingle_k)
+            if not hashes.size:
                 continue
-            sig = minhash_signature(shingles, num_perm)
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                bh = hashlib.md5(
-                    (",".join(map(str, chunk))).encode()
-                ).hexdigest()[:16]
-                out["band_id"].append(b)
-                out["band_hash"].append(bh)
-                out["doc_id"].append(doc_id)
-                out["sig"].append(sig)
+            doc_ids.append(doc_id)
+            sig_rows.append(_sig_from_hashes(hashes, num_perm))
+        if not doc_ids:
+            return pa.table(
+                {
+                    "band_id": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        sigs = np.stack(sig_rows)  # (n_docs, num_perm)
+        # band hash: Horner-combine each band's signature slice, then mix —
+        # all bands of all docs in one (n_docs, bands, rpb) pass
+        banded = sigs.reshape(len(doc_ids), bands, rows_per_band)
+        bh = np.zeros((len(doc_ids), bands), np.uint64)
+        for j in range(rows_per_band):
+            bh = bh * _POLY_B + banded[:, :, j]
+        bh = _mix64(bh)
+        n = len(doc_ids)
+        sig_list = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.repeat(sigs, bands, axis=0).ravel().view(np.int64)),
+            num_perm,
+        ).cast(pa.list_(pa.int64()))
+        band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
+        band_hashes = bh.ravel().view(np.int64)
+        # coarse shuffle key: many (band, hash) buckets per reducer call —
+        # per-tiny-group map_groups overhead dominated this stage otherwise
+        gb = _mix64(
+            (band_ids.view(np.uint64) * _POLY_B) ^ band_hashes.view(np.uint64)
+        ).view(np.int64) % np.int64(_LSH_REDUCE_BUCKETS)
         return pa.table(
             {
-                "band_id": pa.array(out["band_id"], pa.int32()),
-                "band_hash": pa.array(out["band_hash"], pa.string()),
-                "doc_id": pa.array(out["doc_id"], pa.int64()),
-                "sig": pa.array(out["sig"], pa.list_(pa.int64())),
+                "gb": pa.array(gb, pa.int32()),
+                "band_id": pa.array(band_ids.astype(np.int32), pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.int64()),
+                "doc_id": pa.array(
+                    np.repeat(np.asarray(doc_ids, np.int64), bands), pa.int64()
+                ),
+                "sig": sig_list,
             }
         )
 
     return to_bands
+
+
+_LSH_REDUCE_BUCKETS = 256
 
 
 def make_bucket_pairs_groupfn(max_bucket: int = 200, threshold: float = 0.5):
@@ -143,26 +233,41 @@ def make_bucket_pairs_groupfn(max_bucket: int = 200, threshold: float = 0.5):
     be quadratic."""
     import pandas as pd
 
-    def pairs(group: pd.DataFrame) -> pa.Table:
+    def one_bucket(group: pd.DataFrame, out: dict) -> None:
         group = group.drop_duplicates("doc_id").sort_values("doc_id")
         truncated = len(group) > max_bucket
         group = group.head(max_bucket)
-        ids = group["doc_id"].tolist()
-        sigs = [np.asarray(s) for s in group["sig"]]
+        ids = np.asarray(group["doc_id"].tolist(), np.int64)
+        m = len(ids)
+        if m < 2:
+            return
+        sigs = np.stack([np.asarray(s) for s in group["sig"]])
+        # (m, m) estimated-Jaccard matrix in one broadcast comparison
+        est = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+        ai, bi = np.triu_indices(m, k=1)
+        keep = est[ai, bi] >= threshold
+        out["doc_a"].append(ids[ai[keep]])
+        out["doc_b"].append(ids[bi[keep]])
+        out["est_jaccard"].append(np.round(est[ai, bi][keep], 4))
+        out["truncated"].append(np.full(int(keep.sum()), truncated))
+
+    def pairs(coarse_group: pd.DataFrame) -> pa.Table:
+        # one call per gb bucket; sub-group into real LSH buckets here
         out = {"doc_a": [], "doc_b": [], "est_jaccard": [], "truncated": []}
-        for i, j in combinations(range(len(ids)), 2):
-            est = float(np.mean(sigs[i] == sigs[j]))
-            if est >= threshold:
-                out["doc_a"].append(ids[i])
-                out["doc_b"].append(ids[j])
-                out["est_jaccard"].append(round(est, 4))
-                out["truncated"].append(truncated)
+        for _, g in coarse_group.groupby(["band_id", "band_hash"], sort=False):
+            one_bucket(g, out)
+        cat = {
+            k: (np.concatenate(v) if v else np.empty(0))
+            for k, v in out.items()
+        }
         return pa.table(
             {
-                "doc_a": pa.array(out["doc_a"], pa.int64()),
-                "doc_b": pa.array(out["doc_b"], pa.int64()),
-                "est_jaccard": pa.array(out["est_jaccard"], pa.float64()),
-                "truncated": pa.array(out["truncated"], pa.bool_()),
+                "doc_a": pa.array(cat["doc_a"], pa.int64()),
+                "doc_b": pa.array(cat["doc_b"], pa.int64()),
+                "est_jaccard": pa.array(cat["est_jaccard"], pa.float64()),
+                "truncated": pa.array(
+                    cat["truncated"].astype(bool), pa.bool_()
+                ),
             }
         )
 
@@ -181,7 +286,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5):
     bands = ds.map_batches(
         make_minhash_bands_fn(), batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+    pairs = bands.groupby("gb").map_groups(
         make_bucket_pairs_groupfn(threshold=threshold), batch_format="pandas"
     )
     # a pair can surface from several bands — keep one row per pair
@@ -283,3 +388,112 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.45):
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"])
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-duplicates, scale path: random-hyperplane LSH
+#
+# The vector analogue of minhash_lsh_pairs (the O(n²) broadcast above stays
+# as its correctness oracle): each vector lands in one bucket per table —
+# the sign pattern of ``n_planes`` random-hyperplane projections — pairs are
+# scored exactly (cosine) only WITHIN buckets, and a groupby dedups pairs
+# surfacing from several tables.  Nothing broadcasts the corpus; bucket
+# population is bounded by ``max_bucket``.
+#
+# Recall tuning: P(pair collides in one table) = (1 - θ/π)^n_planes for
+# angle θ; near-threshold pairs (cos≈0.45, θ≈63°) collide with p≈0.18 at
+# n_planes=4, so ``n_tables=24`` gives ≥99% per-pair recall.  At larger
+# corpora raise n_planes (halving bucket population per plane) and n_tables
+# together; planes are derived per-task from a fixed seed, never shipped.
+
+
+def _lsh_planes(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes, (n_tables, n_planes, dim)."""
+    rng = np.random.default_rng(np.random.PCG64(20260817))
+    return rng.standard_normal((n_tables, n_planes, dim))
+
+
+def make_lsh_bucket_fn(n_planes: int, n_tables: int):
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id"), np.int64)
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
+        planes = _lsh_planes(mat.shape[1], n_planes, n_tables)
+        # (n_tables, n, n_planes) sign bits → packed bucket key per table
+        proj = np.einsum("tpd,nd->tnp", planes, unit) > 0
+        weights = (1 << np.arange(n_planes, dtype=np.int64))[None, None, :]
+        buckets = (proj * weights).sum(axis=2)  # (n_tables, n)
+        n = len(ids)
+        dim = mat.shape[1]
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.tile(unit, (n_tables, 1)).ravel()), dim
+        ).cast(pa.list_(pa.float64()))
+        return pa.table(
+            {
+                "table_id": pa.array(
+                    np.repeat(np.arange(n_tables, dtype=np.int32), n), pa.int32()
+                ),
+                "bucket": pa.array(buckets.ravel(), pa.int64()),
+                "vec_id": pa.array(np.tile(ids, n_tables), pa.int64()),
+                "unit": emb,
+            }
+        )
+
+    return to_buckets
+
+
+def make_lsh_bucket_pairs_groupfn(threshold: float, max_bucket: int = 2000):
+    import pandas as pd
+
+    def pairs(group: pd.DataFrame) -> pa.Table:
+        group = group.drop_duplicates("vec_id").sort_values("vec_id")
+        group = group.head(max_bucket)
+        ids = np.asarray(group["vec_id"].tolist(), np.int64)
+        out_a, out_b, out_s = [], [], []
+        if len(ids) >= 2:
+            unit = np.stack([np.asarray(u) for u in group["unit"]])
+            sims = unit @ unit.T
+            ai, bi = np.triu_indices(len(ids), k=1)
+            keep = sims[ai, bi] >= threshold
+            out_a = ids[ai[keep]]
+            out_b = ids[bi[keep]]
+            out_s = np.round(sims[ai, bi][keep], 4)
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return pairs
+
+
+def embedding_lsh_pairs(
+    sf_dir: str,
+    threshold: float = 0.45,
+    n_planes: int = 4,
+    n_tables: int = 24,
+):
+    """embeddings → near-duplicate pairs via random-hyperplane LSH buckets +
+    within-bucket exact cosine (approximate recall; embedding_near_dup_pairs
+    is the exact oracle)."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    buckets = ds.map_batches(
+        make_lsh_bucket_fn(n_planes, n_tables),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = buckets.groupby(["table_id", "bucket"]).map_groups(
+        make_lsh_bucket_pairs_groupfn(threshold), batch_format="pandas"
+    )
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("sim", alias_name="sim")
+    )

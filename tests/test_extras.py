@@ -41,11 +41,14 @@ def test_extras_oracle(ray_session, con, name):
 
 
 def test_minhash_estimates_jaccard():
-    a = _char_shingles("the quick brown fox jumps over the lazy dog", 3)
-    b = _char_shingles("the quick brown fox jumped over a lazy dog", 3)
+    ta = "the quick brown fox jumps over the lazy dog"
+    tb = "the quick brown fox jumped over a lazy dog"
+    a = {ta[i : i + 3] for i in range(len(ta) - 2)}
+    b = {tb[i : i + 3] for i in range(len(tb) - 2)}
     true_j = len(a & b) / len(a | b)
-    sa, sb = minhash_signature(a, 128), minhash_signature(b, 128)
-    est = sum(x == y for x, y in zip(sa, sb)) / 128
+    sa = minhash_signature(ta, 128, k=3)
+    sb = minhash_signature(tb, 128, k=3)
+    est = float((sa == sb).mean())
     assert abs(est - true_j) < 0.15
 
 
@@ -95,3 +98,20 @@ def test_multimodal_decoders():
     assert len(f) == 8 and f == fake.features(b"payload", "image")
     with pytest.raises(NotImplementedError):
         RealDecoder().features(b"x", "image")
+
+
+def test_embedding_lsh_recall_vs_exact(ray_session):
+    """Random-hyperplane LSH must recover the exact-cosine oracle's pairs at
+    test scale (deterministic planes ⇒ deterministic recall), with no
+    false positives below threshold."""
+    from lightrag_ray.extras.dedup import (
+        embedding_lsh_pairs,
+        embedding_near_dup_pairs,
+    )
+
+    exact = embedding_near_dup_pairs(SF_DIR, threshold=0.45).to_pandas()
+    lsh = embedding_lsh_pairs(SF_DIR, threshold=0.45).to_pandas()
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    lsh_pairs = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert exact_pairs == lsh_pairs  # recall 1.0 at this scale, no extras
+    assert (lsh["sim"] >= 0.45).all()
