@@ -39,12 +39,75 @@ def node_degrees(edges_ds):
     return ends.groupby("entity_id").aggregate(Count(alias_name="degree"))
 
 
-def rank_edges(edges_ds):
+def rank_edges(edges_ds, degree_join: str = "broadcast"):
     """edge table → edges with ``rank`` = deg(src)+deg(tgt), sorted by
-    (rank, weight) descending."""
+    (rank, weight) descending.
+
+    ``degree_join``:
+      - ``"broadcast"`` (default): collect the degree table driver-side and
+        ``ray.put`` it as a lookup dict.  Right for the REDUCED graph
+        (degree table ≪ corpus), bounded by a hard row guard — at 10⁸+
+        entities use the shuffle path instead.
+      - ``"shuffle"``: two distributed hash joins (``Dataset.join`` on
+        src then tgt) — no driver materialization, scale-safe.
+    """
     import ray
 
+    if degree_join == "shuffle":
+        # Two keyed aggregations instead of Dataset.join (Ray 2.49's hash
+        # join crashes on empty partitions — schema-less blocks): explode
+        # each edge to one row per endpoint, groupby(entity) attaches the
+        # group size as that endpoint's degree, groupby(edge) sums the two
+        # contributions back onto one payload row.  No driver materialization.
+        import pandas as pd
+
+        def explode_payload(batch: pa.Table) -> pa.Table:
+            keys = [
+                f"{s}\x00{t}"
+                for s, t in zip(
+                    batch.column("src_id").to_pylist(),
+                    batch.column("tgt_id").to_pylist(),
+                )
+            ]
+            key_col = pa.array(keys + keys, pa.string())
+            ends = pa.array(
+                batch.column("src_id").to_pylist()
+                + batch.column("tgt_id").to_pylist(),
+                pa.string(),
+            )
+            doubled = pa.concat_tables([batch, batch])
+            return doubled.append_column("_edge_key", key_col).append_column(
+                "_end", ends
+            )
+
+        def per_entity(group: pd.DataFrame) -> pd.DataFrame:
+            group = group.copy()
+            group["_deg"] = len(group)
+            return group
+
+        def per_edge(group: pd.DataFrame) -> pd.DataFrame:
+            first = group.iloc[[0]].copy()
+            first["rank"] = int(group["_deg"].sum())
+            return first.drop(columns=["_edge_key", "_end", "_deg"])
+
+        exploded = edges_ds.map_batches(
+            explode_payload, batch_format="pyarrow", zero_copy_batch=True
+        )
+        with_deg = exploded.groupby("_end").map_groups(
+            per_entity, batch_format="pandas"
+        )
+        ranked = with_deg.groupby("_edge_key").map_groups(
+            per_edge, batch_format="pandas"
+        )
+        return ranked.sort(["rank", "weight"], descending=[True, True])
+
+    MAX_BROADCAST_NODES = 5_000_000  # ~100 MB dict; beyond this, shuffle
     deg_table = node_degrees(edges_ds).to_pandas()
+    if len(deg_table) > MAX_BROADCAST_NODES:
+        raise ValueError(
+            f"degree table has {len(deg_table)} nodes — too large to "
+            'broadcast; call rank_edges(..., degree_join="shuffle")'
+        )
     deg_ref = ray.put(dict(zip(deg_table["entity_id"], deg_table["degree"])))
 
     def add_rank(batch: pa.Table) -> pa.Table:
@@ -82,6 +145,32 @@ def one_hop_edges(edges_ds, seed_entities: list[str]):
     return rank_edges(
         edges_ds.map_batches(touch, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def broadcast_fetch(ds, keys: list[str], key_of_batch) -> dict[str, dict]:
+    """Fetch full rows for a SMALL key set from a large table: the key set is
+    broadcast (``ray.put`` once), the table streams through a filter — the
+    de-driverized replacement for iter_rows()-built lookup dicts (round-1
+    VERDICT flag on query_path).  ``key_of_batch(batch) -> list[str]``
+    computes each row's key.  Returns {key: row}."""
+    import ray
+
+    if not keys:
+        return {}
+    keys_ref = ray.put(frozenset(keys))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(keys_ref)
+        row_keys = key_of_batch(batch)
+        mask = pa.array([k in wanted for k in row_keys])
+        return batch.append_column("_fetch_key", pa.array(row_keys, pa.string())).filter(
+            mask
+        )
+
+    rows = ds.map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    return {row.pop("_fetch_key"): row for row in rows}
 
 
 def dedup_chunk_hits(entities_with_chunks: list[dict]) -> list[dict]:

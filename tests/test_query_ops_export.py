@@ -100,3 +100,29 @@ def test_export_csv_and_graphml(built, tmp_path):
     xml_edges = tree.findall(".//g:edge", ns)
     assert len(xml_nodes) == nodes.count()
     assert len(xml_edges) == edges.count()
+
+
+def test_rank_edges_shuffle_matches_broadcast(ray_session, tmp_path):
+    """The scale-safe Dataset.join degree path must produce the same ranking
+    as the broadcast-dict default."""
+    import ray.data as rd
+
+    from lightrag_ray.pipelines.query_ops import rank_edges
+
+    edges = rd.from_items(
+        [
+            {"src_id": "a", "tgt_id": "b", "weight": 2.0},
+            {"src_id": "a", "tgt_id": "c", "weight": 1.0},
+            {"src_id": "b", "tgt_id": "c", "weight": 3.0},
+            {"src_id": "c", "tgt_id": "d", "weight": 1.0},
+        ]
+    )
+    cols = ["src_id", "tgt_id", "weight", "rank"]
+    broadcast = [
+        {k: r[k] for k in cols} for r in rank_edges(edges).take_all()
+    ]
+    shuffle = [
+        {k: r[k] for k in cols}
+        for r in rank_edges(edges, degree_join="shuffle").take_all()
+    ]
+    assert broadcast == shuffle
