@@ -54,12 +54,172 @@ def _q_kg_build_edges(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Oracle-checked FULL-build projections (round-1 VERDICT #6): the COMPLETE
+# pipeline — pages synthesis → html decode + sanitize → chunker → extractor →
+# parser → salted canonicalization → endpoint back-propagation — run over the
+# single-chunk-document subset, where every SQL-expressible output column
+# (identity, plurality type, provenance counts/caps, weights, timestamps)
+# has a closed form.  Descriptions/summarization stay pinned by
+# tests/test_merge_parity.py instead (not SQL-expressible).
+
+_EPOCH_S = 1_767_225_600  # sources/pages.py _EPOCH_US / 1e6
+
+
+def _build_single_chunk(sf_dir: str):
+    """Synthesize pages for single-chunk docs only, then run the full build."""
+    import ray.data as rd
+
+    from lightrag_ray.functions.text import sanitize_text_for_encoding
+    from lightrag_ray.functions.tokenizer import default_tokenizer
+    from lightrag_ray.pipelines.queries import _STRIDE
+    from lightrag_ray.sources.pages import documents_batch_to_pages
+
+    def filter_single_chunk(batch):
+        import pyarrow as pa
+
+        pages = documents_batch_to_pages(batch)
+        tokenizer = default_tokenizer()
+        keep = []
+        for b in pages.column("html").to_pylist():
+            text = sanitize_text_for_encoding(b.decode("utf-8", errors="replace"))
+            keep.append(
+                bool(text.strip())
+                and len(tokenizer.encode(text)) <= _STRIDE
+            )
+        return pages.filter(pa.array(keep))
+
+    work = tempfile.mkdtemp(prefix="lightrag_ray_1c_")
+    rd.read_parquet(f"{sf_dir}/documents.parquet").map_batches(
+        filter_single_chunk, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(4).write_parquet(f"{work}/pages")
+    return build_kg(
+        f"{work}/pages", f"{work}/build", PipelineConfig(), num_partitions=2
+    )
+
+
+def _q_kg_build_nodes_1c(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    result = _build_single_chunk(sf_dir)
+
+    def project(t):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "entity_id": t.column("entity_id"),
+                "entity_type": t.column("entity_type"),
+                "created_at": t.column("created_at"),
+                "n_mentions": t.column("n_mentions"),
+                "n_sources": pc.cast(
+                    pc.list_value_length(t.column("source_ids")), pa.int64()
+                ),
+                "truncate": t.column("truncate"),
+            }
+        )
+
+    return rd.read_parquet(result.nodes_dir).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _q_kg_build_edges_1c(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    result = _build_single_chunk(sf_dir)
+
+    def project(t):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "src_id": t.column("src_id"),
+                "tgt_id": t.column("tgt_id"),
+                "weight": t.column("weight"),
+                "keywords": pa.array(
+                    [",".join(k) for k in t.column("keywords").to_pylist()],
+                    pa.string(),
+                ),
+                "created_at": t.column("created_at"),
+                "n_mentions": t.column("n_mentions"),
+                "n_sources": pc.cast(
+                    pc.list_value_length(t.column("source_ids")), pa.int64()
+                ),
+                "truncate": t.column("truncate"),
+            }
+        )
+
+    return rd.read_parquet(result.edges_dir).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# RuleExtractor types (stages/extract.py _TYPES), indexed by len(word) % 5
+_SQL_TYPE_CASE = """CASE length(entity_id) % 5
+         WHEN 0 THEN 'person' WHEN 1 THEN 'organization' WHEN 2 THEN 'location'
+         WHEN 3 THEN 'event' ELSE 'concept' END"""
+
+_CAP = PipelineConfig().max_source_ids_per_entity  # 200, KEEP mode
+
+SQL_KG_BUILD_NODES_1C = f"""
+WITH {_Q._SQL_WORDS_1CHUNK},
+m AS (
+  SELECT doc_id, word, {_EPOCH_S} + doc_id AS ts FROM ents
+),
+src_ranked AS (
+  SELECT word, ts,
+         row_number() OVER (PARTITION BY word ORDER BY doc_id) AS srk
+  FROM m
+)
+SELECT word AS entity_id,
+       {_SQL_TYPE_CASE.replace("entity_id", "word")} AS entity_type,
+       max(ts) FILTER (srk <= {_CAP}) AS created_at,
+       count(*) AS n_mentions,
+       least(count(*), {_CAP}) AS n_sources,
+       CASE WHEN count(*) > {_CAP} THEN 'KEEP Old' ELSE '' END AS "truncate"
+FROM src_ranked GROUP BY word
+"""
+
+SQL_KG_BUILD_EDGES_1C = f"""
+WITH {_Q._SQL_WORDS_1CHUNK},
+pairs AS (
+  SELECT doc_id, word AS a,
+         lead(word) OVER (PARTITION BY doc_id ORDER BY first_pos) AS b
+  FROM ents
+),
+m AS (
+  SELECT doc_id, least(a, b) AS src_id, greatest(a, b) AS tgt_id,
+         {_EPOCH_S} + doc_id AS ts
+  FROM pairs WHERE b IS NOT NULL AND a <> b
+),
+src_ranked AS (
+  SELECT src_id, tgt_id, ts,
+         row_number() OVER (PARTITION BY src_id, tgt_id ORDER BY doc_id) AS srk
+  FROM m
+)
+SELECT src_id, tgt_id,
+       least(count(*), {_CAP})::DOUBLE AS weight,
+       'cooccurrence' AS keywords,
+       max(ts) FILTER (srk <= {_CAP}) AS created_at,
+       count(*) AS n_mentions,
+       least(count(*), {_CAP}) AS n_sources,
+       CASE WHEN count(*) > {_CAP} THEN 'KEEP Old' ELSE '' END AS "truncate"
+FROM src_ranked GROUP BY src_id, tgt_id
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = dict(_Q.queries())
     # rows-only checked pipelines (not SQL-expressible: token-window overlap,
     # salted shuffle, stateful stages)
     q["kg_build_nodes"] = _q_kg_build_nodes
     q["kg_build_edges"] = _q_kg_build_edges
+    # oracle-checked full-build projections (single-chunk corpus)
+    q["kg_build_nodes_1c"] = _q_kg_build_nodes_1c
+    q["kg_build_edges_1c"] = _q_kg_build_edges_1c
     try:
         from lightrag_ray.extras import catalog as _extras
 
@@ -71,6 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     sql = dict(_Q.oracle_sql())
+    sql["kg_build_nodes_1c"] = SQL_KG_BUILD_NODES_1C
+    sql["kg_build_edges_1c"] = SQL_KG_BUILD_EDGES_1C
     try:
         from lightrag_ray.extras import catalog as _extras
 

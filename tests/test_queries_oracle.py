@@ -50,3 +50,20 @@ def test_query_matches_oracle(ray_session, con, name):
     assert list(ours_df.columns) == list(oracle_df.columns), name
     assert len(ours_df) == len(oracle_df), name
     pd.testing.assert_frame_equal(ours_df, oracle_df, check_dtype=False)
+
+
+@pytest.mark.parametrize("name", ["kg_build_nodes_1c", "kg_build_edges_1c"])
+def test_full_build_matches_oracle(ray_session, con, name):
+    """The COMPLETE build (pages synth → chunk → extract → canonicalize →
+    endpoints) hash-checked against a closed-form oracle on the single-chunk
+    corpus (round-1 VERDICT #6)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    ours_df = _normalize(E.queries()[name](SF_DIR).to_pandas())
+    oracle_df = _normalize(con.execute(E.oracle_sql()[name]).fetchdf())
+    assert list(ours_df.columns) == list(oracle_df.columns), name
+    assert len(ours_df) == len(oracle_df), name
+    pd.testing.assert_frame_equal(ours_df, oracle_df, check_dtype=False)
