@@ -27,7 +27,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("BENCH_REPLICATE", "480"))
 WORK = os.environ.get("BENCH_WORK_DIR", "/tmp/lightrag_bench")
 
-TIMED_QUERIES = ["doc_chunk_stats", "kg_nodes_simple", "exact_dedup", "knn_top10"]
+TIMED_QUERIES = ["doc_chunk_stats", "kg_nodes_simple", "exact_dedup", "knn_top10",
+                 "simhash", "minhash_lsh_pairs", "embedding_lsh_pairs"]
 
 
 def _pages_dir() -> str:
@@ -101,12 +102,14 @@ def run_headline() -> dict:
     # tasks within NUM_CPUS or the executor deadlocks waiting for actors
     chunker_pool = max(1, NUM_CPUS // 8)
     extractor_pool = max(2, NUM_CPUS - 2 - chunker_pool)
-    cfg = PipelineConfig(
+    # shuffle knobs derived from cluster size (config.autoscaled), pools
+    # budgeted explicitly for the fused phase
+    cfg = PipelineConfig.autoscaled(
+        cluster_cpus=NUM_CPUS,
         chunker_concurrency=chunker_pool,
         extractor_concurrency=extractor_pool,
         chunker_batch_size=512,
         extractor_batch_size=512,
-        shuffle_partitions=min(32, NUM_CPUS),
         write_chunks_table=False,  # fused streaming pass (the at-scale default)
     )
     t0 = time.perf_counter()
@@ -124,10 +127,11 @@ def run_headline() -> dict:
 
 
 def run_queries() -> dict:
+    from lightrag_ray.extras import catalog as X
     from lightrag_ray.pipelines import queries as Q
 
     out = {}
-    cat = Q.queries()
+    cat = {**Q.queries(), **X.queries()}
     for name in TIMED_QUERIES:
         t0 = time.perf_counter()
         ds = cat[name](SF_DIR)

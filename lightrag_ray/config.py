@@ -81,6 +81,48 @@ class PipelineConfig:
     extractor: str = "rule"
     extractor_options: dict = field(default_factory=dict)
 
+    @classmethod
+    def autoscaled(cls, cluster_cpus: int | None = None,
+                   est_mention_rows: int | None = None, **overrides):
+        """Derive the shuffle knobs from cluster size instead of constants
+        (round-1 VERDICT #7: fixed salt/reduce buckets don't transfer to a
+        256-node cluster).
+
+        - ``reduce_buckets``: ~4× cluster CPUs so every reducer core gets
+          several buckets to balance over, floored at 64; capped by the
+          estimated mention-row count (≥ ~4k rows/bucket keeps the group-fn
+          call amortized) and at 65536.
+        - ``salt_buckets``: ~half the cluster CPUs, so one planet-hot key
+          fans over many stage-1 reducers without multiplying the number of
+          stage-2 partials for cold keys; bounded [8, 512].  (Measured: 64
+          salts at 32 CPUs cost ~13% over 16 — more partials per hot key
+          with no extra parallelism to spend them on.)
+        - ``shuffle_partitions``: ≈ cluster CPUs (width of the groupby
+          exchanges).
+
+        ``est_mention_rows`` (when known, e.g. from a prior run's lineage)
+        bounds bucket counts for small corpora.
+        """
+        if cluster_cpus is None:
+            try:
+                import ray
+
+                cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
+            except Exception:
+                cluster_cpus = 8
+        reduce_buckets = max(64, 4 * cluster_cpus)
+        if est_mention_rows is not None:
+            reduce_buckets = max(16, min(reduce_buckets, est_mention_rows // 4096))
+        reduce_buckets = min(reduce_buckets, 65536)
+        salt_buckets = max(8, min(512, cluster_cpus // 2))
+        knobs = dict(
+            salt_buckets=salt_buckets,
+            reduce_buckets=reduce_buckets,
+            shuffle_partitions=max(8, cluster_cpus),
+        )
+        knobs.update(overrides)
+        return cls(**knobs)
+
     # materialize the chunks table as its own phase (the reference persists
     # text_chunks; True gives chunk-level provenance + a resume point at the
     # cost of one extra write+read of ~input-sized data).  False fuses

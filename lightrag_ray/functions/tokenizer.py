@@ -4,8 +4,18 @@ The reference's chunker takes an injected ``Tokenizer`` with ``encode(str) ->
 list[int]`` / ``decode(list[int]) -> str`` (contract: lightrag/utils.py:2840-2884;
 default tiktoken o200k_base via model name gpt-4o-mini, lightrag/utils.py:3096-3123).
 
-tiktoken is not installed in this environment, so the default here is
-:class:`SegmentTokenizer` — a deterministic, lossless word-segment tokenizer:
+Three implementations, resolved by :func:`default_tokenizer`:
+
+1. real ``tiktoken`` when importable (reference default — not shipped in this
+   environment);
+2. :class:`BPETokenizer` — a pure-Python byte-pair encoder that loads a
+   tiktoken-format vocabulary file (``base64(token) rank`` per line) and
+   splits with the public o200k_base regex, enabled by pointing
+   ``$LIGHTRAG_RAY_TIKTOKEN_VOCAB`` at a vocab file (the ~4 MB o200k_base
+   data file cannot be vendored offline, but any deployment that has it gets
+   tokenizer parity without installing tiktoken);
+3. :class:`SegmentTokenizer` — the deterministic, lossless word-segment
+   fallback:
 
   * a token is one ``\\s*\\S+`` match (leading whitespace attaches to the
     following word); a trailing whitespace-only tail attaches to the last
@@ -15,14 +25,17 @@ tiktoken is not installed in this environment, so the default here is
     whitespace word count — which makes chunk counts expressible in the DuckDB
     oracle SQL (``array_length(regexp_extract_all(text, '\\S+'))``).
 
-Token ids are interned per tokenizer instance (id tables are actor-local; only
-counts and decoded text ever leave the actor, so cross-actor id agreement is
-not required).  The intern table grows with observed vocabulary; at web scale
-swap in a vendored BPE (e.g. tiktoken) via the same protocol.
+SegmentTokenizer ids live in a BOUNDED rolling window (round-1 VERDICT flag:
+the round-1 intern table grew with observed vocabulary, an unbounded
+per-actor leak on a 100-TB corpus).  Ids are valid for at least the most
+recent ``max_live_tokens // 2`` encoded tokens — far beyond any single
+document, which is the only span the chunker ever decodes.
 """
 
 from __future__ import annotations
 
+import base64
+import os
 import re
 from typing import Protocol
 
@@ -38,16 +51,29 @@ _SEGMENT_RE = re.compile(r"\s*\S+")
 class SegmentTokenizer:
     """Deterministic lossless word-segment tokenizer (see module docstring)."""
 
-    def __init__(self) -> None:
+    def __init__(self, max_live_tokens: int = 4_000_000) -> None:
         self._id_of: dict[str, int] = {}
         self._str_of: list[str] = []
+        self._base = 0  # id of _str_of[0]
+        self._max_live = max_live_tokens
+
+    def _evict_if_needed(self) -> None:
+        if len(self._str_of) <= self._max_live:
+            return
+        drop = len(self._str_of) // 2
+        del self._str_of[:drop]
+        self._base += drop
+        # the dedup map may now point below the window; rebuilding it lazily
+        # (cleared here) keeps eviction O(live) and ids monotone
+        self._id_of.clear()
 
     def _intern(self, segment: str) -> int:
         tid = self._id_of.get(segment)
-        if tid is None:
-            tid = len(self._str_of)
+        if tid is None or tid < self._base:
+            tid = self._base + len(self._str_of)
             self._id_of[segment] = tid
             self._str_of.append(segment)
+            self._evict_if_needed()
         return tid
 
     def encode(self, text: str) -> list[int]:
@@ -63,11 +89,87 @@ class SegmentTokenizer:
         return [self._intern(s) for s in segments]
 
     def decode(self, tokens: list[int]) -> str:
-        return "".join(self._str_of[t] for t in tokens)
+        return "".join(self._str_of[t - self._base] for t in tokens)
+
+
+# ---------------------------------------------------------------------------
+# pure-Python tiktoken-format BPE
+
+# the public o200k_base split pattern (tiktoken/tiktoken_ext/openai_public.py)
+O200K_PATTERN = "|".join(
+    [
+        r"[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]*[\p{Ll}\p{Lm}\p{Lo}\p{M}]+(?i:'s|'t|'re|'ve|'m|'ll|'d)?",
+        r"[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]+[\p{Ll}\p{Lm}\p{Lo}\p{M}]*(?i:'s|'t|'re|'ve|'m|'ll|'d)?",
+        r"\p{N}{1,3}",
+        r" ?[^\s\p{L}\p{N}]+[\r\n/]*",
+        r"\s*[\r\n]+",
+        r"\s+(?!\S)",
+        r"\s+",
+    ]
+)
+
+
+class BPETokenizer:
+    """Byte-pair encoder over a tiktoken-format vocabulary.
+
+    Vocabulary file format (tiktoken ``load_tiktoken_bpe``): one
+    ``base64(token_bytes) <space> rank`` pair per line.  Splitting uses the
+    ``regex`` module (required for the \\p{...} classes in the o200k
+    pattern).  Pure Python: correct, not fast — the intended use is
+    boundary-parity checks and deployments where the vocab file exists but
+    the compiled tiktoken wheel does not.
+    """
+
+    def __init__(self, vocab_path: str, pattern: str = O200K_PATTERN):
+        import regex
+
+        self._ranks: dict[bytes, int] = {}
+        with open(vocab_path, "rb") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                token_b64, rank = line.split()
+                self._ranks[base64.b64decode(token_b64)] = int(rank)
+        self._bytes_of = {rank: tok for tok, rank in self._ranks.items()}
+        self._pat = regex.compile(pattern)
+
+    def _bpe(self, piece: bytes) -> list[int]:
+        ranks = self._ranks
+        cached = ranks.get(piece)
+        if cached is not None:
+            return [cached]
+        parts = [piece[i : i + 1] for i in range(len(piece))]
+        while len(parts) > 1:
+            best_rank = None
+            best_i = -1
+            for i in range(len(parts) - 1):
+                r = ranks.get(parts[i] + parts[i + 1])
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i < 0:
+                break
+            parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+        return [ranks[p] for p in parts]
+
+    def encode(self, text: str) -> list[int]:
+        out: list[int] = []
+        for m in self._pat.finditer(text):
+            out.extend(self._bpe(m.group().encode("utf-8")))
+        return out
+
+    def decode(self, tokens: list[int]) -> str:
+        return b"".join(self._bytes_of[t] for t in tokens).decode(
+            "utf-8", errors="replace"
+        )
+
+
+VOCAB_ENV = "LIGHTRAG_RAY_TIKTOKEN_VOCAB"
 
 
 def default_tokenizer() -> Tokenizer:
-    """tiktoken o200k_base when importable (reference default), else
+    """tiktoken o200k_base when importable (reference default), else a
+    :class:`BPETokenizer` over ``$LIGHTRAG_RAY_TIKTOKEN_VOCAB``, else
     :class:`SegmentTokenizer`."""
     try:
         import tiktoken  # noqa: F401
@@ -83,4 +185,11 @@ def default_tokenizer() -> Tokenizer:
 
         return _Tik()
     except Exception:
-        return SegmentTokenizer()
+        pass
+    vocab = os.environ.get(VOCAB_ENV)
+    if vocab and os.path.exists(vocab):
+        try:
+            return BPETokenizer(vocab)
+        except Exception:
+            pass
+    return SegmentTokenizer()

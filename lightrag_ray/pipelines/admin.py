@@ -1,0 +1,412 @@
+"""Graph admin surface: manual entity merge / entity edit / relation edit.
+
+Re-expresses the reference's admin operations as Dataset transformations over
+the output node/edge tables:
+
+  - ``merge_entities``  ← ``amerge_entities`` (lightrag/utils_graph.py:1848-1960)
+    via ``_merge_entities_impl`` (:1343-1600) and ``_merge_attributes``
+    (:1963-2040): per-field strategies (description=concatenate,
+    entity_type=keep_first, provenance=join_unique; relations additionally
+    keywords=join_unique_comma, weight=max), incident-edge rewiring with
+    self-loop skipping and per-normalized-pair dedup-merge.
+  - ``edit_entity``     ← ``aedit_entity`` (:572-838) /
+    ``_edit_entity_impl``: property update; rename rewires incident edges;
+    rename onto an existing name merges when ``allow_merge``.
+  - ``edit_relation``   ← ``aedit_relation`` (:839-1000): property update on
+    the undirected pair, weight coerced to float.
+
+Scale shape: the TABLES stream — untouched rows pass through a broadcast
+filter; only the touched rows (the named entities and their incident edges,
+bounded by those entities' degree) are materialized driver-side for the merge
+arithmetic, then unioned back.  All outputs are new lazy Datasets; callers
+persist with ``write_parquet``.
+
+Deterministic deviations (documented, consistent with stages/merge.py):
+``join_unique`` keeps FIRST-SEEN order (the reference joins a Python set —
+iteration order is hash-seed dependent); incident edges process in sorted
+(src, tgt) order (the reference follows NetworkX adjacency insertion order).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+
+from lightrag_ray.constants import GRAPH_FIELD_SEP
+from lightrag_ray.functions.text import normalize_entity_name
+from lightrag_ray.pipelines.query_ops import broadcast_fetch
+
+# ---------------------------------------------------------------------------
+# field-merge strategies (reference _merge_attributes, utils_graph.py:1963-2040)
+# adapted to our Arrow list columns
+
+ENTITY_MERGE_STRATEGY = {
+    "description": "concatenate",
+    "entity_type": "keep_first",
+    "source_ids": "join_unique",
+    "file_paths": "join_unique",
+}
+
+RELATION_MERGE_STRATEGY = {
+    "description": "concatenate",
+    "keywords": "join_unique_comma",
+    "source_ids": "join_unique",
+    "file_paths": "join_unique",
+    "weight": "max",
+}
+
+
+def _merge_attributes(
+    data_list: list[dict], strategy: dict[str, str], filter_none_only: bool = False
+) -> dict:
+    merged: dict[str, Any] = {}
+    all_keys: dict[str, None] = {}
+    for data in data_list:
+        for k in data:
+            all_keys.setdefault(k)
+    for key in all_keys:
+        if filter_none_only:
+            values = [d.get(key) for d in data_list if d.get(key) is not None]
+        else:
+            values = [d.get(key) for d in data_list if _truthy(d.get(key))]
+        if not values:
+            continue
+        strat = strategy.get(key, "keep_first")
+        if strat == "concatenate":
+            merged[key] = GRAPH_FIELD_SEP.join(str(v) for v in values)
+        elif strat == "keep_last":
+            merged[key] = values[-1]
+        elif strat == "join_unique":
+            # list-valued provenance columns: first-seen ordered union
+            out: dict[str, None] = {}
+            for v in values:
+                items = v if isinstance(v, (list, tuple)) else str(v).split(
+                    GRAPH_FIELD_SEP
+                )
+                for item in items:
+                    out.setdefault(item)
+            merged[key] = list(out)
+        elif strat == "join_unique_comma":
+            items: set[str] = set()
+            for v in values:
+                parts = v if isinstance(v, (list, tuple)) else str(v).split(",")
+                items.update(p.strip() for p in parts if str(p).strip())
+            merged[key] = sorted(items)
+        elif strat == "max":
+            try:
+                merged[key] = max(float(v) for v in values)
+            except (ValueError, TypeError):
+                merged[key] = values[0]
+        else:  # keep_first
+            merged[key] = values[0]
+    return merged
+
+
+def _truthy(v: Any) -> bool:
+    if isinstance(v, (list, tuple)):
+        return len(v) > 0
+    return bool(v)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _names_of(batch: pa.Table) -> list[str]:
+    return batch.column("entity_id").to_pylist()
+
+
+def _fetch_nodes(nodes_ds, names: list[str]) -> dict[str, dict]:
+    return broadcast_fetch(nodes_ds, names, _names_of)
+
+
+def _resolve_name(requested: str, present: set[str]) -> str:
+    """Prefer the exact (legacy) spelling when that node exists, else the
+    extraction-normalized identifier (utils_graph.py:1908-1945)."""
+    normalized = normalize_entity_name(requested)
+    if requested != normalized and requested in present:
+        return requested
+    if not normalized:
+        raise ValueError("Entity name cannot be empty after normalization")
+    return normalized
+
+
+def _drop_nodes(nodes_ds, names: set[str]):
+    import ray
+
+    ref = ray.put(frozenset(names))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ref)
+        mask = pa.array([n not in wanted for n in _names_of(batch)])
+        return batch.filter(mask)
+
+    return nodes_ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _split_edges(edges_ds, names: set[str]):
+    """(untouched_ds, touched_rows): edges with any endpoint in ``names`` are
+    materialized (bounded by those entities' degree), the rest stream."""
+    import ray
+
+    ref = ray.put(frozenset(names))
+
+    def pass_through(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ref)
+        mask = pa.array(
+            [
+                s not in wanted and t not in wanted
+                for s, t in zip(
+                    batch.column("src_id").to_pylist(),
+                    batch.column("tgt_id").to_pylist(),
+                )
+            ]
+        )
+        return batch.filter(mask)
+
+    def touched(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ref)
+        mask = pa.array(
+            [
+                s in wanted or t in wanted
+                for s, t in zip(
+                    batch.column("src_id").to_pylist(),
+                    batch.column("tgt_id").to_pylist(),
+                )
+            ]
+        )
+        return batch.filter(mask)
+
+    untouched = edges_ds.map_batches(
+        pass_through, batch_format="pyarrow", zero_copy_batch=True
+    )
+    touched_rows = edges_ds.map_batches(
+        touched, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    return untouched, touched_rows
+
+
+def _union_rows(ds, rows: list[dict], schema: pa.Schema):
+    import ray.data as rd
+
+    if not rows:
+        return ds
+    table = pa.Table.from_pylist(
+        [{f.name: r.get(f.name) for f in schema} for r in rows], schema=schema
+    )
+    return ds.union(rd.from_arrow(table))
+
+
+def _arrow_schema(ds) -> pa.Schema:
+    schema = ds.schema()
+    return getattr(schema, "base_schema", schema)
+
+
+# ---------------------------------------------------------------------------
+# merge_entities
+
+
+def merge_entities(
+    nodes_ds,
+    edges_ds,
+    source_entities: list[str],
+    target_entity: str,
+    target_entity_data: dict | None = None,
+):
+    """Merge ``source_entities`` into ``target_entity``; returns
+    (nodes_ds, edges_ds, merged_node_row)."""
+    if not source_entities:
+        raise ValueError("At least one source entity is required for merge")
+
+    node_schema = _arrow_schema(nodes_ds)
+    edge_schema = _arrow_schema(edges_ds)
+
+    candidates = set(source_entities) | {target_entity}
+    candidates |= {normalize_entity_name(n) for n in candidates}
+    candidates.discard("")
+    present_rows = _fetch_nodes(nodes_ds, sorted(candidates))
+    present = set(present_rows)
+
+    resolved_sources: list[str] = []
+    for name in source_entities:
+        resolved = _resolve_name(name, present)
+        if resolved not in resolved_sources:
+            resolved_sources.append(resolved)
+    target = _resolve_name(target_entity, present)
+
+    for name in resolved_sources:
+        if name not in present:
+            raise ValueError(f"Source entity '{name}' does not exist")
+    target_exists = target in present
+
+    # 3. merge node attributes (sources in caller order, then existing target)
+    data_list = [present_rows[n] for n in resolved_sources]
+    if target_exists and target not in resolved_sources:
+        data_list.append(present_rows[target])
+    merged_node = _merge_attributes(data_list, ENTITY_MERGE_STRATEGY)
+    merged_node.update(target_entity_data or {})
+    merged_node["entity_id"] = target
+
+    # 4-6. rewire incident edges (see module docstring on ordering)
+    collect = list(resolved_sources)
+    if target_exists and target not in collect:
+        collect.append(target)
+    untouched, touched_rows = _split_edges(edges_ds, set(collect))
+    # per entity in collect order, incident edges in sorted (src, tgt) order
+    by_pair: dict[tuple[str, str], dict] = {
+        (r["src_id"], r["tgt_id"]): r for r in touched_rows
+    }
+    sources_set = set(resolved_sources)
+    relation_updates: dict[tuple[str, str], dict] = {}
+    seen_pairs: set[tuple[str, str]] = set()
+    for entity in collect:
+        incident = sorted(
+            (k for k in by_pair if entity in k), key=lambda k: (k[0], k[1])
+        )
+        for pair in incident:
+            if pair in seen_pairs:
+                continue  # edge between two merged entities: process once
+            seen_pairs.add(pair)
+            edge = by_pair[pair]
+            new_src = target if edge["src_id"] in sources_set else edge["src_id"]
+            new_tgt = target if edge["tgt_id"] in sources_set else edge["tgt_id"]
+            if new_src == new_tgt:
+                continue  # self-loop between merged entities
+            key = tuple(sorted((new_src, new_tgt)))
+            payload = dict(edge, src_id=key[0], tgt_id=key[1])
+            if key in relation_updates:
+                relation_updates[key] = dict(
+                    relation_updates[key],
+                    **_merge_attributes(
+                        [relation_updates[key], payload],
+                        RELATION_MERGE_STRATEGY,
+                        filter_none_only=True,
+                    ),
+                )
+                relation_updates[key]["src_id"], relation_updates[key]["tgt_id"] = key
+            else:
+                relation_updates[key] = payload
+
+    new_nodes = _union_rows(
+        _drop_nodes(nodes_ds, set(collect)), [merged_node], node_schema
+    )
+    new_edges = _union_rows(
+        untouched, list(relation_updates.values()), edge_schema
+    )
+    return new_nodes, new_edges, merged_node
+
+
+# ---------------------------------------------------------------------------
+# edit_entity / edit_relation
+
+
+def edit_entity(
+    nodes_ds,
+    edges_ds,
+    entity_name: str,
+    updated_data: dict,
+    allow_rename: bool = True,
+    allow_merge: bool = False,
+):
+    """Update (and optionally rename) one entity; returns
+    (nodes_ds, edges_ds, updated_node_row)."""
+    if "description" in updated_data and not updated_data["description"]:
+        raise ValueError("description cannot be empty")
+    updated_data = dict(updated_data)
+    node_schema = _arrow_schema(nodes_ds)
+    edge_schema = _arrow_schema(edges_ds)
+
+    candidates = {entity_name, normalize_entity_name(entity_name)}
+    new_name_req = updated_data.get("entity_name")
+    if new_name_req:
+        candidates |= {new_name_req, normalize_entity_name(new_name_req)}
+    candidates.discard("")
+    present_rows = _fetch_nodes(nodes_ds, sorted(candidates))
+    present = set(present_rows)
+
+    name = _resolve_name(entity_name, present)
+    if name not in present:
+        raise ValueError(f"Entity '{name}' does not exist")
+    new_name = _resolve_name(new_name_req, present) if new_name_req else name
+    is_renaming = new_name != name
+    if is_renaming and not allow_rename:
+        raise ValueError(
+            "Entity renaming is not allowed. Set allow_rename=True to enable"
+        )
+
+    if is_renaming and new_name in present:
+        if not allow_merge:
+            raise ValueError(
+                f"Entity name '{new_name}' already exists, cannot rename"
+            )
+        # non-name updates apply first, then merge (aedit_entity:723-760)
+        non_name = {k: v for k, v in updated_data.items() if k != "entity_name"}
+        if non_name:
+            nodes_ds, edges_ds, _ = edit_entity(
+                nodes_ds, edges_ds, name, non_name
+            )
+        return merge_entities(nodes_ds, edges_ds, [name], new_name)
+
+    updated_row = dict(present_rows[name], **{
+        k: v for k, v in updated_data.items() if k != "entity_name"
+    })
+    updated_row["entity_id"] = new_name
+
+    new_nodes = _union_rows(_drop_nodes(nodes_ds, {name}), [updated_row], node_schema)
+    if not is_renaming:
+        return new_nodes, edges_ds, updated_row
+
+    untouched, touched_rows = _split_edges(edges_ds, {name})
+    rewired = []
+    for edge in touched_rows:
+        new_src = new_name if edge["src_id"] == name else edge["src_id"]
+        new_tgt = new_name if edge["tgt_id"] == name else edge["tgt_id"]
+        a, b = sorted((new_src, new_tgt))
+        rewired.append(dict(edge, src_id=a, tgt_id=b))
+    return new_nodes, _union_rows(untouched, rewired, edge_schema), updated_row
+
+
+def edit_relation(
+    edges_ds, source_entity: str, target_entity: str, updated_data: dict
+):
+    """Update one undirected relation's properties; returns
+    (edges_ds, updated_edge_row)."""
+    if "description" in updated_data and not updated_data["description"]:
+        raise ValueError("description cannot be empty")
+    edge_schema = _arrow_schema(edges_ds)
+    a, b = sorted(
+        (normalize_entity_name(source_entity), normalize_entity_name(target_entity))
+    )
+
+    def pair_keys(batch: pa.Table) -> list[str]:
+        return [
+            "\x00".join(sorted((s, t)))
+            for s, t in zip(
+                batch.column("src_id").to_pylist(),
+                batch.column("tgt_id").to_pylist(),
+            )
+        ]
+
+    key = f"{a}\x00{b}"
+    found = broadcast_fetch(edges_ds, [key], pair_keys)
+    if key not in found:
+        raise ValueError(f"Relation from '{a}' to '{b}' does not exist")
+    edge = found[key]
+    new_edge = {**edge, **updated_data}
+    new_edge["weight"] = float(new_edge.get("weight", 1.0))
+    new_edge["src_id"], new_edge["tgt_id"] = a, b
+
+    import ray
+
+    ref = ray.put(key)
+
+    def drop_pair(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ref)
+        mask = pa.array([k != wanted for k in pair_keys(batch)])
+        return batch.filter(mask)
+
+    remaining = edges_ds.map_batches(
+        drop_pair, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _union_rows(remaining, [new_edge], edge_schema), new_edge

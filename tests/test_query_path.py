@@ -54,3 +54,57 @@ def test_naive_and_bypass(engine):
     assert naive.chunks and not naive.entities
     bypass = engine.query("anything", mode="bypass")
     assert not bypass.entities and not bypass.chunks
+
+
+def test_llm_query_engine_end_to_end(engine):
+    """Pluggable keyword + answer models drive the full query path (round-1
+    VERDICT #10): keyword JSON parsed tolerantly, answer model receives the
+    assembled context, responses cached by the reference key scheme."""
+    from lightrag_ray.pipelines.query_llm import LLMQueryEngine
+
+    calls = {"keywords": 0, "answer": 0}
+
+    def keyword_model(user_prompt, system_prompt, history):
+        calls["keywords"] += 1
+        assert "high_level_keywords" in user_prompt
+        return (
+            '<think>hmm</think>```json\n'
+            '{"high_level_keywords": ["stream merge"],'
+            ' "low_level_keywords": ["stream", "merge", "table"]}\n```'
+        )
+
+    def answer_model(user_prompt, system_prompt, history):
+        calls["answer"] += 1
+        assert "---Context---" in system_prompt
+        assert "Knowledge Graph Data (Entity)" in system_prompt
+        return "Grounded answer."
+
+    q = LLMQueryEngine(
+        engine, keyword_model_fn=keyword_model, answer_model_fn=answer_model
+    )
+    result = q.query("how do stream and merge relate to the table")
+    assert result.answer == "Grounded answer."
+    assert result.context.entities
+    # cache hit: same query again does not call the answer model
+    again = q.query("how do stream and merge relate to the table")
+    assert again.answer == "Grounded answer."
+    assert calls["answer"] == 1
+
+
+def test_llm_query_engine_offline_defaults(engine):
+    from lightrag_ray.pipelines.query_llm import LLMQueryEngine
+
+    q = LLMQueryEngine(engine)
+    result = q.query("stream merge table")
+    assert result.answer.startswith("Entities in context:")
+    assert result.context.entities
+
+
+def test_llm_keywords_fallback_on_garbage():
+    from lightrag_ray.pipelines.query_llm import make_llm_keywords_fn
+
+    fn = make_llm_keywords_fn(lambda u, s, h: "not json at all")
+    assert fn("whatever") == {
+        "high_level_keywords": [],
+        "low_level_keywords": [],
+    }
