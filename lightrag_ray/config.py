@@ -22,6 +22,14 @@ class PipelineConfig:
     chunk_overlap_token_size: int = C.CHUNK_OVERLAP_TOKEN_SIZE
     split_by_character: str | None = None
     split_by_character_only: bool = False
+    # "V" strategy options (semantic_chunking.chunk_text_semantic kwargs +
+    # optional embedder_factory)
+    chunker_options: dict = field(default_factory=dict)
+    # C5: hard re-split of any chunk over this many tokens before embedding
+    # (0 = disabled; reference enforce_chunk_token_limit_before_embedding,
+    # lightrag/utils.py:3578-3746)
+    embedding_token_limit: int = 0
+    embedding_overlap_token_size: int = 0
 
     # extraction
     max_extraction_records: int = C.MAX_EXTRACTION_RECORDS

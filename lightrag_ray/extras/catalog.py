@@ -172,6 +172,10 @@ def q_embedding_lsh(sf_dir: str):
     return dedup.embedding_lsh_pairs(sf_dir, threshold=0.45)
 
 
+def q_knn_lsh(sf_dir: str):
+    return dedup.knn_lsh_topk(sf_dir, k=10)
+
+
 def q_langid(sf_dir: str):
     return textstats.langid(sf_dir)
 
@@ -187,6 +191,7 @@ def queries() -> dict[str, Callable]:
         "binary_extract": q_binary_extract,
         "minhash_lsh_pairs": q_minhash_lsh,  # rows-only (LSH is approximate)
         "embedding_lsh_pairs": q_embedding_lsh,  # rows-only (ANN; exact = embedding_near_dup)
+        "knn_lsh_top10": q_knn_lsh,  # rows-only (ANN; exact = knn_top10)
         "langid": q_langid,  # rows-only (heuristic)
     }
 

@@ -470,6 +470,64 @@ def make_lsh_bucket_pairs_groupfn(threshold: float, max_bucket: int = 2000):
     return pairs
 
 
+def knn_lsh_topk(
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 24,
+):
+    """Top-k cosine neighbors via LSH candidate pruning: only rows sharing a
+    hyperplane bucket with the query in ≥1 table are scored exactly — the
+    scale path for the brute-force ``knn_top10`` baseline (which stays as
+    its oracle).  The query's bucket signature is computed driver-side
+    (tiny); candidate filtering + exact rerank stream."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    q_table = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids0 = q_table.column("vec_id").to_pylist()
+    q_vec = np.array(
+        q_table.column("embedding")[ids0.index(query_vec_id)].as_py(),
+        dtype=np.float64,
+    )
+    q_unit = q_vec / np.linalg.norm(q_vec)
+    planes = _lsh_planes(len(q_unit), n_planes, n_tables)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    q_buckets = ((np.einsum("tpd,d->tp", planes, q_unit) > 0) * weights).sum(
+        axis=1
+    )  # (n_tables,)
+    q_ref = ray.put((q_unit, q_buckets))
+
+    def score_candidates(batch: pa.Table) -> pa.Table:
+        q, qb = ray.get(q_ref)
+        ids = np.asarray(batch.column("vec_id"), np.int64)
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
+        proj = np.einsum("tpd,nd->tnp", planes, unit) > 0
+        buckets = (proj * weights[None, None, :]).sum(axis=2)  # (T, n)
+        candidate = (buckets == qb[:, None]).any(axis=0) & (ids != query_vec_id)
+        sims = unit[candidate] @ q
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[candidate], pa.int64()),
+                "sim": pa.array(np.round(sims, 4), pa.float64()),
+            }
+        )
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    return (
+        ds.map_batches(
+            score_candidates, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .sort(["sim", "vec_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def embedding_lsh_pairs(
     sf_dir: str,
     threshold: float = 0.45,

@@ -69,6 +69,150 @@ def export_csv(nodes_ds, edges_ds, out_dir: str) -> None:
     ).write_csv(f"{out_dir}/relations")
 
 
+# ---------------------------------------------------------------------------
+# aexport_data formats (lightrag/utils.py:4020-4366): csv / excel / md / txt
+# over the reference's export row shapes — entity rows
+# {entity_name, source_id, graph_data} and relation rows
+# {src_entity, tgt_entity, source_id, graph_data} (graph_data is the
+# stringified reference-shaped property dict), plus relationship-VDB rows
+# {relationship_id, data}.  Driver-side single-file sinks, like the
+# reference (and write_graphml below); the tables stream batch-wise.
+
+
+def _export_rows(nodes_ds, edges_ds):
+    entities_data, relations_data, relationships_data = [], [], []
+    for batch in nodes_ds.map_batches(
+        sep_projection_nodes, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for row in batch.to_pylist():
+            graph = {
+                "entity_id": row["entity_id"],
+                "entity_type": row["entity_type"],
+                "description": row["description"],
+                "source_id": row["source_id"],
+                "file_path": row["file_path"],
+                "created_at": row["created_at"],
+            }
+            entities_data.append(
+                {
+                    "entity_name": row["entity_id"],
+                    "source_id": row["source_id"],
+                    "graph_data": str(graph),
+                }
+            )
+    for batch in edges_ds.map_batches(
+        sep_projection_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for row in batch.to_pylist():
+            graph = {
+                "weight": row["weight"],
+                "description": row["description"],
+                "keywords": row["keywords"],
+                "source_id": row["source_id"],
+                "file_path": row["file_path"],
+                "created_at": row["created_at"],
+            }
+            relations_data.append(
+                {
+                    "src_entity": row["src_id"],
+                    "tgt_entity": row["tgt_id"],
+                    "source_id": row["source_id"],
+                    "graph_data": str(graph),
+                }
+            )
+            from lightrag_ray.functions.text import compute_mdhash_id
+
+            a, b = sorted((row["src_id"], row["tgt_id"]))
+            relationships_data.append(
+                {
+                    "relationship_id": compute_mdhash_id(a + b, prefix="rel-"),
+                    "data": str(graph),
+                }
+            )
+    return entities_data, relations_data, relationships_data
+
+
+def export_data(nodes_ds, edges_ds, output_path: str,
+                file_format: str = "csv") -> None:
+    """The reference's ``aexport_data`` sink (lightrag/utils.py:4020-4366)."""
+    entities_data, relations_data, relationships_data = _export_rows(
+        nodes_ds, edges_ds
+    )
+    sections = [
+        ("ENTITIES", "Entities", entities_data),
+        ("RELATIONS", "Relations", relations_data),
+        ("RELATIONSHIPS", "Relationships", relationships_data),
+    ]
+    if file_format == "csv":
+        import csv
+
+        with open(output_path, "w", newline="", encoding="utf-8") as f:
+            for i, (upper, _title, data) in enumerate(sections):
+                if not data:
+                    continue
+                f.write(f"# {upper}\n")
+                writer = csv.DictWriter(f, fieldnames=data[0].keys())
+                writer.writeheader()
+                writer.writerows(data)
+                if i < 2:
+                    f.write("\n\n")
+    elif file_format == "excel":
+        from lightrag_ray.sources.binary_docs import make_xlsx
+
+        sheets = {}
+        for _upper, title, data in sections:
+            if data:
+                sheets[title] = [list(data[0].keys())] + [
+                    [str(v) for v in row.values()] for row in data
+                ]
+        with open(output_path, "wb") as f:
+            f.write(make_xlsx(sheets))
+    elif file_format == "md":
+        with open(output_path, "w", encoding="utf-8") as f:
+            f.write("# LightRAG Data Export\n\n")
+            for _upper, title, data in sections:
+                f.write(f"## {title}\n\n")
+                if not data:
+                    f.write(f"*No {title.lower()[:-1]} data available*\n\n")
+                    continue
+                keys = list(data[0].keys())
+                f.write("| " + " | ".join(keys) + " |\n")
+                f.write("| " + " | ".join(["---"] * len(keys)) + " |\n")
+                for row in data:
+                    f.write(
+                        "| " + " | ".join(str(v) for v in row.values()) + " |\n"
+                    )
+                f.write("\n\n")
+    elif file_format == "txt":
+        with open(output_path, "w", encoding="utf-8") as f:
+            f.write("LIGHTRAG DATA EXPORT\n")
+            f.write("=" * 80 + "\n\n")
+            for upper, _title, data in sections:
+                f.write(f"{upper}\n")
+                f.write("-" * 80 + "\n")
+                if not data:
+                    f.write(f"No {_title.lower()[:-1]} data available\n\n")
+                    continue
+                keys = list(data[0].keys())
+                widths = {
+                    k: max(len(k), max(len(str(r[k])) for r in data))
+                    for k in keys
+                }
+                header = "  ".join(k.ljust(widths[k]) for k in keys)
+                f.write(header + "\n")
+                f.write("-" * len(header) + "\n")
+                for row in data:
+                    f.write(
+                        "  ".join(
+                            str(v).ljust(widths[k]) for k, v in row.items()
+                        )
+                        + "\n"
+                    )
+                f.write("\n\n")
+    else:
+        raise ValueError(f"Unsupported file format: {file_format}")
+
+
 _NODE_KEYS = ["entity_id", "entity_type", "description", "source_id", "file_path",
               "created_at", "truncate"]
 _EDGE_KEYS = ["weight", "description", "keywords", "source_id", "file_path",

@@ -39,6 +39,13 @@ class ChunkerStage:
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
         self.tokenizer = default_tokenizer()
+        self.embedder = None
+        if cfg.chunking_strategy == "V":
+            # sentence-embedding model: once per actor, like the tokenizer
+            from lightrag_ray.stages.embed import HashEmbedder
+
+            factory = cfg.chunker_options.get("embedder_factory", HashEmbedder)
+            self.embedder = factory()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -62,6 +69,22 @@ class ChunkerStage:
                     chunk_overlap_token_size=cfg.chunk_overlap_token_size,
                     chunk_token_size=cfg.chunk_token_size,
                 )
+            elif cfg.chunking_strategy == "V":
+                from lightrag_ray.functions.semantic_chunking import (
+                    chunk_text_semantic,
+                )
+
+                chunks = chunk_text_semantic(
+                    self.embedder,
+                    text,
+                    **{
+                        k: v
+                        for k, v in cfg.chunker_options.items()
+                        if k != "embedder_factory"
+                    },
+                )
+                for c in chunks:  # size is advisory; C5 below enforces caps
+                    c["tokens"] = len(self.tokenizer.encode(c["content"]))
             else:
                 chunks = chunk_text(
                     self.tokenizer,
@@ -70,6 +93,17 @@ class ChunkerStage:
                     split_by_character_only=cfg.split_by_character_only,
                     chunk_overlap_token_size=cfg.chunk_overlap_token_size,
                     chunk_token_size=cfg.chunk_token_size,
+                )
+            if cfg.embedding_token_limit:
+                from lightrag_ray.functions.semantic_chunking import (
+                    enforce_chunk_token_limit,
+                )
+
+                chunks = enforce_chunk_token_limit(
+                    chunks,
+                    self.tokenizer,
+                    cfg.embedding_token_limit,
+                    overlap_tokens=cfg.embedding_overlap_token_size,
                 )
             for chunk in chunks:
                 if not chunk["content"]:

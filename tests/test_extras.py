@@ -115,3 +115,16 @@ def test_embedding_lsh_recall_vs_exact(ray_session):
     lsh_pairs = set(zip(lsh["id_a"], lsh["id_b"]))
     assert exact_pairs == lsh_pairs  # recall 1.0 at this scale, no extras
     assert (lsh["sim"] >= 0.45).all()
+
+
+def test_knn_lsh_recall_vs_brute_force(ray_session):
+    """LSH-pruned top-k vs the exact broadcast matmul: deterministic planes
+    ⇒ deterministic recall; head of the ranking must agree exactly."""
+    from lightrag_ray.extras.dedup import knn_lsh_topk
+    from lightrag_ray.pipelines.queries import q_knn_top10
+
+    brute = [(r["vec_id"], r["sim"]) for r in q_knn_top10(SF_DIR).take_all()]
+    lsh = [(r["vec_id"], r["sim"]) for r in knn_lsh_topk(SF_DIR).take_all()]
+    assert lsh[:5] == brute[:5]  # top of the ranking exact
+    recall = len({v for v, _ in brute} & {v for v, _ in lsh}) / len(brute)
+    assert recall >= 0.8

@@ -126,3 +126,61 @@ def test_rank_edges_shuffle_matches_broadcast(ray_session, tmp_path):
         for r in rank_edges(edges, degree_join="shuffle").take_all()
     ]
     assert broadcast == shuffle
+
+
+def test_export_data_formats(ray_session, tmp_path):
+    """aexport_data formats (lightrag/utils.py:4020-4366): csv sections, md
+    tables, txt fixed-width, excel sheets (read back via our own xlsx
+    extractor)."""
+    import ray.data as rd
+
+    from lightrag_ray.functions.extractors import extract_xlsx
+    from lightrag_ray.pipelines.export import export_data
+
+    nodes = rd.from_items(
+        [
+            {
+                "entity_id": "alpha", "entity_type": "org",
+                "description": "a", "source_ids": ["c1", "c2"],
+                "file_paths": ["f1"], "created_at": 1, "truncate": "",
+            }
+        ]
+    )
+    edges = rd.from_items(
+        [
+            {
+                "src_id": "alpha", "tgt_id": "beta", "weight": 2.0,
+                "description": "ab", "keywords": ["kw"],
+                "source_ids": ["c1"], "file_paths": ["f1"],
+                "created_at": 1, "truncate": "",
+            }
+        ]
+    )
+    csv_path = str(tmp_path / "x.csv")
+    export_data(nodes, edges, csv_path, "csv")
+    text = open(csv_path).read()
+    assert "# ENTITIES" in text and "# RELATIONS" in text
+    assert "alpha" in text and "c1<SEP>c2" in text
+
+    md_path = str(tmp_path / "x.md")
+    export_data(nodes, edges, md_path, "md")
+    md = open(md_path).read()
+    assert md.startswith("# LightRAG Data Export")
+    assert "| entity_name | source_id | graph_data |" in md
+
+    txt_path = str(tmp_path / "x.txt")
+    export_data(nodes, edges, txt_path, "txt")
+    txt = open(txt_path).read()
+    assert txt.startswith("LIGHTRAG DATA EXPORT\n" + "=" * 80)
+    assert "ENTITIES" in txt and "RELATIONSHIPS" in txt
+
+    xlsx_path = str(tmp_path / "x.xlsx")
+    export_data(nodes, edges, xlsx_path, "excel")
+    sheet_text = extract_xlsx(open(xlsx_path, "rb").read())
+    assert "Sheet: Entities" in sheet_text and "alpha" in sheet_text
+    assert "Sheet: Relationships" in sheet_text
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        export_data(nodes, edges, str(tmp_path / "x.bad"), "bad")
