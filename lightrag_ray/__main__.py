@@ -4,7 +4,8 @@
         build --pages /data/pages --out /data/kg --partitions 256
 
 In the sandbox this runs against a local session (``RAY_ADDRESS=local``).
-Subcommands: build, status, query.
+Subcommands: build, status, query, answer, export, merge-entities,
+edit-entity, edit-relation.
 """
 
 from __future__ import annotations
@@ -34,6 +35,39 @@ def main(argv: list[str] | None = None) -> int:
     p_query.add_argument("--mode", default="hybrid",
                          choices=["local", "global", "hybrid", "naive", "bypass"])
     p_query.add_argument("text")
+
+    p_answer = sub.add_parser(
+        "answer", help="context + answer via the pluggable LLM layer "
+        "(deterministic offline stand-ins by default)")
+    p_answer.add_argument("--out", required=True)
+    p_answer.add_argument("--mode", default="hybrid",
+                          choices=["local", "global", "hybrid", "naive", "bypass"])
+    p_answer.add_argument("text")
+
+    p_export = sub.add_parser("export", help="export entities/relations "
+                              "(aexport_data formats)")
+    p_export.add_argument("--out", required=True)
+    p_export.add_argument("--output", required=True, help="output file path")
+    p_export.add_argument("--format", default="csv",
+                          choices=["csv", "excel", "md", "txt", "graphml"])
+
+    p_merge = sub.add_parser("merge-entities", help="manual cross-name merge")
+    p_merge.add_argument("--out", required=True)
+    p_merge.add_argument("--sources", required=True,
+                         help="comma-separated source entity names")
+    p_merge.add_argument("--target", required=True)
+
+    p_edit_e = sub.add_parser("edit-entity", help="update/rename one entity")
+    p_edit_e.add_argument("--out", required=True)
+    p_edit_e.add_argument("--name", required=True)
+    p_edit_e.add_argument("--set", required=True,
+                          help='JSON updates, e.g. \'{"entity_type": "PERSON"}\'')
+
+    p_edit_r = sub.add_parser("edit-relation", help="update one relation")
+    p_edit_r.add_argument("--out", required=True)
+    p_edit_r.add_argument("--src", required=True)
+    p_edit_r.add_argument("--tgt", required=True)
+    p_edit_r.add_argument("--set", required=True, help="JSON updates")
 
     args = parser.parse_args(argv)
 
@@ -81,6 +115,80 @@ def main(argv: list[str] | None = None) -> int:
                 "relations": ctx.relations,
                 "chunks": ctx.chunks,
             }, indent=2, ensure_ascii=False))
+        elif args.cmd == "answer":
+            import os
+
+            from lightrag_ray.pipelines.query_llm import LLMQueryEngine
+            from lightrag_ray.pipelines.query_path import KGQueryEngine
+
+            chunks_dir = os.path.join(args.out, "chunks")
+            engine = KGQueryEngine(
+                os.path.join(args.out, "nodes"),
+                os.path.join(args.out, "edges"),
+                chunks_dir=chunks_dir if os.path.isdir(chunks_dir) else None,
+            )
+            result = LLMQueryEngine(engine).query(args.text, mode=args.mode)
+            print(json.dumps({
+                "answer": result.answer,
+                "entities": result.context.entities,
+                "relations": result.context.relations,
+            }, indent=2, ensure_ascii=False))
+        elif args.cmd == "export":
+            import os
+
+            import ray.data as rd
+
+            from lightrag_ray.pipelines.export import export_data, write_graphml
+
+            nodes = rd.read_parquet(os.path.join(args.out, "nodes"))
+            edges = rd.read_parquet(os.path.join(args.out, "edges"))
+            if args.format == "graphml":
+                write_graphml(nodes, edges, args.output)
+            else:
+                export_data(nodes, edges, args.output, args.format)
+            print(json.dumps({"written": args.output, "format": args.format}))
+        elif args.cmd in ("merge-entities", "edit-entity", "edit-relation"):
+            import os
+
+            import ray.data as rd
+
+            from lightrag_ray.pipelines import admin
+
+            nodes_dir = os.path.join(args.out, "nodes")
+            edges_dir = os.path.join(args.out, "edges")
+            nodes = rd.read_parquet(nodes_dir)
+            edges = rd.read_parquet(edges_dir)
+            if args.cmd == "merge-entities":
+                nodes, edges, row = admin.merge_entities(
+                    nodes, edges, args.sources.split(","), args.target
+                )
+            elif args.cmd == "edit-entity":
+                nodes, edges, row = admin.edit_entity(
+                    nodes, edges, args.name, json.loads(args.set),
+                    allow_merge=True,
+                )
+            else:
+                edges, row = admin.edit_relation(
+                    edges, args.src, args.tgt, json.loads(args.set)
+                )
+            # write-aside then swap: never clobber tables mid-read
+            for ds, d in ((nodes, nodes_dir), (edges, edges_dir)):
+                tmp = d + ".new"
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+                ds.write_parquet(tmp)
+            for d in (nodes_dir, edges_dir):
+                bak = d + ".bak"
+                import shutil
+
+                shutil.rmtree(bak, ignore_errors=True)
+                os.rename(d, bak)
+                os.rename(d + ".new", d)
+                shutil.rmtree(bak, ignore_errors=True)
+            print(json.dumps({"updated": {k: v for k, v in row.items()
+                                          if not isinstance(v, list)}},
+                             ensure_ascii=False, default=str))
         return 0
     finally:
         ray.shutdown()

@@ -71,9 +71,10 @@ class PipelineConfig:
     # mention rows per combiner batch (stage 0 of the salted merge).  Bigger
     # batches combine more duplicate keys AND let the per-partial source caps
     # bind before the shuffle — measured 2× faster canonicalization at 131072
-    # vs 8192 (and 3-4× at 8192 vs 1024) on the bench corpus.  ~20-50 MB of
-    # mention rows per batch; lower it if mention descriptions are huge.
-    merge_batch_size: int = 131072
+    # vs 8192 (and 3-4× at 8192 vs 1024), and a further ~8% at 262144, on the
+    # bench corpus.  ~40-100 MB of mention rows per batch; lower it if
+    # mention descriptions are huge.
+    merge_batch_size: int = 262144
 
     # execution sizing (per stage; tuned via ds.stats() on the bench).
     # Defaults are AUTOSCALING (min, max) pools: a fixed pool whose size plus
