@@ -59,6 +59,71 @@ def make_deterministic_summary_model(
     return summarize
 
 
+def build_summary_prompt(
+    description_type: str,
+    name: str,
+    descriptions: list[str],
+    summary_length: int,
+    language: str = "English",
+) -> str:
+    """The reference's summarize prompt (lightrag/prompt.py:295-326): JSONL
+    description list, subject header, length + language constraints."""
+    description_list = "\n".join(
+        json.dumps({"Description": d}, ensure_ascii=False) for d in descriptions
+    )
+    return f"""---Role---
+You are a Knowledge Graph Specialist, proficient in data curation and synthesis.
+
+---Task---
+Synthesize the list of descriptions of the given entity or relation into a
+single, comprehensive, cohesive summary.
+
+---Instructions---
+1. The description list is JSONL: one JSON object per line in the
+   `Description List` block.
+2. Return the merged description as plain text paragraphs — no extra
+   formatting or commentary before or after.
+3. Integrate all key information from EVERY provided description.
+4. Write from an objective third-person perspective and explicitly mention
+   the full name of the entity or relation at the beginning.
+5. On conflicting descriptions: if they describe distinct entities sharing a
+   name, summarize each separately; otherwise reconcile or present both
+   viewpoints with noted uncertainty.
+6. The summary must not exceed {summary_length} tokens.
+7. Write in {language}; keep proper nouns in their original language.
+
+---Input---
+{description_type} Name: {name}
+
+Description List:
+
+```
+{description_list}
+```
+
+---Output---
+"""
+
+
+def make_llm_summary_model(
+    model_fn, target_tokens: int, language: str = "English"
+) -> SummarizeFn:
+    """LLM-backed SummarizeFn over the same ``ModelFn`` protocol as the
+    extractor / query layers (X3's production arm; the deterministic model
+    stays the default so parity and bench runs need no provider)."""
+    from lightrag_ray.stages.llm_extractor import remove_think_tags
+
+    def summarize(description_type: str, name: str, descriptions: list[str]) -> str:
+        prompt = build_summary_prompt(
+            description_type, name, descriptions, target_tokens, language
+        )
+        return sanitize_text_for_encoding(
+            remove_think_tags(model_fn(prompt, None, []))
+        )
+
+    return summarize
+
+
 def _truncate_jsonl(
     descriptions: list[str], tokenizer: Tokenizer, max_token_size: int
 ) -> list[str]:

@@ -128,3 +128,89 @@ def test_knn_lsh_recall_vs_brute_force(ray_session):
     assert lsh[:5] == brute[:5]  # top of the ranking exact
     recall = len({v for v, _ in brute} & {v for v, _ in lsh}) / len(brute)
     assert recall >= 0.8
+
+
+def _make_wav(samples, rate=8000, n_ch=1):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_ch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def _make_bmp(pixels_rgb, w, h):
+    """Minimal uncompressed 24-bit BMP (bottom-up rows, BGR, padded)."""
+    import struct
+
+    row_stride = (w * 3 + 3) & ~3
+    data = bytearray()
+    for r in range(h):
+        row = bytearray()
+        for c in range(w):
+            rr, gg, bb = pixels_rgb[r * w + c]
+            row += bytes([bb, gg, rr])
+        row += b"\x00" * (row_stride - len(row))
+        data += row
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    return header + info + bytes(data)
+
+
+def test_real_decoder_wav():
+    from lightrag_ray.extras.multimodal import RealDecoder
+
+    wav = _make_wav([0, 1000, -1000, 1000], rate=8000)
+    f = RealDecoder().features(wav, "audio")
+    n_ch, rate, n_frames, dur_ms, mean_abs, max_abs, rms, zc = f
+    assert (n_ch, rate, n_frames) == (1.0, 8000.0, 4.0)
+    assert dur_ms == 0.5 and max_abs == 1000.0
+    assert mean_abs == 750.0 and zc == 2.0
+
+
+def test_real_decoder_bmp_and_ppm():
+    from lightrag_ray.extras.multimodal import RealDecoder
+
+    px = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    f = RealDecoder().features(_make_bmp(px, 2, 2), "image")
+    assert f[0] == 2.0 and f[1] == 2.0
+    assert f[2] == 127.5 and f[3] == 127.5 and f[4] == 127.5  # channel means
+
+    ppm = b"P6\n# comment\n2 2\n255\n" + bytes(
+        v for p in px for v in p
+    )
+    g = RealDecoder().features(ppm, "image")
+    assert g[:5] == f[:5]  # same pixels (row order differs, means equal)
+
+
+def test_real_decoder_unsupported_still_raises():
+    from lightrag_ray.extras.multimodal import RealDecoder
+
+    with pytest.raises(NotImplementedError):
+        RealDecoder().features(b"\x89PNG....", "image")
+
+
+def test_media_stage_with_real_decoder(ray_session):
+    """The SAME actor stage runs with the real decoder over WAV payloads."""
+    import pyarrow as pa
+
+    from lightrag_ray.extras.multimodal import MediaFeatureStage, RealDecoder
+
+    stage = MediaFeatureStage(decoder=RealDecoder())
+    batch = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "media_type": ["audio"],
+            "payload": pa.array([_make_wav([100, -100])], pa.binary()),
+            "meta": ["{}"],
+        }
+    )
+    out = stage(batch).to_pylist()
+    assert out[0]["features"][0] == 1.0  # n_channels
+    assert out[0]["feature_norm"] > 0

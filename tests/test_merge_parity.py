@@ -470,3 +470,23 @@ def test_incremental_reingest_hot_keys_keep(ref, seed):
         prior_edges=pa.Table.from_pylist(edges1, schema=EDGES_SCHEMA),
     )
     _compare(graph, nodes2, edges2)
+
+
+def test_llm_summary_model_protocol():
+    """X3's LLM arm: the injected model receives the reference-shaped prompt
+    (JSONL list, subject header, token constraint) and its output is
+    sanitized + think-stripped."""
+    from lightrag_ray.stages.summarize import make_llm_summary_model
+
+    seen = {}
+
+    def model(user_prompt, system_prompt, history):
+        seen["prompt"] = user_prompt
+        return "<think>plan</think>Alpha Corp is a company.\x00"
+
+    fn = make_llm_summary_model(model, target_tokens=600)
+    out = fn("Entity", "Alpha Corp", ["desc one", "desc two"])
+    assert out == "Alpha Corp is a company."
+    assert 'Entity Name: Alpha Corp' in seen["prompt"]
+    assert '{"Description": "desc one"}' in seen["prompt"]
+    assert "must not exceed 600 tokens" in seen["prompt"]
