@@ -298,6 +298,119 @@ def merge_entities(
 
 
 # ---------------------------------------------------------------------------
+# insert_custom_kg (direct writer, lightrag/lightrag.py:3237-3480)
+
+
+def insert_custom_kg(nodes_ds, edges_ds, custom_kg: dict):
+    """Insert caller-constructed KG objects directly into the tables
+    (``ainsert_custom_kg``): names normalized with the extraction contract,
+    last-wins dedup within the payload, entity defaults
+    ``entity_type=UNKNOWN`` / ``"No description provided"``, chunk-level
+    ``source_id`` resolved through the payload's chunks; rows with existing
+    keys are REPLACED (the reference upserts node data wholesale, it does
+    not merge).  Returns (nodes_ds, edges_ds, chunk_rows)."""
+    from lightrag_ray.functions.text import sanitize_text_for_encoding
+
+    node_schema = _arrow_schema(nodes_ds)
+    edge_schema = _arrow_schema(edges_ds)
+
+    chunk_rows = []
+    chunk_to_source: dict[str, str] = {}
+    for i, chunk in enumerate(custom_kg.get("chunks", [])):
+        content = sanitize_text_for_encoding(chunk["content"])
+        source_id = chunk["source_id"]
+        chunk_to_source[source_id] = source_id
+        chunk_rows.append(
+            {
+                "chunk_id": source_id,
+                "content": content,
+                "chunk_order_index": chunk.get("chunk_order_index", 0),
+                "file_path": chunk.get("file_path", "custom_kg"),
+            }
+        )
+
+    def _norm(value, field):
+        if not isinstance(value, str):
+            raise ValueError(f"Custom KG {field} must be a string")
+        normalized = normalize_entity_name(value)
+        if not normalized:
+            raise ValueError(f"Custom KG {field} cannot be empty after normalization")
+        return normalized
+
+    deduped_entities: dict[str, dict] = {}
+    for i, e in enumerate(custom_kg.get("entities", [])):
+        name = _norm(e["entity_name"], f"entities[{i}].entity_name")
+        deduped_entities.pop(name, None)  # last wins, at last position
+        deduped_entities[name] = e
+    node_rows = []
+    for name, e in deduped_entities.items():
+        source_id = chunk_to_source.get(e.get("source_id", "UNKNOWN"), "UNKNOWN")
+        node_rows.append(
+            {
+                "entity_id": name,
+                "entity_type": e.get("entity_type", "UNKNOWN"),
+                "description": e.get("description", "No description provided"),
+                "source_ids": [source_id],
+                "file_paths": [e.get("file_path", "custom_kg")],
+                "created_at": int(e.get("created_at", 0)),
+                "truncate": "",
+            }
+        )
+
+    deduped_rels: dict[tuple[str, str], dict] = {}
+    for i, r in enumerate(custom_kg.get("relationships", [])):
+        src = _norm(r["src_id"], f"relationships[{i}].src_id")
+        tgt = _norm(r["tgt_id"], f"relationships[{i}].tgt_id")
+        key = tuple(sorted((src, tgt)))
+        deduped_rels.pop(key, None)
+        deduped_rels[key] = dict(r, src_id=src, tgt_id=tgt)
+    edge_rows = []
+    for (a, b), r in deduped_rels.items():
+        source_id = chunk_to_source.get(r.get("source_id", "UNKNOWN"), "UNKNOWN")
+        kw = r.get("keywords", "")
+        edge_rows.append(
+            {
+                "src_id": a,
+                "tgt_id": b,
+                "weight": float(r.get("weight", 1.0)),
+                "description": r.get("description", ""),
+                "keywords": [k.strip() for k in str(kw).split(",") if k.strip()],
+                "source_ids": [source_id],
+                "file_paths": [r.get("file_path", "custom_kg")],
+                "created_at": int(r.get("created_at", 0)),
+                "truncate": "",
+            }
+        )
+
+    new_nodes = _union_rows(
+        _drop_nodes(nodes_ds, set(deduped_entities)), node_rows, node_schema
+    )
+    # replace any existing edge rows for the inserted pairs
+    import ray
+
+    pair_ref = ray.put(frozenset(deduped_rels))
+
+    def drop_pairs(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(pair_ref)
+        mask = pa.array(
+            [
+                tuple(sorted((s, t))) not in wanted
+                for s, t in zip(
+                    batch.column("src_id").to_pylist(),
+                    batch.column("tgt_id").to_pylist(),
+                )
+            ]
+        )
+        return batch.filter(mask)
+
+    remaining = edges_ds.map_batches(
+        drop_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    new_edges = _union_rows(remaining, edge_rows, edge_schema)
+    return new_nodes, new_edges, chunk_rows
+
+
+# ---------------------------------------------------------------------------
 # edit_entity / edit_relation
 
 

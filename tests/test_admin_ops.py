@@ -278,3 +278,45 @@ def test_edit_relation(ray_session):
     assert rows[("beta", "gamma")]["weight"] == 9.0
     with pytest.raises(ValueError, match="does not exist"):
         edit_relation(edges_ds, "alpha corp", "gamma", {"weight": 1})
+
+
+def test_insert_custom_kg(ray_session):
+    """ainsert_custom_kg semantics (lightrag/lightrag.py:3237): name
+    normalization, last-wins payload dedup, UNKNOWN defaults, wholesale
+    replacement of existing rows."""
+    from lightrag_ray.pipelines.admin import insert_custom_kg
+
+    nodes_ds, edges_ds = _datasets(NODES, EDGES)
+    custom = {
+        "chunks": [{"content": "custom chunk text", "source_id": "ck-1"}],
+        "entities": [
+            {"entity_name": '"beta"', "description": "replaced beta",
+             "source_id": "ck-1"},
+            {"entity_name": "newco", "entity_type": "organization",
+             "source_id": "ck-1"},
+            {"entity_name": "newco", "entity_type": "startup",
+             "source_id": "ck-1"},  # last wins
+        ],
+        "relationships": [
+            {"src_id": "newco", "tgt_id": "beta", "keywords": "custom, link",
+             "weight": 2.5, "description": "custom rel", "source_id": "ck-1"},
+        ],
+    }
+    new_nodes, new_edges, chunks = insert_custom_kg(nodes_ds, edges_ds, custom)
+    ours = {r["entity_id"]: r for r in new_nodes.take_all()}
+    # outer quotes normalized away; existing beta REPLACED, not merged
+    assert ours["beta"]["description"] == "replaced beta"
+    assert ours["beta"]["source_ids"] == ["ck-1"]
+    assert ours["newco"]["entity_type"] == "startup"
+    assert ours["alpha corp"]["description"] == "alpha desc"  # untouched
+    pairs = {tuple(sorted((r["src_id"], r["tgt_id"]))): r
+             for r in new_edges.take_all()}
+    assert pairs[("beta", "newco")]["keywords"] == ["custom", "link"]
+    assert pairs[("beta", "newco")]["weight"] == 2.5
+    assert ("alpha corp", "beta") in pairs  # untouched edge kept
+    assert chunks[0]["chunk_id"] == "ck-1"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must be a string"):
+        insert_custom_kg(nodes_ds, edges_ds, {"entities": [{"entity_name": 3}]})
