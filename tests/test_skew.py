@@ -3,7 +3,7 @@ checks on the production stage bodies — no Ray session needed)."""
 
 from __future__ import annotations
 
-import json
+from lightrag_ray.stages.merge import _loads
 
 import pyarrow as pa
 
@@ -53,7 +53,7 @@ def test_partial_rows_bounded_by_source_cap():
     fn = make_entity_partials_fn(cfg)
     out = fn(pa.Table.from_pylist(_hot_mentions(5000), schema=MENTIONS_SCHEMA))
     assert out.num_rows == 1
-    blob = json.loads(out.column("blob")[0].as_py())
+    blob = _loads(out.column("blob")[0].as_py())
     assert len(blob["sources"]) == 50
     assert len(blob["rows"]) == 50  # one row per surviving source here
     assert blob["src_truncated"] is True
@@ -75,7 +75,7 @@ def test_stage1_merge_stays_bounded():
     df = pa.concat_tables(partial_tables).to_pandas()
     merged = make_bucket_merge_groupfn(cfg, "e")(df)
     assert merged.num_rows == 1
-    blob = json.loads(merged.column("blob")[0].as_py())
+    blob = _loads(merged.column("blob")[0].as_py())
     assert len(blob["sources"]) == 50
     assert len(blob["rows"]) == 50
     assert blob["n_mentions"] == 5000
