@@ -87,7 +87,10 @@ def main(argv: list[str] | None = None) -> int:
             from lightrag_ray.pipelines.kg_build import build_kg
             from lightrag_ray.state.checkpoint import build_status
 
-            cfg = PipelineConfig(write_chunks_table=args.chunks_table)
+            # shuffle knobs derived from the cluster the job landed on
+            cfg = PipelineConfig.autoscaled(
+                write_chunks_table=args.chunks_table
+            )
             result = build_kg(
                 args.pages, args.out, cfg,
                 num_partitions=args.partitions, resume=not args.no_resume,

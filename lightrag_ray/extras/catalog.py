@@ -180,6 +180,76 @@ def q_langid(sf_dir: str):
     return textstats.langid(sf_dir)
 
 
+def q_hash_sample(sf_dir: str, mod: int = 10):
+    """Deterministic 1/``mod`` corpus sample by content-independent hash of
+    the stable doc id (md5, never Python hash()) — the reproducible sampling
+    primitive for training-data subsets: any worker, any run, any cluster
+    selects the same rows, and the sample composes with resume (a re-run
+    keeps prior selections)."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        mask = pa.array(
+            [
+                int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % mod == 0
+                for d in ids
+            ]
+        )
+        return batch.filter(mask)
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    ).map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_HASH_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 10 = 0
+"""
+
+
+def q_stratified_sample(sf_dir: str, per_stratum: int = 20):
+    """First-K-per-stratum deterministic sample (rank by doc_id within
+    lang): per-language balanced subsets without a global shuffle — one
+    groupby on the stratum key, rank + head inside the group."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    def head_k(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values("doc_id").head(per_stratum)
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].tolist(), pa.int64()),
+                "lang": pa.array(g["lang"].tolist(), pa.string()),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+        )
+        .groupby("lang")
+        .map_groups(head_k, batch_format="pandas")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+  FROM documents
+) WHERE rk <= 20
+"""
+
+
 def queries() -> dict[str, Callable]:
     return {
         "simhash": q_simhash,
@@ -187,8 +257,12 @@ def queries() -> dict[str, Callable]:
         "embedding_near_dup": q_embedding_near_dup,
         "media_feature_norms": q_media_feature_norms,
         "event_windows": events.tumbling_window_user_stats,
+        "event_sliding_windows": events.sliding_window_user_stats,
+        "event_sessions": events.session_windows,
         "event_type_rates": events.event_type_rates,
         "binary_extract": q_binary_extract,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
         "minhash_lsh_pairs": q_minhash_lsh,  # rows-only (LSH is approximate)
         "embedding_lsh_pairs": q_embedding_lsh,  # rows-only (ANN; exact = embedding_near_dup)
         "knn_lsh_top10": q_knn_lsh,  # rows-only (ANN; exact = knn_top10)
@@ -203,6 +277,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "media_feature_norms": SQL_MEDIA_FEATURE_NORMS,
         "event_windows": events.SQL_TUMBLING_WINDOW,
+        "event_sliding_windows": events.SQL_SLIDING_WINDOW,
+        "event_sessions": events.SQL_SESSION_WINDOWS,
         "event_type_rates": events.SQL_EVENT_TYPE_RATES,
         "binary_extract": SQL_BINARY_EXTRACT,
+        "hash_sample": SQL_HASH_SAMPLE,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
     }

@@ -53,6 +53,137 @@ GROUP BY 1, 2
 """
 
 
+def sliding_window_user_stats(
+    sf_dir: str, window_s: int = WINDOW_S, slide_s: int = WINDOW_S // 4
+):
+    """Per (user_id, sliding window): each event lands in ``window_s /
+    slide_s`` overlapping windows — explode inside ``map_batches`` (rows ×
+    W/S), then ONE groupby.  No per-event state, no watermark: the ordered-
+    log pattern, scale-safe because the explode factor is a small constant."""
+    from ray.data.aggregate import Count, Sum
+
+    n_windows = window_s // slide_s
+
+    def explode_windows(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        epoch = (
+            pc.divide(pc.cast(batch.column("ts"), pa.int64()), 1_000_000)
+            .to_numpy(zero_copy_only=False)
+        )
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        values = batch.column("value").to_numpy(zero_copy_only=False)
+        # latest window containing t starts at floor(t/slide)*slide; earlier
+        # ones step back by slide while start > t - window
+        base = (epoch // slide_s) * slide_s
+        starts = base[None, :] - (np.arange(n_windows)[:, None] * slide_s)
+        valid = starts > (epoch[None, :] - window_s)
+        idx = np.nonzero(valid)
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(users[None, :], n_windows, 0)[idx],
+                                    pa.int64()),
+                "window_start": pa.array(starts[idx], pa.int64()),
+                "value": pa.array(np.repeat(values[None, :], n_windows, 0)[idx],
+                                  pa.float64()),
+            }
+        )
+
+    ds = _events(sf_dir, ["ts", "user_id", "value"]).map_batches(
+        explode_windows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.groupby(["user_id", "window_start"]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="value_sum")
+    )
+
+
+SQL_SLIDING_WINDOW = f"""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value FROM events
+),
+w AS (
+  SELECT user_id, t, value,
+         (t // {WINDOW_S // 4}) * {WINDOW_S // 4} - k * {WINDOW_S // 4}
+             AS window_start
+  FROM e, (SELECT unnest(range({WINDOW_S // (WINDOW_S // 4)})) AS k)
+  WHERE (t // {WINDOW_S // 4}) * {WINDOW_S // 4} - k * {WINDOW_S // 4}
+        > t - {WINDOW_S}
+)
+SELECT user_id, window_start, count(*) AS n_events, sum(value) AS value_sum
+FROM w GROUP BY 1, 2
+"""
+
+SESSION_GAP_S = 1800
+
+
+def session_windows(sf_dir: str, gap_s: int = SESSION_GAP_S):
+    """Per-user session windows (gap-based): events more than ``gap_s``
+    apart start a new session.  One groupby(user) + in-group sort — session
+    state never crosses the per-user group, so the shuffle key is the only
+    coordination."""
+    import pandas as pd
+
+    def sessions(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values("t")
+        t = g["t"].to_numpy()
+        new_session = [True] + list((t[1:] - t[:-1]) > gap_s)
+        import numpy as np
+
+        session_idx = np.cumsum(new_session) - 1
+        out = {"user_id": [], "session_start": [], "session_end": [],
+               "n_events": [], "value_sum": []}
+        values = g["value"].to_numpy()
+        for s in range(session_idx.max() + 1):
+            m = session_idx == s
+            out["user_id"].append(int(g["user_id"].iloc[0]))
+            out["session_start"].append(int(t[m].min()))
+            out["session_end"].append(int(t[m].max()))
+            out["n_events"].append(int(m.sum()))
+            out["value_sum"].append(float(values[m].sum()))
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"], pa.int64()),
+                "session_start": pa.array(out["session_start"], pa.int64()),
+                "session_end": pa.array(out["session_end"], pa.int64()),
+                "n_events": pa.array(out["n_events"], pa.int64()),
+                "value_sum": pa.array(out["value_sum"], pa.float64()),
+            }
+        )
+
+    def add_epoch(batch: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(batch.column("ts"), pa.int64()), 1_000_000)
+        return batch.append_column("t", pc.cast(epoch, pa.int64()))
+
+    ds = _events(sf_dir, ["ts", "user_id", "value"]).map_batches(
+        add_epoch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_SESSION_WINDOWS = f"""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value FROM events
+),
+flagged AS (
+  SELECT user_id, t, value,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                   > {SESSION_GAP_S} OR
+                   lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+numbered AS (
+  SELECT user_id, t, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+       count(*) AS n_events, sum(value) AS value_sum
+FROM numbered GROUP BY user_id, session_no
+"""
+
+
 def event_type_rates(sf_dir: str):
     """Event-type frequency table (share of total, rounded)."""
     from ray.data.aggregate import Count

@@ -128,32 +128,42 @@ def _loads(b: bytes):
 #
 # entity row: [ts, fp, co, ri, sid, entity_type, description]
 # edge row:   [ts, fp, co, ri, sid, keywords, weight, description]
-# source:     [ts, fp, co, ri, sid]
+#
+# The source list is NOT carried on the wire: every source is exactly the
+# min-ord prefix of that sid's surviving rows, so it is re-derived after
+# each merge (the round-1 blobs shipped it redundantly — ~40% extra bytes
+# and build work in the hottest stage).  In-memory merge results DO carry
+# ``sources`` as [(ord_tuple, sid), ...] for the finalizers.
 
 
-def _merge_sources(
-    source_lists: list[list], cap: int, keep_mode: bool
-) -> tuple[list, bool, int]:
-    """Ordered first-seen dedup union; returns (sources, truncated_here, n_seen)."""
-    merged: dict[str, list] = {}
-    for sources in source_lists:
-        for s in sources:
-            sid = s[4]
-            prev = merged.get(sid)
-            if prev is None or tuple(s[:4]) < tuple(prev[:4]):
-                merged[sid] = s
-    ordered = sorted(merged.values(), key=lambda s: tuple(s[:4]))
-    n_seen = len(ordered)
-    truncated = False
-    if keep_mode and len(ordered) > cap:
-        ordered = ordered[:cap]
-        truncated = True
-    return ordered, truncated, n_seen
+def _sources_of_rows(rows: list[list]) -> list[tuple]:
+    """Ordered first-seen source list of a row set: min ord-tuple per sid,
+    sorted — [(ord_tuple, sid), ...]."""
+    merged: dict[str, tuple] = {}
+    for r in rows:
+        sid = r[4]
+        ordk = (r[0], r[1], r[2], r[3])
+        prev = merged.get(sid)
+        if prev is None or ordk < prev[0]:
+            merged[sid] = (ordk, sid)
+    return sorted(merged.values())
+
+
+def _cap_sources(
+    sources: list[tuple], cap: int, keep_mode: bool
+) -> tuple[list[tuple], bool, int]:
+    n_seen = len(sources)
+    if keep_mode and n_seen > cap:
+        return sources[:cap], True, n_seen
+    return sources, False, n_seen
 
 
 def _merge_partials(blobs: list[dict], cap: int, keep_mode: bool) -> dict:
-    sources, trunc_here, n_seen = _merge_sources(
-        [b["sources"] for b in blobs], cap, keep_mode
+    all_rows: list[list] = []
+    for b in blobs:
+        all_rows.extend(b["rows"])
+    sources, trunc_here, n_seen = _cap_sources(
+        _sources_of_rows(all_rows), cap, keep_mode
     )
     src_truncated = trunc_here or any(b["src_truncated"] for b in blobs)
     if src_truncated:
@@ -162,12 +172,11 @@ def _merge_partials(blobs: list[dict], cap: int, keep_mode: bool) -> dict:
         n_sources_seen = max(n_seen, max(b["n_sources_seen"] for b in blobs))
     else:
         n_sources_seen = n_seen
-    allowed = {s[4] for s in sources}
-    rows: list[list] = []
-    for b in blobs:
-        for r in b["rows"]:
-            if not keep_mode or r[4] in allowed:
-                rows.append(r)
+    if trunc_here:
+        allowed = {s[1] for s in sources}
+        rows = [r for r in all_rows if r[4] in allowed]
+    else:
+        rows = all_rows  # nothing dropped at this level
     return {
         "rows": rows,
         "sources": sources,
@@ -179,14 +188,16 @@ def _merge_partials(blobs: list[dict], cap: int, keep_mode: bool) -> dict:
 
 def _partial_from_rows(rows: list[list], cap: int, keep_mode: bool) -> dict:
     """Build one partial from raw mention rows (same row layout, sid at [4])."""
-    sources, truncated, n_seen = _merge_sources(
-        [[[r[0], r[1], r[2], r[3], r[4]] for r in rows]], cap, keep_mode
+    sources, truncated, n_seen = _cap_sources(
+        _sources_of_rows(rows), cap, keep_mode
     )
-    allowed = {s[4] for s in sources}
-    kept = [r for r in rows if not keep_mode or r[4] in allowed]
+    if truncated:
+        allowed = {s[1] for s in sources}
+        kept = [r for r in rows if r[4] in allowed]
+    else:
+        kept = rows
     return {
         "rows": kept,
-        "sources": sources,
         "n_mentions": len(rows),
         "src_truncated": truncated,
         "n_sources_seen": n_seen,
@@ -396,6 +407,7 @@ def make_bucket_merge_groupfn(cfg: PipelineConfig, kind: str,
                 merged = blobs[0]  # stored snapshots pass through untouched
             else:
                 merged = _merge_partials(blobs, cap, keep_mode)
+                merged.pop("sources", None)  # re-derived from rows downstream
             out["key"].append(key)
             out["salt"].append(salt)
             out["b2"].append(_crc(key) % rbuckets)
@@ -496,7 +508,7 @@ def _finalize_common(
         "rows": [], "sources": [], "n_mentions": 0, "src_truncated": False,
         "n_sources_seen": 0,
     }
-    new_sources = [s[4] for s in merged["sources"]]
+    new_sources = [s[1] for s in merged["sources"]]
 
     existing_full: list[str] = list(stored["source_ids"]) if stored else []
     existing_set = set(existing_full)
