@@ -158,10 +158,20 @@ def _cap_sources(
     return sources, False, n_seen
 
 
+def _cols_to_rows(cols: list[list]) -> list[tuple]:
+    return list(zip(*cols)) if cols and cols[0] else []
+
+
+def _rows_to_cols(rows: list[tuple], width: int) -> list[list]:
+    if not rows:
+        return [[] for _ in range(width)]
+    return [list(c) for c in zip(*rows)]
+
+
 def _merge_partials(blobs: list[dict], cap: int, keep_mode: bool) -> dict:
-    all_rows: list[list] = []
+    all_rows: list[tuple] = []
     for b in blobs:
-        all_rows.extend(b["rows"])
+        all_rows.extend(_cols_to_rows(b["cols"]))
     sources, trunc_here, n_seen = _cap_sources(
         _sources_of_rows(all_rows), cap, keep_mode
     )
@@ -179,6 +189,7 @@ def _merge_partials(blobs: list[dict], cap: int, keep_mode: bool) -> dict:
         rows = all_rows  # nothing dropped at this level
     return {
         "rows": rows,
+        "width": len(blobs[0]["cols"]),
         "sources": sources,
         "n_mentions": sum(b["n_mentions"] for b in blobs),
         "src_truncated": src_truncated,
@@ -186,26 +197,74 @@ def _merge_partials(blobs: list[dict], cap: int, keep_mode: bool) -> dict:
     }
 
 
-def _partial_from_rows(rows: list[list], cap: int, keep_mode: bool) -> dict:
-    """Build one partial from raw mention rows (same row layout, sid at [4])."""
-    sources, truncated, n_seen = _cap_sources(
-        _sources_of_rows(rows), cap, keep_mode
-    )
-    if truncated:
-        allowed = {s[1] for s in sources}
-        kept = [r for r in rows if r[4] in allowed]
-    else:
-        kept = rows
-    return {
-        "rows": kept,
-        "n_mentions": len(rows),
-        "src_truncated": truncated,
-        "n_sources_seen": n_seen,
-    }
-
-
 # ---------------------------------------------------------------------------
 # stage 0: combiner (map_batches over mention rows → partial rows)
+#
+# Columnar hot path: ONE Arrow sort per batch — (key, then the total mention
+# order) — makes every key's rows contiguous and ord-sorted, so a group is a
+# plain [start:end) slice of each column (C memcpy), the ordered-distinct
+# source scan is a set-membership pass, and no per-row Python list is ever
+# built (the round-1 combiner allocated an 8-element list per mention row —
+# the single hottest loop in the build).
+
+_ORD_SORT_KEYS = [
+    ("timestamp", "ascending"),
+    ("file_path", "ascending"),
+    ("chunk_order", "ascending"),
+    ("rec_index", "ascending"),
+]
+
+
+def _emit_group_partial(
+    out: dict,
+    key: str,
+    cols: list[list],
+    start: int,
+    end: int,
+    cap: int,
+    keep_mode: bool,
+    salts: int,
+    rbuckets: int,
+) -> None:
+    """Build + emit one key's partial from its contiguous, ord-sorted column
+    slice [start:end)."""
+    sid_col = cols[4]
+    seen: set[str] = set()
+    ordered_sids: list[str] = []
+    for i in range(start, end):
+        s = sid_col[i]
+        if s not in seen:
+            seen.add(s)
+            ordered_sids.append(s)
+    truncated = keep_mode and len(ordered_sids) > cap
+    if truncated:
+        allowed = set(ordered_sids[:cap])
+        keep_idx = [i for i in range(start, end) if sid_col[i] in allowed]
+        g_cols = [[c[i] for i in keep_idx] for c in cols]
+    else:
+        g_cols = [c[start:end] for c in cols]
+    partial = {
+        "cols": g_cols,
+        "n_mentions": end - start,
+        "src_truncated": truncated,
+        "n_sources_seen": len(ordered_sids),
+    }
+    salt = _salt_of(sid_col[start], salts)
+    out["key"].append(key)
+    out["salt"].append(salt)
+    out["b1"].append(_crc(f"{key}\x00{salt}") % rbuckets)
+    out["blob"].append(_dumps(partial))
+
+
+def _partials_table(out: dict) -> pa.Table:
+    return pa.table(
+        {
+            "key": pa.array(out["key"], pa.string()),
+            "salt": pa.array(out["salt"], pa.int32()),
+            "b1": pa.array(out["b1"], pa.int32()),
+            "blob": pa.array(out["blob"], pa.large_binary()),
+        }
+    )
 
 
 def make_entity_partials_fn(cfg: PipelineConfig, incremental: bool = False):
@@ -222,36 +281,29 @@ def make_entity_partials_fn(cfg: PipelineConfig, incremental: bool = False):
     rbuckets = cfg.reduce_buckets
 
     def to_partials(batch: pa.Table) -> pa.Table:
+        batch = batch.sort_by([("name", "ascending")] + _ORD_SORT_KEYS)
         names = batch.column("name").to_pylist()
-        types = batch.column("entity_type").to_pylist()
-        descs = batch.column("description").to_pylist()
-        sids = batch.column("source_id").to_pylist()
-        fps = batch.column("file_path").to_pylist()
-        tss = batch.column("timestamp").to_pylist()
-        cos = batch.column("chunk_order").to_pylist()
-        ris = batch.column("rec_index").to_pylist()
-
-        grouped: dict[str, list[list]] = {}
-        for i, name in enumerate(names):
-            grouped.setdefault(name, []).append(
-                [tss[i], fps[i], cos[i], ris[i], sids[i], types[i], descs[i]]
-            )
+        cols = [
+            batch.column("timestamp").to_pylist(),
+            batch.column("file_path").to_pylist(),
+            batch.column("chunk_order").to_pylist(),
+            batch.column("rec_index").to_pylist(),
+            batch.column("source_id").to_pylist(),
+            batch.column("entity_type").to_pylist(),
+            batch.column("description").to_pylist(),
+        ]
         out = {"key": [], "salt": [], "b1": [], "blob": []}
-        for name, rows in grouped.items():
-            partial = _partial_from_rows(rows, cap, keep_mode)
-            salt = _salt_of(rows[0][4], salts)
-            out["key"].append(name)
-            out["salt"].append(salt)
-            out["b1"].append(_crc(f"{name}\x00{salt}") % rbuckets)
-            out["blob"].append(_dumps(partial))
-        return pa.table(
-            {
-                "key": pa.array(out["key"], pa.string()),
-                "salt": pa.array(out["salt"], pa.int32()),
-                "b1": pa.array(out["b1"], pa.int32()),
-                "blob": pa.array(out["blob"], pa.large_binary()),
-            }
-        )
+        n = len(names)
+        start = 0
+        for end in range(1, n + 1):
+            if end < n and names[end] == names[start]:
+                continue
+            _emit_group_partial(
+                out, names[start], cols, start, end, cap, keep_mode, salts,
+                rbuckets,
+            )
+            start = end
+        return _partials_table(out)
 
     return to_partials
 
@@ -266,40 +318,45 @@ def make_edge_partials_fn(cfg: PipelineConfig, incremental: bool = False):
     rbuckets = cfg.reduce_buckets
 
     def to_partials(batch: pa.Table) -> pa.Table:
-        srcs = batch.column("name").to_pylist()
-        tgts = batch.column("tgt").to_pylist()
-        kws = batch.column("keywords").to_pylist()
-        wts = batch.column("weight").to_pylist()
-        descs = batch.column("description").to_pylist()
-        sids = batch.column("source_id").to_pylist()
-        fps = batch.column("file_path").to_pylist()
-        tss = batch.column("timestamp").to_pylist()
-        cos = batch.column("chunk_order").to_pylist()
-        ris = batch.column("rec_index").to_pylist()
+        import numpy as np
 
-        grouped: dict[str, list[list]] = {}
-        for i in range(len(srcs)):
-            # undirected: sorted pair (lightrag/operate.py:3383-3386)
-            a, b = (srcs[i], tgts[i]) if srcs[i] <= tgts[i] else (tgts[i], srcs[i])
-            grouped.setdefault(f"{a}\x00{b}", []).append(
-                [tss[i], fps[i], cos[i], ris[i], sids[i], kws[i], wts[i], descs[i]]
-            )
+        # undirected: sorted pair (lightrag/operate.py:3383-3386), built as
+        # one vectorized object-array pass, then ONE Arrow sort
+        srcs = np.asarray(batch.column("name").to_pylist(), dtype=object)
+        tgts = np.asarray(batch.column("tgt").to_pylist(), dtype=object)
+        lo = np.minimum(srcs, tgts)
+        hi = np.maximum(srcs, tgts)
+        # the separator must be built WITHOUT numpy string coercion: both a
+        # bare "\x00" scalar and np.full(...) coerce through numpy's
+        # fixed-width str type, which silently DROPS null bytes
+        sep = np.empty(len(lo), dtype=object)
+        sep[:] = "\x00"
+        keys = lo + sep + hi
+        batch = batch.append_column("_ekey", pa.array(keys, pa.string()))
+        batch = batch.sort_by([("_ekey", "ascending")] + _ORD_SORT_KEYS)
+        names = batch.column("_ekey").to_pylist()
+        cols = [
+            batch.column("timestamp").to_pylist(),
+            batch.column("file_path").to_pylist(),
+            batch.column("chunk_order").to_pylist(),
+            batch.column("rec_index").to_pylist(),
+            batch.column("source_id").to_pylist(),
+            batch.column("keywords").to_pylist(),
+            batch.column("weight").to_pylist(),
+            batch.column("description").to_pylist(),
+        ]
         out = {"key": [], "salt": [], "b1": [], "blob": []}
-        for key, rows in grouped.items():
-            partial = _partial_from_rows(rows, cap, keep_mode)
-            salt = _salt_of(rows[0][4], salts)
-            out["key"].append(key)
-            out["salt"].append(salt)
-            out["b1"].append(_crc(f"{key}\x00{salt}") % rbuckets)
-            out["blob"].append(_dumps(partial))
-        return pa.table(
-            {
-                "key": pa.array(out["key"], pa.string()),
-                "salt": pa.array(out["salt"], pa.int32()),
-                "b1": pa.array(out["b1"], pa.int32()),
-                "blob": pa.array(out["blob"], pa.large_binary()),
-            }
-        )
+        n = len(names)
+        start = 0
+        for end in range(1, n + 1):
+            if end < n and names[end] == names[start]:
+                continue
+            _emit_group_partial(
+                out, names[start], cols, start, end, cap, keep_mode, salts,
+                rbuckets,
+            )
+            start = end
+        return _partials_table(out)
 
     return to_partials
 
@@ -406,8 +463,13 @@ def make_bucket_merge_groupfn(cfg: PipelineConfig, kind: str,
             if salt == STORED_SALT or len(blobs) == 1:
                 merged = blobs[0]  # stored snapshots pass through untouched
             else:
-                merged = _merge_partials(blobs, cap, keep_mode)
-                merged.pop("sources", None)  # re-derived from rows downstream
+                m = _merge_partials(blobs, cap, keep_mode)
+                merged = {  # wire format: columns; sources re-derived later
+                    "cols": _rows_to_cols(m["rows"], m["width"]),
+                    "n_mentions": m["n_mentions"],
+                    "src_truncated": m["src_truncated"],
+                    "n_sources_seen": m["n_sources_seen"],
+                }
             out["key"].append(key)
             out["salt"].append(salt)
             out["b2"].append(_crc(key) % rbuckets)

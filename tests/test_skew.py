@@ -55,9 +55,9 @@ def test_partial_rows_bounded_by_source_cap():
     assert out.num_rows == 1
     blob = _loads(out.column("blob")[0].as_py())
     # sources no longer ship on the wire (re-derived from rows); the row
-    # cap is the bounding property
-    assert len(blob["rows"]) == 50  # one row per surviving source here
-    assert len({r[4] for r in blob["rows"]}) == 50
+    # cap is the bounding property (blobs are columnar: cols[4] = sids)
+    assert len(blob["cols"][4]) == 50  # one row per surviving source here
+    assert len(set(blob["cols"][4])) == 50
     assert blob["src_truncated"] is True
     assert blob["n_mentions"] == 5000
 
@@ -78,6 +78,6 @@ def test_stage1_merge_stays_bounded():
     merged = make_bucket_merge_groupfn(cfg, "e")(df)
     assert merged.num_rows == 1
     blob = _loads(merged.column("blob")[0].as_py())
-    assert len(blob["rows"]) == 50
-    assert len({r[4] for r in blob["rows"]}) == 50
+    assert len(blob["cols"][4]) == 50
+    assert len(set(blob["cols"][4])) == 50
     assert blob["n_mentions"] == 5000
