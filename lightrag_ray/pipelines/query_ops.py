@@ -188,6 +188,52 @@ def dedup_chunk_hits(entities_with_chunks: list[dict]) -> list[dict]:
     return out
 
 
+def pick_by_weighted_polling(
+    entities_or_relations: list[dict],
+    max_related_chunks: int,
+    min_related_chunks: int = 1,
+) -> list[str]:
+    """Linear-gradient weighted polling chunk selection (reference
+    ``pick_by_weighted_polling``, lightrag/utils.py:5189-5268): importance
+    rank i gets a linearly decreasing chunk quota, then leftover quota is
+    round-robin scanned.  Items carry ``sorted_chunks``."""
+    if not entities_or_relations or max_related_chunks <= 0:
+        return []
+    n = len(entities_or_relations)
+    if n == 1:
+        return entities_or_relations[0].get("sorted_chunks", [])[
+            :max_related_chunks
+        ]
+    expected_counts = []
+    for i in range(n):
+        ratio = i / (n - 1)
+        expected_counts.append(
+            int(
+                round(
+                    max_related_chunks
+                    - ratio * (max_related_chunks - min_related_chunks)
+                )
+            )
+        )
+    selected, used, total_remaining = [], [], 0
+    for i, item in enumerate(entities_or_relations):
+        chunks = item.get("sorted_chunks", [])
+        actual = min(expected_counts[i], len(chunks))
+        selected.extend(chunks[:actual])
+        used.append(actual)
+        total_remaining += max(0, expected_counts[i] - actual)
+    for _ in range(total_remaining):
+        for i, item in enumerate(entities_or_relations):
+            chunks = item.get("sorted_chunks", [])
+            if used[i] < len(chunks):
+                selected.append(chunks[used[i]])
+                used[i] += 1
+                break
+        else:
+            break
+    return selected
+
+
 def round_robin_merge(list_a: list[dict], list_b: list[dict], key) -> list[dict]:
     """Interleave two ranked lists a,b,a,b..., dropping later duplicates by
     ``key`` (reference lightrag/operate.py:4880-4934)."""

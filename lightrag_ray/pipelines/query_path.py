@@ -30,6 +30,7 @@ from lightrag_ray.pipelines.query_ops import (
     broadcast_fetch,
     dedup_chunk_hits,
     one_hop_edges,
+    pick_by_weighted_polling,
     round_robin_merge,
 )
 from lightrag_ray.stages.embed import (
@@ -65,10 +66,15 @@ class KGQueryEngine:
     persistent vector stores)."""
 
     def __init__(self, nodes_dir: str, edges_dir: str, chunks_dir: str | None = None,
-                 keywords_fn=default_keywords_fn):
+                 keywords_fn=default_keywords_fn,
+                 related_chunk_selection: str = "VECTOR"):
         import ray.data as rd
 
+        from lightrag_ray.stages.embed import HashEmbedder
+
         self.keywords_fn = keywords_fn
+        self.related_chunk_selection = related_chunk_selection
+        self.embedder = HashEmbedder()
         self.nodes = rd.read_parquet(nodes_dir)
         self.edges = rd.read_parquet(edges_dir)
         self.entity_vdb = embed_table(
@@ -136,17 +142,67 @@ class KGQueryEngine:
         by_id = broadcast_fetch(self.edges, hit_ids, self._edge_vdb_keys)
         return [by_id[v] for v in hit_ids if v in by_id]
 
-    def _related_chunks(self, entities: list[dict]) -> list[dict]:
+    def _related_chunks(self, entities: list[dict],
+                        query: str = "") -> list[dict]:
+        """Related chunks from entity provenance, selected by
+        ``related_chunk_selection``:
+
+        - ``"VECTOR"`` (reference default, lightrag/constants.py:61 /
+          pick_by_vector_similarity lightrag/utils.py:5271): candidate
+          chunk ids ranked by cosine to the query over the chunk VDB;
+        - ``"WEIGHT"``: linear-gradient weighted polling
+          (lightrag/utils.py:5189).
+
+        Falls back to WEIGHT when no chunk VDB is loaded."""
         infos = [
             {"name": e["entity_id"], "chunks": list(e["source_ids"])}
             for e in entities
         ]
         deduped = dedup_chunk_hits(infos)
-        out = []
+        via = {}
         for info in deduped:
-            for chunk_id in info["chunks"][:RELATED_CHUNK_NUMBER]:
-                out.append({"chunk_id": chunk_id, "via_entity": info["name"]})
-        return out[:CHUNK_TOP_K]
+            for chunk_id in info["chunks"]:
+                via.setdefault(chunk_id, info["name"])
+        num_of_chunks = max(
+            1, int(RELATED_CHUNK_NUMBER * max(len(deduped), 1) / 2)
+        )
+        use_vector = (
+            self.related_chunk_selection == "VECTOR"
+            and self.chunk_vdb is not None
+            and query
+        )
+        if use_vector:
+            candidates = list(via)
+            by_id = broadcast_fetch(
+                self.chunk_vdb,
+                candidates,
+                lambda b: b.column("vdb_id").to_pylist(),
+            )
+            import numpy as np
+
+            q = self.embedder.embed([query])[0]
+            q = q / (np.linalg.norm(q) or 1.0)
+            scored = []
+            for cid in candidates:
+                row = by_id.get(cid)
+                if row is None:
+                    continue
+                v = np.asarray(row["embedding"], dtype=np.float64)
+                n = np.linalg.norm(v)
+                scored.append((float(v @ q / (n or 1.0)), cid))
+            scored.sort(key=lambda s: (-s[0], s[1]))
+            selected = [cid for _, cid in scored[:num_of_chunks]]
+        else:
+            selected = pick_by_weighted_polling(
+                [
+                    {"sorted_chunks": info["chunks"]}
+                    for info in deduped
+                ],
+                RELATED_CHUNK_NUMBER,
+            )[:num_of_chunks]
+        return [
+            {"chunk_id": cid, "via_entity": via[cid]} for cid in selected
+        ][:CHUNK_TOP_K]
 
     # -- modes ---------------------------------------------------------------
 
@@ -204,7 +260,7 @@ class KGQueryEngine:
             global_relations,
             key=lambda r: tuple(sorted((r["src_id"], r["tgt_id"]))),
         )
-        chunks = self._related_chunks(entities)
+        chunks = self._related_chunks(entities, query)
         return QueryContext(
             entities=[
                 {

@@ -108,3 +108,37 @@ def test_llm_keywords_fallback_on_garbage():
         "high_level_keywords": [],
         "low_level_keywords": [],
     }
+
+
+def test_weighted_polling_algorithm():
+    """Exact port of pick_by_weighted_polling (lightrag/utils.py:5189-5268):
+    linear quota gradient + leftover round-robin."""
+    from lightrag_ray.pipelines.query_ops import pick_by_weighted_polling
+
+    items = [
+        {"sorted_chunks": ["a1", "a2", "a3", "a4", "a5"]},
+        {"sorted_chunks": ["b1", "b2"]},
+        {"sorted_chunks": ["c1", "c2", "c3", "c4"]},
+    ]
+    out = pick_by_weighted_polling(items, max_related_chunks=4)
+    # quotas: 4, round(2.5)=2, 1; b has only 2 → leftover goes to a then c
+    assert out[:4] == ["a1", "a2", "a3", "a4"]
+    assert "b1" in out and "b2" in out and "c1" in out
+    assert pick_by_weighted_polling([], 5) == []
+    assert pick_by_weighted_polling(items[:1], 2) == ["a1", "a2"]
+
+
+def test_related_chunks_selection_modes(engine):
+    """VECTOR (default, reference constants.py:61) ranks provenance chunks
+    by cosine to the query; WEIGHT uses the polling quotas."""
+    q = "how do stream and merge relate to the table"
+    engine.related_chunk_selection = "VECTOR"
+    vec = engine.query(q, mode="local").chunks
+    engine.related_chunk_selection = "WEIGHT"
+    wt = engine.query(q, mode="local").chunks
+    engine.related_chunk_selection = "VECTOR"
+    assert vec and wt
+    assert {c["chunk_id"] for c in vec}  # non-empty, ids resolved
+    # both draw from entity provenance
+    names = {c["via_entity"] for c in vec} | {c["via_entity"] for c in wt}
+    assert names
