@@ -110,3 +110,42 @@ def test_mdhash_id_matches_reference(ref):
     assert K.compute_mdhash_id("hello", prefix="doc-") == ref.utils.compute_mdhash_id(
         "hello", prefix="doc-"
     )
+
+
+def test_multimodal_markup_strip_parity(ref):
+    """M13 fuzz parity vs the reference's
+    strip_internal_multimodal_markup_for_extraction (chunk_schema.py:332)."""
+    import importlib
+    import random
+    import sys
+
+    if "/root/reference" not in sys.path:
+        sys.path.append("/root/reference")
+    cs = importlib.import_module("lightrag.chunk_schema")
+
+    from lightrag_ray.functions.multimodal_markup import (
+        strip_internal_multimodal_markup_for_extraction as ours,
+    )
+
+    rng = random.Random(7)
+    pieces = [
+        'plain prose with <b>html</b> ',
+        '<cite type="table" refid="tb-12">Table 1</cite>',
+        '<cite refid="x">see figure</cite>',
+        '<drawing id="im-1" path="/tmp/x" src="a.png" caption="Fig 2" />',
+        '<drawing id="im-2" src="b.png" />',
+        '<table id="tb-9" format="json" caption="Rates">{"a":1}</table>',
+        '<table format="md">|a|</table>',
+        '<equation id="eq-3" format="latex">e=mc^2</equation>',
+        '<equation>x+y</equation>',
+        'multi\nline\ntext',
+        '<CITE TYPE="x" REFID="y">upper</CITE>',
+    ]
+    for _ in range(200):
+        content = "".join(rng.choice(pieces) for _ in range(rng.randint(0, 6)))
+        for keep in (False, True):
+            assert ours(content, keep_cite_tag=keep) == (
+                cs.strip_internal_multimodal_markup_for_extraction(
+                    content, keep_cite_tag=keep
+                )
+            ), (content, keep)
