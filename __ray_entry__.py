@@ -66,8 +66,15 @@ def _q_kg_build_edges(sf_dir: str):
 _EPOCH_S = 1_767_225_600  # sources/pages.py _EPOCH_US / 1e6
 
 
+_single_chunk_builds: dict = {}
+
+
 def _build_single_chunk(sf_dir: str):
-    """Synthesize pages for single-chunk docs only, then run the full build."""
+    """Synthesize pages for single-chunk docs only, then run the full build.
+    Memoized per sf_dir so the nodes and edges oracle queries share one
+    build instead of running the pipeline twice."""
+    if sf_dir in _single_chunk_builds:
+        return _single_chunk_builds[sf_dir]
     import ray.data as rd
 
     from lightrag_ray.functions.text import sanitize_text_for_encoding
@@ -93,9 +100,11 @@ def _build_single_chunk(sf_dir: str):
     rd.read_parquet(f"{sf_dir}/documents.parquet").map_batches(
         filter_single_chunk, batch_format="pyarrow", zero_copy_batch=True
     ).repartition(4).write_parquet(f"{work}/pages")
-    return build_kg(
+    result = build_kg(
         f"{work}/pages", f"{work}/build", PipelineConfig(), num_partitions=2
     )
+    _single_chunk_builds[sf_dir] = result
+    return result
 
 
 def _q_kg_build_nodes_1c(sf_dir: str):

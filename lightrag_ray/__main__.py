@@ -157,38 +157,43 @@ def main(argv: list[str] | None = None) -> int:
 
             from lightrag_ray.pipelines import admin
 
+            import shutil
+
             nodes_dir = os.path.join(args.out, "nodes")
             edges_dir = os.path.join(args.out, "edges")
             nodes = rd.read_parquet(nodes_dir)
             edges = rd.read_parquet(edges_dir)
+            changed: list = []  # only rewrite tables the op touched
             if args.cmd == "merge-entities":
                 nodes, edges, row = admin.merge_entities(
                     nodes, edges, args.sources.split(","), args.target
                 )
+                changed = [(nodes, nodes_dir), (edges, edges_dir)]
             elif args.cmd == "edit-entity":
                 nodes, edges, row = admin.edit_entity(
                     nodes, edges, args.name, json.loads(args.set),
                     allow_merge=True,
                 )
+                changed = [(nodes, nodes_dir), (edges, edges_dir)]
             else:
                 edges, row = admin.edit_relation(
                     edges, args.src, args.tgt, json.loads(args.set)
                 )
-            # write-aside then swap: never clobber tables mid-read
-            for ds, d in ((nodes, nodes_dir), (edges, edges_dir)):
+                changed = [(edges, edges_dir)]
+            # write-aside, then swap; every .bak survives until ALL swaps
+            # land, so a crash anywhere leaves a recoverable copy of each
+            # table (a half-applied multi-table op is restored from .bak)
+            for ds, d in changed:
                 tmp = d + ".new"
-                import shutil
-
                 shutil.rmtree(tmp, ignore_errors=True)
                 ds.write_parquet(tmp)
-            for d in (nodes_dir, edges_dir):
+            for _, d in changed:
                 bak = d + ".bak"
-                import shutil
-
                 shutil.rmtree(bak, ignore_errors=True)
                 os.rename(d, bak)
                 os.rename(d + ".new", d)
-                shutil.rmtree(bak, ignore_errors=True)
+            for _, d in changed:
+                shutil.rmtree(d + ".bak", ignore_errors=True)
             print(json.dumps({"updated": {k: v for k, v in row.items()
                                           if not isinstance(v, list)}},
                              ensure_ascii=False, default=str))

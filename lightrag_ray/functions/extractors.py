@@ -55,6 +55,17 @@ class ExtractionError(ValueError):
     LegacyExtractionError, lightrag/parser/legacy/extractors.py:15)."""
 
 
+def _resolve_part(base_dir: str, target: str) -> str:
+    """Resolve an OPC relationship Target against its source part's
+    directory: absolute targets ('/ppt/slides/…') are package-rooted,
+    relative ones (incl. '../') resolve per posix rules."""
+    import posixpath
+
+    if target.startswith("/"):
+        return target.lstrip("/")
+    return posixpath.normpath(posixpath.join(base_dir, target))
+
+
 # ---------------------------------------------------------------------------
 # docx
 
@@ -133,7 +144,7 @@ def _pptx_slide_paths(zf: zipfile.ZipFile) -> list[str]:
     for sld in sld_lst if sld_lst is not None else []:
         target = targets.get(sld.get(f"{_R}id"))
         if target:
-            paths.append("ppt/" + target.lstrip("./"))
+            paths.append(_resolve_part("ppt", target))
     return paths
 
 
@@ -236,18 +247,21 @@ def extract_xlsx(file_bytes: bytes) -> str:
                 f"{sheet_separator} Sheet: {title} {sheet_separator}"
             )
             target = targets[sheet.get(f"{_R}id")]
-            ws = ET.fromstring(zf.read("xl/" + target.lstrip("./")))
-            # grid: {row -> {col -> (value, formula)}} over the used range
+            ws = ET.fromstring(zf.read(_resolve_part("xl", target)))
+            # grid: {row -> {col -> (value, formula)}} over the used range.
+            # row@r and c@r are OPTIONAL in OOXML — position is implied by
+            # document order when absent (openpyxl behaves the same way)
             grid: dict[int, dict[int, tuple[str | None, str | None]]] = {}
             max_row = max_col = 0
+            implied_row = 0
             for row in ws.iter(f"{_S}row"):
-                r = int(row.get("r", "0") or 0)
+                r = int(row.get("r") or implied_row + 1)
+                implied_row = r
+                implied_col = 0
                 for c in row.findall(f"{_S}c"):
-                    ref = c.get("r") or ""
-                    m = _CELL_REF_RE.fullmatch(ref)
-                    if not m:
-                        continue
-                    col = _col_index(m.group(1))
+                    m = _CELL_REF_RE.fullmatch(c.get("r") or "")
+                    col = _col_index(m.group(1)) if m else implied_col + 1
+                    implied_col = col
                     grid.setdefault(r, {})[col] = _xlsx_cell_value(c, shared)
                     max_row = max(max_row, r)
                     max_col = max(max_col, col)
@@ -293,9 +307,10 @@ def _pdf_unescape(s: bytes) -> bytes:
         ch = s[i : i + 1]
         if ch == b"\\" and i + 1 < len(s):
             nxt = s[i + 1 : i + 2]
-            if nxt.isdigit():  # octal escape, up to 3 digits
+            if nxt in b"01234567":  # octal escape, up to 3 OCTAL digits
+                # ('\8'/'\9' are not octal — the PDF spec drops the backslash)
                 j = i + 1
-                while j < len(s) and j < i + 4 and s[j : j + 1].isdigit():
+                while j < len(s) and j < i + 4 and s[j : j + 1] in b"01234567":
                     j += 1
                 out.append(int(s[i + 1 : j], 8) & 0xFF)
                 i = j

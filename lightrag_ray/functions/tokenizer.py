@@ -89,7 +89,15 @@ class SegmentTokenizer:
         return [self._intern(s) for s in segments]
 
     def decode(self, tokens: list[int]) -> str:
-        return "".join(self._str_of[t - self._base] for t in tokens)
+        base = self._base
+        if tokens and min(tokens) < base:
+            # a negative index would silently wrap to the wrong segment —
+            # fail loudly instead of corrupting chunk text
+            raise KeyError(
+                f"token id {min(tokens)} evicted from the rolling window "
+                f"(base={base}); raise max_live_tokens for longer spans"
+            )
+        return "".join(self._str_of[t - base] for t in tokens)
 
 
 # ---------------------------------------------------------------------------

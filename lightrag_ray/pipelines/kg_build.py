@@ -270,6 +270,8 @@ def build_kg(
     def _prior(path):
         return rd.read_parquet(path) if path else None
 
+    from lightrag_ray.stages.merge import NODES_SCHEMA
+
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_nodes = pool.submit(
             _run_part,
@@ -281,6 +283,7 @@ def build_kg(
             ),
             resume,
             {"phase": "nodes_pre"},
+            empty_schema=NODES_SCHEMA,
         )
         from lightrag_ray.stages.merge import EDGES_SCHEMA
 
@@ -303,6 +306,8 @@ def build_kg(
         f_edges.result()
 
     # ---- Phase C3: endpoint back-propagation → final nodes
+    from lightrag_ray.stages.endpoints import FINAL_NODES_SCHEMA
+
     nodes_dir = paths.phase_dir("nodes")
     _run_part(
         paths,
@@ -313,6 +318,9 @@ def build_kg(
         ).select_columns(FINAL_NODES_COLUMNS),
         resume,
         extra={"phase": "nodes"},
+        empty_schema=pa.schema(
+            [FINAL_NODES_SCHEMA.field(c) for c in FINAL_NODES_COLUMNS]
+        ),
     )
 
     lineage_path = ckpt.write_lineage_parquet(paths)

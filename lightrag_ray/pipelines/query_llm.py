@@ -205,14 +205,16 @@ class LLMQueryEngine:
         from lightrag_ray.stages.llm_cache import LLMCache
 
         self.engine = engine
-        self.engine.keywords_fn = make_llm_keywords_fn(keyword_model_fn, language)
+        # held locally, passed per call — never mutate the (shared) engine
+        self.keywords_fn = make_llm_keywords_fn(keyword_model_fn, language)
         self.answer_model_fn = answer_model_fn
         self.response_type = response_type
         self.cache = cache if cache is not None else LLMCache()
 
     def query(self, query: str, mode: str = "hybrid",
               user_prompt: str = "") -> QueryResult:
-        context = self.engine.query(query, mode=mode)
+        context = self.engine.query(query, mode=mode,
+                                    keywords_fn=self.keywords_fn)
         if mode == "bypass":
             answer = remove_think_tags(self.answer_model_fn(query, None, []))
             return QueryResult(answer=answer, context=context)

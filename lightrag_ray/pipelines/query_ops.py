@@ -62,13 +62,11 @@ def rank_edges(edges_ds, degree_join: str = "broadcast"):
         import pandas as pd
 
         def explode_payload(batch: pa.Table) -> pa.Table:
-            keys = [
-                f"{s}\x00{t}"
-                for s, t in zip(
-                    batch.column("src_id").to_pylist(),
-                    batch.column("tgt_id").to_pylist(),
-                )
-            ]
+            import uuid
+
+            # per-ROW key (uuid), not the (src,tgt) pair: duplicate edge rows
+            # must each survive the reassembly groupby with their own rank
+            keys = [uuid.uuid4().hex for _ in range(batch.num_rows)]
             key_col = pa.array(keys + keys, pa.string())
             ends = pa.array(
                 batch.column("src_id").to_pylist()

@@ -158,20 +158,26 @@ class KGQueryEngine:
             {"name": e["entity_id"], "chunks": list(e["source_ids"])}
             for e in entities
         ]
+        # occurrence counting BEFORE first-entity-wins dedup, then per-entity
+        # chunks sorted by occurrence desc (lightrag/operate.py:5739-5765)
+        occurrence: dict[str, int] = {}
+        for info in infos:
+            for chunk_id in info["chunks"]:
+                occurrence[chunk_id] = occurrence.get(chunk_id, 0) + 1
         deduped = dedup_chunk_hits(infos)
         via = {}
         for info in deduped:
+            info["sorted_chunks"] = sorted(
+                info["chunks"], key=lambda c: occurrence.get(c, 0), reverse=True
+            )
             for chunk_id in info["chunks"]:
                 via.setdefault(chunk_id, info["name"])
-        num_of_chunks = max(
-            1, int(RELATED_CHUNK_NUMBER * max(len(deduped), 1) / 2)
-        )
-        use_vector = (
-            self.related_chunk_selection == "VECTOR"
-            and self.chunk_vdb is not None
-            and query
-        )
-        if use_vector:
+        method = self.related_chunk_selection
+        selected: list[str] = []
+        if method == "VECTOR" and self.chunk_vdb is not None and query:
+            # num_of_chunks caps ONLY the vector pick (operate.py:5760);
+            # an empty vector result falls back to WEIGHT (:5794-5798)
+            num_of_chunks = int(RELATED_CHUNK_NUMBER * len(deduped) / 2)
             candidates = list(via)
             by_id = broadcast_fetch(
                 self.chunk_vdb,
@@ -192,21 +198,26 @@ class KGQueryEngine:
                 scored.append((float(v @ q / (n or 1.0)), cid))
             scored.sort(key=lambda s: (-s[0], s[1]))
             selected = [cid for _, cid in scored[:num_of_chunks]]
+            if not selected:
+                method = "WEIGHT"
         else:
+            method = "WEIGHT"
+        if method == "WEIGHT" and not selected:
             selected = pick_by_weighted_polling(
-                [
-                    {"sorted_chunks": info["chunks"]}
-                    for info in deduped
-                ],
-                RELATED_CHUNK_NUMBER,
-            )[:num_of_chunks]
+                deduped, RELATED_CHUNK_NUMBER, min_related_chunks=1
+            )
         return [
             {"chunk_id": cid, "via_entity": via[cid]} for cid in selected
         ][:CHUNK_TOP_K]
 
     # -- modes ---------------------------------------------------------------
 
-    def query(self, query: str, mode: str = "hybrid") -> QueryContext:
+    def query(self, query: str, mode: str = "hybrid",
+              keywords_fn=None) -> QueryContext:
+        """``keywords_fn`` overrides the engine's configured keyword
+        extractor for this call only (callers layering their own models —
+        e.g. LLMQueryEngine — must not mutate a shared engine)."""
+        keywords_fn = keywords_fn or self.keywords_fn
         if mode == "bypass":
             return QueryContext()
         if mode == "naive":
@@ -220,7 +231,7 @@ class KGQueryEngine:
                         for r in top.take_all()]
             )
 
-        kw = self.keywords_fn(query)
+        kw = keywords_fn(query)
         ll = ", ".join(kw["low_level_keywords"]) or query
         hl = ", ".join(kw["high_level_keywords"]) or query
 

@@ -123,3 +123,55 @@ def test_binary_extract_stage_quarantines_errors():
     assert out[0]["text"] == "good" and out[0]["error"] == ""
     assert out[1]["text"] == "" and "BadZipFile" in out[1]["error"]
     assert out[2]["text"] == "ok text" and out[2]["error"] == ""
+
+
+def test_xlsx_implied_row_and_cell_positions():
+    """row@r / c@r are optional in OOXML — positions are implied by order
+    (code-review regression: such files silently extracted as empty)."""
+    import zipfile
+    from io import BytesIO
+
+    payload = make_xlsx({"S": [["a", "b"], ["c", "d"]]})
+    # strip every r attribute from the worksheet XML
+    src = zipfile.ZipFile(BytesIO(payload))
+    entries = {n: src.read(n) for n in src.namelist()}
+    import re as _re
+
+    ws = entries["xl/worksheets/sheet1.xml"].decode()
+    ws = _re.sub(r' r="[^"]*"', "", ws)
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for n, data in entries.items():
+            zf.writestr(n, ws if n == "xl/worksheets/sheet1.xml" else data)
+    out = extract_xlsx(buf.getvalue())
+    assert "a\tb" in out and "c\td" in out
+
+
+def test_pptx_absolute_relationship_target():
+    """Package-rooted Targets ('/ppt/slides/…') are spec-valid
+    (code-review regression: naive join mangled them)."""
+    import zipfile
+    from io import BytesIO
+
+    payload = make_pptx([["hello absolute"]])
+    src = zipfile.ZipFile(BytesIO(payload))
+    entries = {n: src.read(n) for n in src.namelist()}
+    rels = entries["ppt/_rels/presentation.xml.rels"].decode().replace(
+        'Target="slides/slide1.xml"', 'Target="/ppt/slides/slide1.xml"'
+    )
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for n, data in entries.items():
+            zf.writestr(
+                n, rels if n == "ppt/_rels/presentation.xml.rels" else data
+            )
+    assert extract_pptx(buf.getvalue()) == "hello absolute\n"
+
+
+def test_pdf_invalid_octal_escape():
+    r"""'\8'/'\9' are not octal — the backslash is dropped per spec
+    (code-review regression: int(s, 8) crashed on them)."""
+    from lightrag_ray.functions.extractors import _pdf_unescape
+
+    assert _pdf_unescape(rb"a\8b\9c") == b"a8b9c"
+    assert _pdf_unescape(rb"\101\12") == b"A\n"

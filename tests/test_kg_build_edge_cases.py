@@ -43,3 +43,39 @@ def test_build_with_zero_relation_mentions(ray_session, tmp_path):
     assert edges.count() == 0
     nodes = rd.read_parquet(res.nodes_dir).take_all()
     assert {r["entity_id"] for r in nodes} == set(words)
+
+
+def test_build_with_zero_entity_mentions(ray_session, tmp_path):
+    """A corpus whose pages sanitize to nothing (or yield no ≥5-char words)
+    must produce EMPTY node/edge tables, not crash (code-review regression:
+    empty_schema was only wired for the edges phase)."""
+    import ray.data as rd
+
+    from lightrag_ray.config import PipelineConfig
+    from lightrag_ray.pipelines.kg_build import build_kg
+    from lightrag_ray.sources.pages import PAGES_SCHEMA
+
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    texts = ["a b c", "xy z", "1 2 3"]  # all words < 5 chars → zero entities
+    table = pa.table(
+        {
+            "url": [f"https://e.example.org/doc/{i}" for i in range(3)],
+            "warc_ts": pa.array([1_000_000 + i for i in range(3)],
+                                pa.timestamp("us")),
+            "html": [f"<p>{t}</p>".encode() for t in texts],
+            "text": texts,
+            "lang": ["en"] * 3,
+        },
+        schema=PAGES_SCHEMA,
+    )
+    pq.write_table(table, pages_dir / "part-0.parquet")
+
+    res = build_kg(
+        [str(pages_dir / "part-0.parquet")],
+        str(tmp_path / "build"),
+        PipelineConfig(),
+        num_partitions=1,
+    )
+    assert rd.read_parquet(res.nodes_dir).count() == 0
+    assert rd.read_parquet(res.edges_dir).count() == 0

@@ -115,6 +115,8 @@ def test_rank_edges_shuffle_matches_broadcast(ray_session, tmp_path):
             {"src_id": "a", "tgt_id": "c", "weight": 1.0},
             {"src_id": "b", "tgt_id": "c", "weight": 3.0},
             {"src_id": "c", "tgt_id": "d", "weight": 1.0},
+            # duplicate pair: both rows must survive the shuffle path too
+            {"src_id": "a", "tgt_id": "b", "weight": 5.0},
         ]
     )
     cols = ["src_id", "tgt_id", "weight", "rank"]

@@ -142,3 +142,14 @@ def test_related_chunks_selection_modes(engine):
     # both draw from entity provenance
     names = {c["via_entity"] for c in vec} | {c["via_entity"] for c in wt}
     assert names
+
+
+def test_llm_engine_does_not_mutate_shared_engine(engine):
+    """Wrapping a shared KGQueryEngine must not overwrite its keywords_fn
+    (code-review regression)."""
+    from lightrag_ray.pipelines.query_llm import LLMQueryEngine
+
+    original = engine.keywords_fn
+    q = LLMQueryEngine(engine)
+    q.query("stream merge table")
+    assert engine.keywords_fn is original

@@ -161,3 +161,16 @@ def test_bpe_o200k_pattern_splits():
     pat = regex.compile(O200K_PATTERN)
     pieces = [m.group() for m in pat.finditer("Hello world! 12345 don't")]
     assert pieces == ["Hello", " world", "!", " ", "123", "45", " don't"]
+
+
+def test_segment_tokenizer_evicted_ids_raise():
+    """decode of an id evicted from the rolling window must raise, never
+    silently wrap to the wrong segment (code-review regression)."""
+    import pytest as _pytest
+
+    from lightrag_ray.functions.tokenizer import SegmentTokenizer
+
+    tok = SegmentTokenizer(max_live_tokens=4)
+    old = tok.encode("a b c d e f")  # overflows the 4-token window
+    with _pytest.raises(KeyError, match="evicted"):
+        tok.decode(old)
