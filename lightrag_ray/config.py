@@ -89,6 +89,9 @@ class PipelineConfig:
     # extractor selection (pluggable; "rule" is the deterministic default)
     extractor: str = "rule"
     extractor_options: dict = field(default_factory=dict)
+    # concurrent model calls in flight per extractor actor (LLM mode only;
+    # reference llm_model_max_async, lightrag/constants.py:91)
+    llm_max_async: int = 4
 
     @classmethod
     def autoscaled(cls, cluster_cpus: int | None = None,

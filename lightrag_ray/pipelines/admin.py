@@ -298,6 +298,55 @@ def merge_entities(
 
 
 # ---------------------------------------------------------------------------
+# delete_entity / delete_relation (lightrag/utils_graph.py:81-260)
+
+
+def delete_entity(nodes_ds, edges_ds, entity_name: str):
+    """Delete one entity and every incident relation
+    (``adelete_by_entity``); returns (nodes_ds, edges_ds, status)."""
+    candidates = {entity_name, normalize_entity_name(entity_name)}
+    candidates.discard("")
+    present = _fetch_nodes(nodes_ds, sorted(candidates))
+    try:
+        name = _resolve_name(entity_name, set(present))
+    except ValueError:
+        return nodes_ds, edges_ds, "not_found"
+    if name not in present:
+        return nodes_ds, edges_ds, "not_found"
+    untouched_edges, _dropped = _split_edges(edges_ds, {name})
+    return _drop_nodes(nodes_ds, {name}), untouched_edges, "success"
+
+
+def delete_relation(edges_ds, source_entity: str, target_entity: str):
+    """Delete one undirected relation (``adelete_by_relation``); returns
+    (edges_ds, status)."""
+    import ray
+
+    a, b = sorted(
+        (normalize_entity_name(source_entity), normalize_entity_name(target_entity))
+    )
+    key_ref = ray.put(f"{a}\x00{b}")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(key_ref)
+        mask = pa.array(
+            [
+                "\x00".join(sorted((s, t))) != wanted
+                for s, t in zip(
+                    batch.column("src_id").to_pylist(),
+                    batch.column("tgt_id").to_pylist(),
+                )
+            ]
+        )
+        return batch.filter(mask)
+
+    return (
+        edges_ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True),
+        "success",
+    )
+
+
+# ---------------------------------------------------------------------------
 # insert_custom_kg (direct writer, lightrag/lightrag.py:3237-3480)
 
 

@@ -131,6 +131,24 @@ class ExtractStage:
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
         self.extractor = build_extractor(cfg)
+        self._pool = None  # lazily-built LLM call pool (llm_max_async wide)
+
+    def _extract_one(self, chunk_key, url, order, content, ts):
+        """Full per-chunk extraction (initial + gleaning rounds) — runs
+        entirely on one worker thread so gleaning state stays coherent."""
+        result = self.extractor.extract(content, chunk_key, 0, "")
+        entities, relations = parse_extraction_result(
+            result, chunk_key=chunk_key, timestamp=ts, file_path=url
+        )
+        for r in range(1, self.cfg.max_gleaning + 1):
+            glean = self.extractor.extract(content, chunk_key, r, result)
+            g_entities, g_relations = parse_extraction_result(
+                glean, chunk_key=chunk_key, timestamp=ts, file_path=url
+            )
+            entities, relations = merge_gleaning_results(
+                entities, relations, g_entities, g_relations
+            )
+        return entities, relations
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out: dict[str, list] = {name: [] for name in MENTIONS_SCHEMA.names}
@@ -139,22 +157,28 @@ class ExtractStage:
         orders = batch.column("chunk_order_index").to_pylist()
         contents = batch.column("content").to_pylist()
         stamps = batch.column("timestamp").to_pylist()
+        args = list(zip(chunk_ids, urls, orders, contents, stamps))
 
-        for chunk_key, url, order, content, ts in zip(
-            chunk_ids, urls, orders, contents, stamps
-        ):
-            result = self.extractor.extract(content, chunk_key, 0, "")
-            entities, relations = parse_extraction_result(
-                result, chunk_key=chunk_key, timestamp=ts, file_path=url
+        # LLM extraction keeps llm_max_async calls in flight per actor
+        # (reference semaphore, lightrag/constants.py:91 / operate.py:4056-4058
+        # — calls are network-bound, so threads, ordered results preserved);
+        # the deterministic rule extractor is pure CPU and stays serial.
+        if self.cfg.extractor == "llm" and self.cfg.llm_max_async > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(
+                    max_workers=self.cfg.llm_max_async
+                )
+            results = list(
+                self._pool.map(lambda a: self._extract_one(*a), args)
             )
-            for r in range(1, self.cfg.max_gleaning + 1):
-                glean = self.extractor.extract(content, chunk_key, r, result)
-                g_entities, g_relations = parse_extraction_result(
-                    glean, chunk_key=chunk_key, timestamp=ts, file_path=url
-                )
-                entities, relations = merge_gleaning_results(
-                    entities, relations, g_entities, g_relations
-                )
+        else:
+            results = [self._extract_one(*a) for a in args]
+
+        for (chunk_key, url, order, content, ts), (entities, relations) in zip(
+            args, results
+        ):
             for e in entities:
                 out["kind"].append("e")
                 out["name"].append(e.entity_name)

@@ -167,14 +167,34 @@ class LLMExtractor:
             language, entity_types_guidance, max_total_records, max_entity_records
         )
         self.max_extract_input_tokens = max_extract_input_tokens
-        # Single-slot conversation state for gleaning.  The pipeline driver
-        # (stages/extract.py ExtractStage.__call__) runs every round of one
-        # chunk consecutively before moving to the next chunk, so one slot is
-        # sufficient — and, unlike a dict keyed by chunk, it is bounded: with
-        # max_gleaning=0 the slot is simply overwritten by the next chunk
-        # instead of accumulating one entry per chunk the actor ever sees.
-        self._history_key: str | None = None
-        self._history: list[dict] = []
+        # Single-slot conversation state for gleaning, THREAD-LOCAL: the
+        # pipeline driver (stages/extract.py ExtractStage.__call__) runs
+        # every round of one chunk consecutively on ONE worker thread before
+        # that thread takes another chunk (llm_max_async threads in flight,
+        # matching the reference's semaphore — lightrag/constants.py:91), so
+        # one slot per thread is sufficient and bounded: with max_gleaning=0
+        # the slot is simply overwritten by the thread's next chunk.
+        import threading
+
+        self._tls = threading.local()
+
+    @property
+    def _history_key(self):
+        return getattr(self._tls, "key", None)
+
+    @_history_key.setter
+    def _history_key(self, value):
+        self._tls.key = value
+
+    @property
+    def _history(self):
+        if not hasattr(self._tls, "history"):
+            self._tls.history = []
+        return self._tls.history
+
+    @_history.setter
+    def _history(self, value):
+        self._tls.history = value
 
     def extract(
         self, content: str, chunk_key: str, round_index: int, prior_output: str

@@ -320,3 +320,27 @@ def test_insert_custom_kg(ray_session):
 
     with _pytest.raises(ValueError, match="must be a string"):
         insert_custom_kg(nodes_ds, edges_ds, {"entities": [{"entity_name": 3}]})
+
+
+def test_delete_entity_and_relation(ray_session):
+    """adelete_by_entity / adelete_by_relation (utils_graph.py:81-260):
+    entity delete removes incident edges; relation delete is undirected."""
+    from lightrag_ray.pipelines.admin import delete_entity, delete_relation
+
+    nodes_ds, edges_ds = _datasets(NODES, EDGES)
+    new_nodes, new_edges, status = delete_entity(nodes_ds, edges_ds, "beta")
+    assert status == "success"
+    assert "beta" not in {r["entity_id"] for r in new_nodes.take_all()}
+    pairs = {tuple(sorted((r["src_id"], r["tgt_id"])))
+             for r in new_edges.take_all()}
+    assert not any("beta" in p for p in pairs)
+    assert ("alpha corp", "alpha inc") in pairs  # untouched edge survives
+
+    _, _, status = delete_entity(nodes_ds, edges_ds, "nonexistent")
+    assert status == "not_found"
+
+    new_edges2, status = delete_relation(edges_ds, "gamma", "beta")
+    assert status == "success"
+    pairs2 = {tuple(sorted((r["src_id"], r["tgt_id"])))
+              for r in new_edges2.take_all()}
+    assert ("beta", "gamma") not in pairs2 and len(pairs2) == 3

@@ -140,3 +140,57 @@ def test_history_memory_bounded_across_chunks():
     # state is one conversation (2 messages), not 500 dict entries
     assert ex._history_key == "chunk-499"
     assert len(ex._history) == 2
+
+
+def test_extract_stage_concurrent_llm_calls():
+    """llm_max_async model calls run in flight per actor with gleaning state
+    isolated per thread; output identical to the serial run."""
+    import threading
+    import time
+
+    import pyarrow as pa
+
+    from lightrag_ray.config import PipelineConfig
+    from lightrag_ray.stages.extract import ExtractStage
+
+    threads_seen = set()
+    lock = threading.Lock()
+
+    def model(user_prompt, system_prompt, history):
+        with lock:
+            threads_seen.add(threading.current_thread().name)
+        time.sleep(0.01)
+        import re
+
+        m = re.search(r"```\n(.*?)\n```", user_prompt, re.DOTALL)
+        word = (m.group(1).split() if m else ["x"])[0]
+        if history:  # gleaning round: continue-prompt has no fenced text —
+            # recover THIS chunk's word from the replayed history (which
+            # must belong to the same thread's chunk, not another thread's)
+            hm = re.search(r"```\n(.*?)\n```", history[0]["content"], re.DOTALL)
+            hword = hm.group(1).split()[0]
+            return f"entity<|#|>{hword}_glean<|#|>concept<|#|>g\n<|COMPLETE|>"
+        return f"entity<|#|>{word}<|#|>concept<|#|>d\n<|COMPLETE|>"
+
+    batch = pa.table(
+        {
+            "chunk_id": [f"c{i}" for i in range(16)],
+            "url": ["https://x"] * 16,
+            "chunk_order_index": pa.array(range(16), pa.int32()),
+            "content": [f"word{i:02d}xx filler" for i in range(16)],
+            "timestamp": pa.array([1] * 16, pa.int64()),
+        }
+    )
+    cfg = PipelineConfig(extractor="llm", max_gleaning=1,
+                         extractor_options={"model_fn": model},
+                         llm_max_async=4)
+    parallel = ExtractStage(cfg)(batch).to_pylist()
+    assert len(threads_seen) > 1  # calls actually overlapped threads
+
+    cfg_serial = PipelineConfig(extractor="llm", max_gleaning=1,
+                                extractor_options={"model_fn": model},
+                                llm_max_async=1)
+    serial = ExtractStage(cfg_serial)(batch).to_pylist()
+    assert parallel == serial
+    names = {r["name"] for r in parallel}
+    assert "word00xx" in names and "word00xx_glean" in names
