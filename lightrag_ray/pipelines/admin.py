@@ -303,7 +303,11 @@ def merge_entities(
 
 def delete_entity(nodes_ds, edges_ds, entity_name: str):
     """Delete one entity and every incident relation
-    (``adelete_by_entity``); returns (nodes_ds, edges_ds, status)."""
+    (``adelete_by_entity``); returns (nodes_ds, edges_ds, status).  One
+    streaming filter per table — incident edges are never materialized
+    driver-side (a hub entity may have millions)."""
+    import ray
+
     candidates = {entity_name, normalize_entity_name(entity_name)}
     candidates.discard("")
     present = _fetch_nodes(nodes_ds, sorted(candidates))
@@ -313,31 +317,62 @@ def delete_entity(nodes_ds, edges_ds, entity_name: str):
         return nodes_ds, edges_ds, "not_found"
     if name not in present:
         return nodes_ds, edges_ds, "not_found"
-    untouched_edges, _dropped = _split_edges(edges_ds, {name})
-    return _drop_nodes(nodes_ds, {name}), untouched_edges, "success"
 
+    name_ref = ray.put(name)
 
-def delete_relation(edges_ds, source_entity: str, target_entity: str):
-    """Delete one undirected relation (``adelete_by_relation``); returns
-    (edges_ds, status)."""
-    import ray
-
-    a, b = sorted(
-        (normalize_entity_name(source_entity), normalize_entity_name(target_entity))
-    )
-    key_ref = ray.put(f"{a}\x00{b}")
-
-    def keep(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(key_ref)
+    def keep_edges(batch: pa.Table) -> pa.Table:
+        n = ray.get(name_ref)
         mask = pa.array(
             [
-                "\x00".join(sorted((s, t))) != wanted
+                s != n and t != n
                 for s, t in zip(
                     batch.column("src_id").to_pylist(),
                     batch.column("tgt_id").to_pylist(),
                 )
             ]
         )
+        return batch.filter(mask)
+
+    remaining_edges = edges_ds.map_batches(
+        keep_edges, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _drop_nodes(nodes_ds, {name}), remaining_edges, "success"
+
+
+def _edge_pair_keys(batch: pa.Table) -> list[str]:
+    return [
+        "\x00".join(sorted((s, t)))
+        for s, t in zip(
+            batch.column("src_id").to_pylist(),
+            batch.column("tgt_id").to_pylist(),
+        )
+    ]
+
+
+def delete_relation(edges_ds, source_entity: str, target_entity: str):
+    """Delete one undirected relation (``adelete_by_relation``); returns
+    (edges_ds, status).  Missing pairs return ``"not_found"`` (the reference
+    checks has_edge and warns); both the normalized spelling and the
+    caller's exact (legacy) spelling are matched, consistent with
+    ``_resolve_name``'s legacy-name contract."""
+    import ray
+
+    raw = "\x00".join(sorted((source_entity, target_entity)))
+    norm = "\x00".join(
+        sorted(
+            (normalize_entity_name(source_entity),
+             normalize_entity_name(target_entity))
+        )
+    )
+    wanted = {raw, norm}
+    found = broadcast_fetch(edges_ds, sorted(wanted), _edge_pair_keys)
+    if not found:
+        return edges_ds, "not_found"
+    keys_ref = ray.put(frozenset(found))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        drop = ray.get(keys_ref)
+        mask = pa.array([k not in drop for k in _edge_pair_keys(batch)])
         return batch.filter(mask)
 
     return (

@@ -39,6 +39,75 @@ def node_degrees(edges_ds):
     return ends.groupby("entity_id").aggregate(Count(alias_name="degree"))
 
 
+def _attach_degree(rows_ds, deg_ds, key_col: str, out_col: str):
+    """Cogroup: attach each ``key_col`` value's degree (from ``deg_ds``:
+    entity_id, degree) onto every row of ``rows_ds`` as ``out_col``.
+    Degree rows ride along as marker rows (payload columns null) and are
+    consumed inside the per-key group — the empty-partition-safe substitute
+    for a hash join."""
+    import pandas as pd
+    import ray.data as rd
+
+    def _arrow_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        # Ray Schema over non-Arrow blocks reports plain Python types
+        for py, at in ((str, pa.string()), (float, pa.float64()),
+                       (int, pa.int64()), (bool, pa.bool_())):
+            if t is py:
+                return at
+        import numpy as np
+
+        return pa.from_numpy_dtype(np.dtype(t))
+
+    ray_schema = rows_ds.schema()
+    base = getattr(ray_schema, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        schema = base
+    else:
+        schema = pa.schema(
+            [(n, _arrow_type(t)) for n, t in zip(ray_schema.names, ray_schema.types)]
+        )
+    payload_cols = [n for n in schema.names]
+
+    def deg_to_markers(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for field in schema:
+            if field.name == key_col:
+                cols[field.name] = batch.column("entity_id").cast(pa.string())
+            else:
+                cols[field.name] = pa.nulls(n, field.type)
+        cols["_deg_marker"] = batch.column("degree").cast(pa.int64())
+        return pa.table(cols)
+
+    def rows_passthrough(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_deg_marker", pa.nulls(batch.num_rows, pa.int64())
+        )
+
+    union = rows_ds.map_batches(
+        rows_passthrough, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        deg_ds.map_batches(
+            deg_to_markers, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    out_schema = schema.append(pa.field(out_col, pa.int64()))
+
+    def per_key(group: pd.DataFrame) -> pa.Table:
+        markers = group["_deg_marker"].dropna()
+        degree = int(markers.iloc[0]) if len(markers) else 0
+        out = group[group["_deg_marker"].isna()][payload_cols].copy()
+        out[out_col] = degree
+        # group fns must return schema-carrying Arrow (pandas object columns
+        # crash Ray's block conversion — verify-skill gotcha)
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    return union.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
 def rank_edges(edges_ds, degree_join: str = "broadcast"):
     """edge table → edges with ``rank`` = deg(src)+deg(tgt), sorted by
     (rank, weight) descending.
@@ -54,48 +123,29 @@ def rank_edges(edges_ds, degree_join: str = "broadcast"):
     import ray
 
     if degree_join == "shuffle":
-        # Two keyed aggregations instead of Dataset.join (Ray 2.49's hash
-        # join crashes on empty partitions — schema-less blocks): explode
-        # each edge to one row per endpoint, groupby(entity) attaches the
-        # group size as that endpoint's degree, groupby(edge) sums the two
-        # contributions back onto one payload row.  No driver materialization.
-        import pandas as pd
+        # Keyed cogroups instead of Dataset.join (Ray 2.49's hash join
+        # crashes on empty partitions — schema-less blocks).  The degree
+        # table (node_degrees, one aggregation) is attached to the edge rows
+        # by TWO sequential cogroup passes — keyed by src then by tgt — so
+        # every edge row flows through intact: no per-row ids, duplicate
+        # (src,tgt) rows preserved, no driver materialization.
+        deg = node_degrees(edges_ds)
+        with_src = _attach_degree(edges_ds, deg, "src_id", "_deg_src")
+        with_both = _attach_degree(with_src, deg, "tgt_id", "_deg_tgt")
 
-        def explode_payload(batch: pa.Table) -> pa.Table:
-            import uuid
+        def finish(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-            # per-ROW key (uuid), not the (src,tgt) pair: duplicate edge rows
-            # must each survive the reassembly groupby with their own rank
-            keys = [uuid.uuid4().hex for _ in range(batch.num_rows)]
-            key_col = pa.array(keys + keys, pa.string())
-            ends = pa.array(
-                batch.column("src_id").to_pylist()
-                + batch.column("tgt_id").to_pylist(),
-                pa.string(),
+            rank = pc.add(
+                pc.cast(batch.column("_deg_src"), pa.int64()),
+                pc.cast(batch.column("_deg_tgt"), pa.int64()),
             )
-            doubled = pa.concat_tables([batch, batch])
-            return doubled.append_column("_edge_key", key_col).append_column(
-                "_end", ends
+            return batch.drop_columns(["_deg_src", "_deg_tgt"]).append_column(
+                "rank", rank
             )
 
-        def per_entity(group: pd.DataFrame) -> pd.DataFrame:
-            group = group.copy()
-            group["_deg"] = len(group)
-            return group
-
-        def per_edge(group: pd.DataFrame) -> pd.DataFrame:
-            first = group.iloc[[0]].copy()
-            first["rank"] = int(group["_deg"].sum())
-            return first.drop(columns=["_edge_key", "_end", "_deg"])
-
-        exploded = edges_ds.map_batches(
-            explode_payload, batch_format="pyarrow", zero_copy_batch=True
-        )
-        with_deg = exploded.groupby("_end").map_groups(
-            per_entity, batch_format="pandas"
-        )
-        ranked = with_deg.groupby("_edge_key").map_groups(
-            per_edge, batch_format="pandas"
+        ranked = with_both.map_batches(
+            finish, batch_format="pyarrow", zero_copy_batch=True
         )
         return ranked.sort(["rank", "weight"], descending=[True, True])
 
@@ -173,7 +223,10 @@ def broadcast_fetch(ds, keys: list[str], key_of_batch) -> dict[str, dict]:
 
 def dedup_chunk_hits(entities_with_chunks: list[dict]) -> list[dict]:
     """First-entity-wins chunk dedup + per-entity occurrence counting
-    (pure function, reference lightrag/operate.py:5739-5753)."""
+    (pure function, reference lightrag/operate.py:5739-5765).  Each output
+    info also carries ``sorted_chunks`` — the kept chunks ordered by
+    occurrence count desc, ready for the polling/vector pickers — so
+    callers never recount occurrences themselves."""
     occurrence: dict[str, int] = {}
     out = []
     for info in entities_with_chunks:
@@ -183,6 +236,10 @@ def dedup_chunk_hits(entities_with_chunks: list[dict]) -> list[dict]:
             if occurrence[chunk_id] == 1:
                 kept.append(chunk_id)
         out.append({**info, "chunks": kept})
+    for info in out:
+        info["sorted_chunks"] = sorted(
+            info["chunks"], key=lambda c: occurrence.get(c, 0), reverse=True
+        )
     return out
 
 

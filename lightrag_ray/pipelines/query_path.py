@@ -158,18 +158,11 @@ class KGQueryEngine:
             {"name": e["entity_id"], "chunks": list(e["source_ids"])}
             for e in entities
         ]
-        # occurrence counting BEFORE first-entity-wins dedup, then per-entity
-        # chunks sorted by occurrence desc (lightrag/operate.py:5739-5765)
-        occurrence: dict[str, int] = {}
-        for info in infos:
-            for chunk_id in info["chunks"]:
-                occurrence[chunk_id] = occurrence.get(chunk_id, 0) + 1
+        # dedup_chunk_hits counts occurrences and attaches occurrence-sorted
+        # ``sorted_chunks`` (lightrag/operate.py:5739-5765)
         deduped = dedup_chunk_hits(infos)
         via = {}
         for info in deduped:
-            info["sorted_chunks"] = sorted(
-                info["chunks"], key=lambda c: occurrence.get(c, 0), reverse=True
-            )
             for chunk_id in info["chunks"]:
                 via.setdefault(chunk_id, info["name"])
         method = self.related_chunk_selection

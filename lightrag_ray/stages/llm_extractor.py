@@ -49,6 +49,12 @@ def remove_think_tags(text: str) -> str:
 
 
 class ModelFn(Protocol):
+    """Injected model callable.  With ``PipelineConfig.llm_max_async > 1``
+    (the default, matching the reference's semaphore) the extractor stage
+    invokes it from several threads concurrently — implementations must be
+    thread-safe (HTTP clients generally are; wrap non-thread-safe models in
+    a lock or set ``llm_max_async=1``)."""
+
     def __call__(
         self, user_prompt: str, system_prompt: str | None, history: list[dict]
     ) -> str: ...
@@ -177,6 +183,10 @@ class LLMExtractor:
         import threading
 
         self._tls = threading.local()
+        # SegmentTokenizer interning is not thread-safe; budget estimates
+        # from concurrent worker threads serialize on this lock (cheap —
+        # only the gleaning-skip projection encodes here)
+        self._tok_lock = threading.Lock()
 
     @property
     def _history_key(self):
@@ -218,11 +228,12 @@ class LLMExtractor:
         # so rounds ≥ 2 must see rounds 0..k-1, not an emptied history.
         history = list(self._history) if self._history_key == chunk_key else []
         continue_prompt = build_continue_prompt(self.language)
-        projected = (
-            len(self.tokenizer.encode(self.system_prompt))
-            + sum(len(self.tokenizer.encode(m["content"])) for m in history)
-            + len(self.tokenizer.encode(continue_prompt))
-        )
+        with self._tok_lock:
+            projected = (
+                len(self.tokenizer.encode(self.system_prompt))
+                + sum(len(self.tokenizer.encode(m["content"])) for m in history)
+                + len(self.tokenizer.encode(continue_prompt))
+            )
         if projected > self.max_extract_input_tokens:
             return COMPLETION_DELIMITER
         result = remove_think_tags(
