@@ -40,12 +40,23 @@ class ChunkerStage:
         self.cfg = cfg
         self.tokenizer = default_tokenizer()
         self.embedder = None
+        self.paragraph_engine = None
         if cfg.chunking_strategy == "V":
             # sentence-embedding model: once per actor, like the tokenizer
             from lightrag_ray.stages.embed import HashEmbedder
 
             factory = cfg.chunker_options.get("embedder_factory", HashEmbedder)
             self.embedder = factory()
+        elif cfg.chunking_strategy == "P":
+            from lightrag_ray.functions.paragraph_chunking import (
+                ParagraphSemanticEngine,
+            )
+
+            self.paragraph_engine = ParagraphSemanticEngine(
+                self.tokenizer,
+                chunk_token_size=cfg.chunk_token_size,
+                chunk_overlap_token_size=cfg.chunk_overlap_token_size,
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -55,8 +66,25 @@ class ChunkerStage:
         langs = batch.column("lang").to_pylist()
         texts = batch.column("text").to_pylist()
         stamps = batch.column("timestamp").to_pylist()
-        for doc_id, url, lang, text, ts in zip(doc_ids, urls, langs, texts, stamps):
-            if not text:
+        # "P" sidecars ride the Dataset as optional columns: the blocks.jsonl
+        # payload and the tables.json payload per document (at web scale the
+        # sidecar travels through the object store with the page, not via a
+        # shared filesystem path as in the reference).
+        names = set(batch.schema.names)
+        blocks_col = (
+            batch.column("blocks_jsonl").to_pylist()
+            if "blocks_jsonl" in names
+            else [None] * len(doc_ids)
+        )
+        tables_col = (
+            batch.column("tables_json").to_pylist()
+            if "tables_json" in names
+            else [None] * len(doc_ids)
+        )
+        for doc_id, url, lang, text, ts, blocks_jsonl, tables_json in zip(
+            doc_ids, urls, langs, texts, stamps, blocks_col, tables_col
+        ):
+            if not text and not blocks_jsonl:
                 continue
             if cfg.chunking_strategy == "R":
                 from lightrag_ray.functions.recursive_chunking import (
@@ -85,6 +113,28 @@ class ChunkerStage:
                 )
                 for c in chunks:  # size is advisory; C5 below enforces caps
                     c["tokens"] = len(self.tokenizer.encode(c["content"]))
+            elif cfg.chunking_strategy == "P":
+                from lightrag_ray.functions.paragraph_chunking import (
+                    parse_blocks_jsonl,
+                    parse_table_headers,
+                )
+
+                rows = parse_blocks_jsonl(blocks_jsonl)
+                if rows:
+                    chunks = self.paragraph_engine.run(
+                        rows, parse_table_headers(tables_json)
+                    )
+                else:  # sidecar missing → recursive-character fallback
+                    from lightrag_ray.functions.paragraph_chunking import (
+                        langchain_recursive_chunks,
+                    )
+
+                    chunks = langchain_recursive_chunks(
+                        self.tokenizer,
+                        text or "",
+                        self.paragraph_engine.cap,
+                        self.paragraph_engine.overlap,
+                    )
             else:
                 chunks = chunk_text(
                     self.tokenizer,

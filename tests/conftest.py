@@ -42,6 +42,40 @@ def _install_reference_stubs() -> None:
                 mod.repair_json = lambda s, **k: s
                 mod.loads = lambda s, **k: {}
             sys.modules[name] = mod
+    if "langchain_text_splitters" not in sys.modules:
+        # The reference's recursive_character module only reads the parsed
+        # config attributes off the splitter object (it re-implements the
+        # split itself for span tracking), so a config-holding stand-in is
+        # enough to unlock the reference "R"/"P" chunkers as oracles.
+        mod = types.ModuleType("langchain_text_splitters")
+
+        class RecursiveCharacterTextSplitter:  # noqa: N801 - mirrors LangChain
+            def __init__(
+                self,
+                chunk_size=4000,
+                chunk_overlap=200,
+                length_function=len,
+                strip_whitespace=True,
+                separators=None,
+                keep_separator=True,
+                is_separator_regex=False,
+                **_,
+            ):
+                if chunk_overlap > chunk_size:
+                    raise ValueError(
+                        f"Got a larger chunk overlap ({chunk_overlap}) than "
+                        f"chunk size ({chunk_size}), should be smaller."
+                    )
+                self._chunk_size = chunk_size
+                self._chunk_overlap = chunk_overlap
+                self._length_function = length_function
+                self._strip_whitespace = strip_whitespace
+                self._separators = separators or ["\n\n", "\n", " ", ""]
+                self._keep_separator = keep_separator
+                self._is_separator_regex = is_separator_regex
+
+        mod.RecursiveCharacterTextSplitter = RecursiveCharacterTextSplitter
+        sys.modules["langchain_text_splitters"] = mod
 
 
 @pytest.fixture(scope="session")
