@@ -607,3 +607,136 @@ def edit_relation(
         drop_pair, batch_format="pyarrow", zero_copy_batch=True
     )
     return _union_rows(remaining, [new_edge], edge_schema), new_edge
+
+
+# ---------------------------------------------------------------------------
+# create_entity / create_relation (reference acreate_entity /
+# acreate_relation, utils_graph.py:1036-1341) and entity/relation info
+# lookups (utils_graph.py:2043-2110).
+
+
+def _require_description(value: Any, what: str) -> None:
+    if not isinstance(value, str) or not value.strip():
+        raise ValueError(f"A non-empty description is required to create a {what}")
+
+
+def create_entity(
+    nodes_ds,
+    entity_name: str,
+    entity_data: dict[str, Any],
+    created_at: int = 0,
+):
+    """Create a new entity row (``acreate_entity``): the name takes the
+    extraction naming contract, creation refuses BOTH spellings when either
+    already exists, defaults are ``entity_type=UNKNOWN`` and
+    ``manual_creation`` provenance.  Returns ``(nodes_ds, node_row)``."""
+    _require_description(entity_data.get("description"), "entity")
+    requested = entity_name
+    if not isinstance(requested, str):
+        raise ValueError("Entity name must be a string")
+    normalized = normalize_entity_name(requested)
+    if not normalized:
+        raise ValueError("Entity name cannot be empty after normalization")
+
+    present = _fetch_nodes(nodes_ds, list({requested, normalized}))
+    if requested != normalized and requested in present:
+        raise ValueError(f"Entity '{requested}' already exists")
+    if normalized in present:
+        raise ValueError(f"Entity '{normalized}' already exists")
+
+    source_id = str(entity_data.get("source_id", "manual_creation"))
+    file_path = str(entity_data.get("file_path", "manual_creation"))
+    row = {
+        "entity_id": normalized,
+        "entity_type": entity_data.get("entity_type", "UNKNOWN"),
+        "description": entity_data.get("description", ""),
+        "source_ids": [s for s in source_id.split(GRAPH_FIELD_SEP) if s],
+        "file_paths": [s for s in file_path.split(GRAPH_FIELD_SEP) if s],
+        "created_at": int(created_at),
+        "truncate": "",
+    }
+    return _union_rows(nodes_ds, [row], _arrow_schema(nodes_ds)), row
+
+
+def create_relation(
+    nodes_ds,
+    edges_ds,
+    source_entity: str,
+    target_entity: str,
+    relation_data: dict[str, Any],
+    created_at: int = 0,
+):
+    """Create a new relation row (``acreate_relation``): both endpoints must
+    exist, the undirected pair must not, ``weight`` coerces to float with
+    default 1.0.  Returns ``(edges_ds, edge_row)``."""
+    _require_description(relation_data.get("description"), "relation")
+    present = _fetch_nodes(nodes_ds, [source_entity, target_entity])
+    if source_entity not in present:
+        raise ValueError(f"Source entity '{source_entity}' does not exist")
+    if target_entity not in present:
+        raise ValueError(f"Target entity '{target_entity}' does not exist")
+    a, b = sorted((source_entity, target_entity))
+
+    def pair_keys(batch: pa.Table) -> list[str]:
+        return [
+            "\x00".join(sorted((s, t)))
+            for s, t in zip(
+                batch.column("src_id").to_pylist(),
+                batch.column("tgt_id").to_pylist(),
+            )
+        ]
+
+    if f"{a}\x00{b}" in broadcast_fetch(edges_ds, [f"{a}\x00{b}"], pair_keys):
+        raise ValueError(
+            f"Relation from '{source_entity}' to '{target_entity}' already exists"
+        )
+
+    keywords = relation_data.get("keywords", "")
+    source_id = str(relation_data.get("source_id", "manual_creation"))
+    file_path = str(relation_data.get("file_path", "manual_creation"))
+    row = {
+        "src_id": a,
+        "tgt_id": b,
+        "weight": float(relation_data.get("weight", 1.0)),
+        "description": relation_data.get("description", ""),
+        "keywords": [k.strip() for k in str(keywords).split(",") if k.strip()],
+        "source_ids": [s for s in source_id.split(GRAPH_FIELD_SEP) if s],
+        "file_paths": [s for s in file_path.split(GRAPH_FIELD_SEP) if s],
+        "created_at": int(created_at),
+        "truncate": "",
+    }
+    return _union_rows(edges_ds, [row], _arrow_schema(edges_ds)), row
+
+
+def get_entity_info(nodes_ds, entity_name: str) -> dict[str, Any]:
+    """``get_entity_info``: one broadcast lookup; ``graph_data`` is None for
+    a missing entity (never raises)."""
+    node = _fetch_nodes(nodes_ds, [entity_name]).get(entity_name)
+    return {
+        "entity_name": entity_name,
+        "source_id": (node or {}).get("source_ids") or None,
+        "graph_data": node,
+    }
+
+
+def get_relation_info(edges_ds, src_entity: str, tgt_entity: str) -> dict[str, Any]:
+    """``get_relation_info``: undirected pair lookup; swapping the endpoints
+    resolves the same relation."""
+
+    def pair_keys(batch: pa.Table) -> list[str]:
+        return [
+            "\x00".join(sorted((s, t)))
+            for s, t in zip(
+                batch.column("src_id").to_pylist(),
+                batch.column("tgt_id").to_pylist(),
+            )
+        ]
+
+    key = "\x00".join(sorted((src_entity, tgt_entity)))
+    edge = broadcast_fetch(edges_ds, [key], pair_keys).get(key)
+    return {
+        "src_entity": src_entity,
+        "tgt_entity": tgt_entity,
+        "source_id": (edge or {}).get("source_ids") or None,
+        "graph_data": edge,
+    }
