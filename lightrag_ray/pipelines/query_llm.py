@@ -211,6 +211,12 @@ class LLMQueryEngine:
         self.response_type = response_type
         self.cache = cache if cache is not None else LLMCache()
 
+    def query_data(self, query: str, mode: str = "hybrid") -> dict:
+        """Structured retrieval (``aquery_data``) through the engine, with
+        THIS engine's (LLM-backed) keyword extractor — no answer LLM call."""
+        return self.engine.query_data(query, mode=mode,
+                                      keywords_fn=self.keywords_fn)
+
     def query(self, query: str, mode: str = "hybrid",
               user_prompt: str = "") -> QueryResult:
         context = self.engine.query(query, mode=mode,

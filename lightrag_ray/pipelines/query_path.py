@@ -88,8 +88,10 @@ class KGQueryEngine:
             )
         ).materialize()
         self.chunk_vdb = None
+        self.chunks = None
         if chunks_dir is not None:
             chunks = rd.read_parquet(chunks_dir)
+            self.chunks = chunks
             self.chunk_vdb = embed_table(
                 chunks.map_batches(
                     lambda t: t.select(["chunk_id", "content"]).rename_columns(
@@ -210,18 +212,46 @@ class KGQueryEngine:
         """``keywords_fn`` overrides the engine's configured keyword
         extractor for this call only (callers layering their own models —
         e.g. LLMQueryEngine — must not mutate a shared engine)."""
+        entities, relations, chunks, _ = self._retrieve(query, mode, keywords_fn)
+        return QueryContext(
+            entities=[
+                {
+                    "entity": e["entity_id"],
+                    "type": e["entity_type"],
+                    "description": e["description"],
+                }
+                for e in entities
+            ],
+            relations=[
+                {
+                    "entity1": r["src_id"],
+                    "entity2": r["tgt_id"],
+                    "description": r["description"],
+                    "weight": r["weight"],
+                }
+                for r in relations
+            ],
+            chunks=chunks,
+        )
+
+    def _retrieve(self, query: str, mode: str, keywords_fn=None):
+        """Shared retrieval core: full node/edge rows + chunk hits + the
+        extracted keywords, before any projection."""
         keywords_fn = keywords_fn or self.keywords_fn
         if mode == "bypass":
-            return QueryContext()
+            return [], [], [], {}
         if mode == "naive":
             if self.chunk_vdb is None:
-                return QueryContext()
+                return [], [], [], {}
             top = vector_topk(
                 self.chunk_vdb, query, k=CHUNK_TOP_K, threshold=COSINE_THRESHOLD
             )
-            return QueryContext(
-                chunks=[{"chunk_id": r["vdb_id"], "sim": r["sim"]}
-                        for r in top.take_all()]
+            return (
+                [],
+                [],
+                [{"chunk_id": r["vdb_id"], "sim": r["sim"]}
+                 for r in top.take_all()],
+                {},
             )
 
         kw = keywords_fn(query)
@@ -265,23 +295,114 @@ class KGQueryEngine:
             key=lambda r: tuple(sorted((r["src_id"], r["tgt_id"]))),
         )
         chunks = self._related_chunks(entities, query)
-        return QueryContext(
-            entities=[
+        return entities, relations, chunks, kw
+
+    def query_data(self, query: str, mode: str = "hybrid",
+                   keywords_fn=None) -> dict:
+        """Structured retrieval API (``aquery_data``, lightrag/lightrag.py:
+        3701-3905 via ``convert_to_user_format`` utils.py:6138-6258 and
+        ``generate_reference_list_from_chunks`` utils.py:6262-6330): the same
+        retrieval as ``query`` but returning the full row data plus a
+        frequency-ranked reference list, without LLM generation.
+
+        ``file_path`` maps to our provenance columns (page url for chunks,
+        ``file_paths`` list joined with the reference separator for graph
+        rows)."""
+        if not query or not query.strip():
+            return {"status": "failure", "message": "Query is empty", "data": {}}
+        entities, relations, chunk_hits, kw = self._retrieve(
+            query, mode, keywords_fn
+        )
+
+        chunk_rows: list[dict] = []
+        if chunk_hits and self.chunks is not None:
+            ids = [c["chunk_id"] for c in chunk_hits]
+            by_id = broadcast_fetch(
+                self.chunks, ids, lambda b: b.column("chunk_id").to_pylist()
+            )
+            for cid in ids:
+                row = by_id.get(cid)
+                if row is not None:
+                    chunk_rows.append(
+                        {
+                            "content": row["content"],
+                            "file_path": row.get("url") or "unknown_source",
+                            "chunk_id": cid,
+                        }
+                    )
+
+        # Frequency-ranked reference ids over chunk file paths
+        # (generate_reference_list_from_chunks).
+        counts: dict[str, int] = {}
+        first: dict[str, int] = {}
+        for i, c in enumerate(chunk_rows):
+            fp = c["file_path"]
+            if fp and fp != "unknown_source":
+                counts[fp] = counts.get(fp, 0) + 1
+                first.setdefault(fp, i)
+        ordered = sorted(counts, key=lambda fp: (-counts[fp], first[fp]))
+        ref_id = {fp: str(i + 1) for i, fp in enumerate(ordered)}
+        for c in chunk_rows:
+            c["reference_id"] = ref_id.get(c["file_path"], "")
+        references = [
+            {"reference_id": ref_id[fp], "file_path": fp} for fp in ordered
+        ]
+
+        def _join(vals) -> str:
+            from lightrag_ray.constants import GRAPH_FIELD_SEP
+
+            return GRAPH_FIELD_SEP.join(vals or [])
+
+        def _fp_ref(vals) -> str:
+            for fp in vals or []:
+                if fp in ref_id:
+                    return ref_id[fp]
+            return ""
+
+        data = {
+            "entities": [
                 {
-                    "entity": e["entity_id"],
-                    "type": e["entity_type"],
+                    "entity_name": e["entity_id"],
+                    "entity_type": e["entity_type"],
                     "description": e["description"],
+                    "source_id": _join(e.get("source_ids")),
+                    "file_path": _join(e.get("file_paths")) or "unknown_source",
+                    "created_at": e.get("created_at", ""),
+                    "reference_id": _fp_ref(e.get("file_paths")),
                 }
                 for e in entities
             ],
-            relations=[
+            "relationships": [
                 {
-                    "entity1": r["src_id"],
-                    "entity2": r["tgt_id"],
+                    "src_id": r["src_id"],
+                    "tgt_id": r["tgt_id"],
                     "description": r["description"],
-                    "weight": r["weight"],
+                    "keywords": ", ".join(r.get("keywords") or []),
+                    "weight": r.get("weight", 1.0),
+                    "source_id": _join(r.get("source_ids")),
+                    "file_path": _join(r.get("file_paths")) or "unknown_source",
+                    "created_at": r.get("created_at", ""),
+                    "reference_id": _fp_ref(r.get("file_paths")),
                 }
                 for r in relations
             ],
-            chunks=chunks,
-        )
+            "chunks": chunk_rows,
+            "references": references,
+        }
+        return {
+            "status": "success",
+            "message": "Query executed successfully",
+            "data": data,
+            "metadata": {
+                "query_mode": mode,
+                "keywords": {
+                    "high_level": list(kw.get("high_level_keywords", [])),
+                    "low_level": list(kw.get("low_level_keywords", [])),
+                },
+                "processing_info": {
+                    "total_entities_found": len(entities),
+                    "total_relations_found": len(relations),
+                    "final_chunks_count": len(chunk_rows),
+                },
+            },
+        }

@@ -153,3 +153,38 @@ def test_llm_engine_does_not_mutate_shared_engine(engine):
     q = LLMQueryEngine(engine)
     q.query("stream merge table")
     assert engine.keywords_fn is original
+
+
+def test_query_data_envelope(engine):
+    out = engine.query_data("stream table merge", mode="hybrid")
+    assert out["status"] == "success"
+    data = out["data"]
+    assert data["entities"] and data["relationships"] and data["chunks"]
+    ent = data["entities"][0]
+    assert set(ent) == {
+        "entity_name", "entity_type", "description", "source_id",
+        "file_path", "created_at", "reference_id",
+    }
+    rel = data["relationships"][0]
+    assert {"src_id", "tgt_id", "keywords", "weight"} <= set(rel)
+    # reference ids: "1"-based, frequency-ranked, chunks point into them
+    refs = {r["reference_id"]: r["file_path"] for r in data["references"]}
+    assert refs and all(int(k) >= 1 for k in refs)
+    for c in data["chunks"]:
+        if c["reference_id"]:
+            assert refs[c["reference_id"]] == c["file_path"]
+    meta = out["metadata"]
+    assert meta["query_mode"] == "hybrid"
+    assert meta["keywords"]["low_level"]
+    assert meta["processing_info"]["final_chunks_count"] == len(data["chunks"])
+
+
+def test_query_data_failures_and_modes(engine):
+    assert engine.query_data("  ")["status"] == "failure"
+    naive = engine.query_data("stream table", mode="naive")
+    assert naive["status"] == "success"
+    assert naive["data"]["entities"] == [] and naive["data"]["chunks"]
+    bypass = engine.query_data("anything", mode="bypass")
+    assert bypass["data"] == {
+        "entities": [], "relationships": [], "chunks": [], "references": [],
+    }
