@@ -167,3 +167,108 @@ def add_documents(
     cfg = cfg or PipelineConfig()
     _invalidate_merge_phases(out_dir)
     return build_kg(all_pages_paths, out_dir, cfg, num_partitions=num_partitions)
+
+
+def insert_custom_chunks(
+    out_dir: str,
+    pages_paths: list[str] | str,
+    full_text: str,
+    text_chunks: list[str],
+    doc_id: str | None = None,
+    cfg: PipelineConfig | None = None,
+    num_partitions: int = 4,
+    timestamp: int = 0,
+) -> BuildResult | None:
+    """Insert caller-chunked content, bypassing the chunker
+    (``ainsert_custom_chunks``, lightrag/lightrag.py:1846-2100; identity
+    scheme utils_pipeline.py:404-429).
+
+    Identity is deterministic and document-scoped: each chunk id hashes the
+    length-prefixed ``(doc, content)`` pair and the operation id hashes the
+    ordered chunk-id set — so the manifest unit name doubles as the
+    reference's operation journal: repeating the same logical input resumes /
+    no-ops, a different chunk set for the same document is a new operation.
+
+    The chunks land as their own ``chunks``/``mentions`` partitions
+    (``custom-<op>`` — resumable like any build partition), then the three
+    canonicalization phases re-reduce over ALL mentions.  Returns ``None``
+    when every chunk is empty after sanitization (nothing to do).
+    """
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lightrag_ray.functions.text import sanitize_text_for_encoding
+    from lightrag_ray.functions.tokenizer import default_tokenizer
+    from lightrag_ray.pipelines.kg_build import _run_part
+    from lightrag_ray.stages.chunk import CHUNKS_SCHEMA
+    from lightrag_ray.stages.extract import ExtractStage
+
+    cfg = cfg or PipelineConfig()
+    full = sanitize_text_for_encoding(full_text or "")
+    doc_key = doc_id if doc_id is not None else compute_mdhash_id(
+        full, prefix="doc-"
+    )
+    entries: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    for text in (sanitize_text_for_encoding(t) for t in text_chunks):
+        if not text:
+            continue
+        cid = compute_mdhash_id(f"{len(doc_key)}:{doc_key}:{text}", prefix="chunk-")
+        if cid not in seen:
+            seen.add(cid)
+            entries.append((cid, text))
+    if not entries:
+        return None
+    op = compute_mdhash_id(
+        f"{len(doc_key)}:{doc_key}:{'|'.join(cid for cid, _ in entries)}",
+        prefix="op-",
+    )
+
+    paths = ckpt.BuildPaths(root=out_dir)
+    ckpt.ensure_dirs(paths)
+    tok = default_tokenizer()
+    table = pa.table(
+        {
+            "chunk_id": pa.array([cid for cid, _ in entries], pa.string()),
+            "doc_id": pa.array([doc_key] * len(entries), pa.string()),
+            "url": pa.array([f"custom://{doc_key}"] * len(entries), pa.string()),
+            "lang": pa.array([""] * len(entries), pa.string()),
+            "chunk_order_index": pa.array(range(len(entries)), pa.int32()),
+            "tokens": pa.array(
+                [len(tok.encode(t)) for _, t in entries], pa.int32()
+            ),
+            "content": pa.array([t for _, t in entries], pa.string()),
+            "timestamp": pa.array([timestamp] * len(entries), pa.int64()),
+        },
+        schema=CHUNKS_SCHEMA,
+    )
+
+    chunks_dir = os.path.join(out_dir, "chunks", f"custom-{op}")
+    ran = _run_part(
+        paths,
+        f"chunks-custom-{op}",
+        chunks_dir,
+        lambda: rd.from_arrow(table),
+        resume=True,
+        extra={"phase": "chunks_custom", "doc_id": doc_key,
+               "n_chunks": len(entries)},
+    )
+    ran |= _run_part(
+        paths,
+        f"mentions-custom-{op}",
+        os.path.join(out_dir, "mentions", f"custom-{op}"),
+        lambda: rd.read_parquet(chunks_dir).map_batches(
+            ExtractStage,
+            fn_constructor_args=(cfg,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.extractor_batch_size,
+            concurrency=cfg.extractor_concurrency,
+        ),
+        resume=True,
+        extra={"phase": "mentions_custom", "doc_id": doc_key},
+        partition_cols=["kind"],
+    )
+    if ran:
+        _invalidate_merge_phases(out_dir)
+    return build_kg(pages_paths, out_dir, cfg, num_partitions=num_partitions)

@@ -150,3 +150,43 @@ def test_add_documents_recomputes_only_new_partitions(corpus):
 
     markers_after = set(os.listdir(manifest))
     assert markers_before & markers_after, "stable partitions should keep markers"
+
+
+def test_insert_custom_chunks(corpus):
+    from lightrag_ray.config import PipelineConfig
+    from lightrag_ray.pipelines.incremental import insert_custom_chunks
+    from lightrag_ray.pipelines.kg_build import build_kg
+
+    work, files = corpus
+    cfg = PipelineConfig()
+    out = f"{work}/custom"
+    build_kg(files, out, cfg, num_partitions=2)
+    base_nodes, _ = _nodes_edges(out)
+
+    # words outside the corpus vocabulary so the new entities are attributable
+    res = insert_custom_chunks(
+        out, files,
+        full_text="zebraic quixotry flambeau",
+        text_chunks=["zebraic quixotry flambeau onyxish", "flambeau onyxish zebraic"],
+        cfg=cfg, num_partitions=2,
+    )
+    assert res is not None
+    nodes, edges = _nodes_edges(out)
+    added = set(nodes["entity_id"]) - set(base_nodes["entity_id"])
+    assert {"zebraic", "quixotry", "flambeau", "onyxish"} <= added
+    # provenance points at the custom chunk ids
+    row = nodes[nodes.entity_id == "quixotry"].iloc[0]
+    assert any(s.startswith("chunk-") for s in row["source_ids"])
+
+    # idempotent: repeating the same logical input resumes to the same graph
+    res2 = insert_custom_chunks(
+        out, files,
+        full_text="zebraic quixotry flambeau",
+        text_chunks=["zebraic quixotry flambeau onyxish", "flambeau onyxish zebraic"],
+        cfg=cfg, num_partitions=2,
+    )
+    nodes2, edges2 = _nodes_edges(out)
+    assert nodes.equals(nodes2) and edges.equals(edges2)
+
+    # all-empty chunk list is a no-op
+    assert insert_custom_chunks(out, files, "x", ["", "  "], cfg=cfg) is None
