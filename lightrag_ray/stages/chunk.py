@@ -119,6 +119,14 @@ class ChunkerStage:
                     parse_table_headers,
                 )
 
+                if not blocks_jsonl and cfg.chunker_options.get("markdown_blocks"):
+                    # webtext-native parser: derive the HeadingBlocks sidecar
+                    # from the page text itself (functions/markdown_blocks.py)
+                    from lightrag_ray.functions.markdown_blocks import (
+                        markdown_sidecar_strings,
+                    )
+
+                    blocks_jsonl, tables_json = markdown_sidecar_strings(text or "")
                 rows = parse_blocks_jsonl(blocks_jsonl)
                 if rows:
                     chunks = self.paragraph_engine.run(
