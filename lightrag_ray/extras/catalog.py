@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable]:
         "embedding_lsh_pairs": q_embedding_lsh,  # rows-only (ANN; exact = embedding_near_dup)
         "knn_lsh_top10": q_knn_lsh,  # rows-only (ANN; exact = knn_top10)
         "langid": q_langid,  # rows-only (heuristic)
+        "pchunk_stats": q_pchunk_stats,  # rows-only (P-chunk merge arithmetic; parity-tested)
     }
 
 
@@ -284,3 +285,75 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": SQL_HASH_SAMPLE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
     }
+
+
+class _PChunkStats:
+    """Actor-pool stage: paragraph-semantic ("P") chunk stats per document.
+
+    The engine (tokenizer + budget arithmetic) builds once per actor; each
+    batch derives the HeadingBlocks sidecar from the text via the native
+    markdown parser and runs the full TableRowSplit/AnchorSplit/HeadingGlue/
+    LevelMerge pipeline.  Rows-only driver entry: the merge arithmetic is not
+    SQL-expressible; correctness is pinned by tests/test_paragraph_chunker.py
+    fuzz parity against the reference module."""
+
+    def __init__(self, chunk_token_size: int = 64):
+        from lightrag_ray.functions.paragraph_chunking import (
+            ParagraphSemanticEngine,
+        )
+        from lightrag_ray.functions.tokenizer import default_tokenizer
+
+        self.engine = ParagraphSemanticEngine(
+            default_tokenizer(), chunk_token_size, chunk_overlap_token_size=8
+        )
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        from lightrag_ray.functions.markdown_blocks import markdown_to_blocks
+
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out = {"doc_id": [], "n_chunks": [], "max_tokens": [], "n_headings": []}
+        for doc_id, text in zip(doc_ids, texts):
+            rows, tables_payload = markdown_to_blocks(text or "")
+            headers = {
+                tid: entry["table_header"]
+                for tid, entry in tables_payload["tables"].items()
+            }
+            chunks = self.engine.run(rows, headers)
+            out["doc_id"].append(doc_id)
+            out["n_chunks"].append(len(chunks))
+            out["max_tokens"].append(
+                max((c["tokens"] for c in chunks), default=0)
+            )
+            out["n_headings"].append(
+                sum(1 for c in chunks if c["heading"]["heading"])
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "n_chunks": pa.array(out["n_chunks"], pa.int64()),
+                "max_tokens": pa.array(out["max_tokens"], pa.int64()),
+                "n_headings": pa.array(out["n_headings"], pa.int64()),
+            }
+        )
+
+
+def q_pchunk_stats(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    return (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .map_batches(
+            _PChunkStats,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 4),
+        )
+        .sort("doc_id")
+    )
