@@ -86,6 +86,16 @@ class LLMCache:
             return
         self._mem[key] = response
 
+    def clear(self) -> bool:
+        """Drop all cached responses (``aclear_cache``, lightrag/lightrag.py:
+        4192-4226): clears memory and removes the persisted file so re-runs
+        re-invoke the model."""
+        self._mem.clear()
+        self.hits = self.misses = 0
+        if self.persist_path and os.path.exists(self.persist_path):
+            os.remove(self.persist_path)
+        return True
+
     def flush(self) -> None:
         if not self.persist_path:
             return

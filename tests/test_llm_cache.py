@@ -57,3 +57,19 @@ def test_truncated_responses_not_cached():
     cache = LLMCache()
     cache.put("k", "partial...", truncated=True)
     assert cache.get("k") is None
+
+
+def test_clear_cache(tmp_path):
+    from lightrag_ray.stages.llm_cache import LLMCache
+
+    path = str(tmp_path / "cache.parquet")
+    c = LLMCache(persist_path=path)
+    c.put("k1", "v1")
+    c.flush()
+    assert LLMCache(persist_path=path).get("k1") == "v1"
+    assert c.clear() is True
+    assert c.get("k1") is None
+    import os
+
+    assert not os.path.exists(path)  # persisted file dropped too
+    assert LLMCache(persist_path=path).get("k1") is None
