@@ -321,10 +321,20 @@ class ParagraphSemanticEngine:
         self.table_min_last = max(int(self.table_max * _TABLE_MIN_LAST), 1)
         self.small_tail = max(int(cap * _SMALL_TAIL), 1)
         self.overlap = _bounded_overlap(cap, chunk_overlap_token_size)
+        # Token-count memo: TableRowSplit/LevelMerge re-measure the same
+        # paragraph and join strings many times per document; bounded by the
+        # distinct strings of ONE document (cleared per run()).
+        self._ntok_memo: dict[str, int] = {}
         self.nl = self.ntok("\n")
 
     def ntok(self, s: str) -> int:
-        return len(self.tok.encode(s)) if s else 0
+        if not s:
+            return 0
+        n = self._ntok_memo.get(s)
+        if n is None:
+            n = len(self.tok.encode(s))
+            self._ntok_memo[s] = n
+        return n
 
     def _blk(
         self,
@@ -1092,6 +1102,7 @@ class ParagraphSemanticEngine:
         rows: list[dict[str, Any]],
         table_headers: dict[str, str] | None = None,
     ) -> list[dict[str, Any]]:
+        self._ntok_memo.clear()  # bound the memo to one document
         initial: list[Blk] = []
         for row in rows:
             text = row.get("content", "") or ""
