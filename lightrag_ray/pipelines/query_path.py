@@ -260,7 +260,7 @@ class KGQueryEngine:
 
         local_entities: list[dict] = []
         local_relations: list[dict] = []
-        if mode in ("local", "hybrid"):
+        if mode in ("local", "hybrid", "mix"):
             local_entities = self._entity_hits(ll)
             if local_entities:
                 hop = one_hop_edges(
@@ -270,7 +270,7 @@ class KGQueryEngine:
 
         global_relations: list[dict] = []
         global_entities: list[dict] = []
-        if mode in ("global", "hybrid"):
+        if mode in ("global", "hybrid", "mix"):
             global_relations = self._relation_hits(hl)
             endpoint_order: list[str] = []
             seen = set()
@@ -295,6 +295,18 @@ class KGQueryEngine:
             key=lambda r: tuple(sorted((r["src_id"], r["tgt_id"]))),
         )
         chunks = self._related_chunks(entities, query)
+        if mode == "mix" and self.chunk_vdb is not None:
+            # mix = hybrid + vector-retrieved chunks, round-robin merged with
+            # the entity-derived chunks (operate.py:4858-4878, 5503-5514)
+            top = vector_topk(
+                self.chunk_vdb, query, k=CHUNK_TOP_K, threshold=COSINE_THRESHOLD
+            )
+            vector_chunks = [
+                {"chunk_id": r["vdb_id"], "sim": r["sim"]} for r in top.take_all()
+            ]
+            chunks = round_robin_merge(
+                chunks, vector_chunks, key=lambda c: c["chunk_id"]
+            )
         return entities, relations, chunks, kw
 
     def query_data(self, query: str, mode: str = "hybrid",

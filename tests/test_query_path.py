@@ -188,3 +188,20 @@ def test_query_data_failures_and_modes(engine):
     assert bypass["data"] == {
         "entities": [], "relationships": [], "chunks": [], "references": [],
     }
+
+
+def test_mix_mode(engine):
+    hybrid = engine.query("stream table merge", mode="hybrid")
+    mix = engine.query("stream table merge", mode="mix")
+    # mix keeps the hybrid KG context...
+    assert [e["entity"] for e in mix.entities] == [
+        e["entity"] for e in hybrid.entities
+    ]
+    # ...and interleaves vector-retrieved chunks with the entity-derived ones
+    assert len(mix.chunks) >= len(hybrid.chunks)
+    assert any("sim" in c for c in mix.chunks)
+    ids = [c["chunk_id"] for c in mix.chunks]
+    assert len(ids) == len(set(ids))  # round-robin merge dedups
+    # query_data supports mix too
+    out = engine.query_data("stream table merge", mode="mix")
+    assert out["status"] == "success" and out["data"]["chunks"]
