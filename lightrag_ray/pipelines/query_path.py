@@ -67,13 +67,17 @@ class KGQueryEngine:
 
     def __init__(self, nodes_dir: str, edges_dir: str, chunks_dir: str | None = None,
                  keywords_fn=default_keywords_fn,
-                 related_chunk_selection: str = "VECTOR"):
+                 related_chunk_selection: str = "VECTOR",
+                 rerank_fn=None):
         import ray.data as rd
 
         from lightrag_ray.stages.embed import HashEmbedder
 
         self.keywords_fn = keywords_fn
         self.related_chunk_selection = related_chunk_selection
+        # optional chunk reranker (``enable_rerank``): applied in query_data
+        # where chunk contents are in hand (pipelines/rerank.py)
+        self.rerank_fn = rerank_fn
         self.embedder = HashEmbedder()
         self.nodes = rd.read_parquet(nodes_dir)
         self.edges = rd.read_parquet(edges_dir)
@@ -342,6 +346,14 @@ class KGQueryEngine:
                             "chunk_id": cid,
                         }
                     )
+
+        if self.rerank_fn is not None and chunk_rows:
+            from lightrag_ray.functions.tokenizer import default_tokenizer
+            from lightrag_ray.pipelines.rerank import rerank_chunks
+
+            chunk_rows = rerank_chunks(
+                query, chunk_rows, self.rerank_fn, default_tokenizer()
+            )
 
         # Frequency-ranked reference ids over chunk file paths
         # (generate_reference_list_from_chunks).
