@@ -116,6 +116,10 @@ def run_headline() -> dict:
         # smaller workers
         merge_batch_size=524288,
         write_chunks_table=False,  # fused streaming pass (the at-scale default)
+        # one node: two full-width concurrent shuffle executors thrash an
+        # oversubscribed host (measured 330 s concurrent vs 78 s sequential
+        # for the same two phases); each phase saturates the node alone
+        concurrent_reduces=False,
     )
     t0 = time.perf_counter()
     result = build_kg(files, build_dir, cfg, num_partitions=1, resume=False)
@@ -182,8 +186,17 @@ def main() -> None:
 
 
 def scaling() -> None:
-    """Same input, fresh processes at 8 and 32 CPUs (the sandbox proxy for the
-    north rule's N vs 4N cluster sizes)."""
+    """Same input, fresh processes at N and 4N CPUs (the sandbox proxy for
+    the north rule's N vs 4N cluster sizes).
+
+    Legs default to 4 and 16 vCPUs (override with $BENCH_SCALE_LO /
+    $BENCH_SCALE_HI): the current sandbox host advertises 32 vCPUs but
+    sustains only ~12-18 effective cores under load (shared tenancy /
+    burstable throttling — see BASELINE.md), so a 32-wide leg measures the
+    host's throttle, not the engine's scaling.  Both legs stay under the
+    effective-core ceiling; the ratio is still 4×."""
+    lo_n = int(os.environ.get("BENCH_SCALE_LO", "4"))
+    hi_n = int(os.environ.get("BENCH_SCALE_HI", str(4 * lo_n)))
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -196,18 +209,19 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    run(8)  # warm-up pass: page cache + corpus synthesis, untimed
-    lo = run(8)
-    hi = run(32)
+    run(lo_n)  # warm-up pass: page cache + corpus synthesis, untimed
+    lo = run(lo_n)
+    hi = run(hi_n)
     t_lo, t_hi = lo["value"], hi["value"]
-    eff = (t_lo / t_hi) / (32 / 8)
+    eff = (t_lo / t_hi) / (hi_n / lo_n)
     print(
         json.dumps(
             {
-                "sec_8": t_lo,
-                "sec_32": t_hi,
-                "docs_per_sec_8": lo["docs_per_sec"],
-                "docs_per_sec_32": hi["docs_per_sec"],
+                f"sec_{lo_n}": t_lo,
+                f"sec_{hi_n}": t_hi,
+                f"docs_per_sec_{lo_n}": lo["docs_per_sec"],
+                f"docs_per_sec_{hi_n}": hi["docs_per_sec"],
+                "cpus": [lo_n, hi_n],
                 "scaling_efficiency": round(eff, 3),
                 "n_pages": lo["n_pages"],
             }

@@ -135,6 +135,16 @@ class PipelineConfig:
         knobs.update(overrides)
         return cls(**knobs)
 
+    # run entity and edge canonicalization as two CONCURRENT Dataset
+    # executions (they are independent shuffles; on a multi-node cluster the
+    # streaming executors interleave and share the cluster).  On a single
+    # oversubscribed node two full-width executors THRASH — each schedules
+    # cluster-width tasks, doubling logical oversubscription (measured on a
+    # 32-vCPU/~12-effective-core host: concurrent 330 s vs sequential
+    # 30 s + 48 s for the same phases).  Set False for single-node /
+    # CPU-constrained runs; bench.py does.
+    concurrent_reduces: bool = True
+
     # materialize the chunks table as its own phase (the reference persists
     # text_chunks; True gives chunk-level provenance + a resume point at the
     # cost of one extra write+read of ~input-sized data).  False fuses

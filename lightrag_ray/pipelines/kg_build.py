@@ -272,38 +272,45 @@ def build_kg(
 
     from lightrag_ray.stages.merge import NODES_SCHEMA
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_nodes = pool.submit(
-            _run_part,
-            paths,
-            "nodes_pre",
-            nodes_pre_dir,
-            lambda: canonicalize_entities(
-                _read_mentions("e"), cfg, prior_nodes=_prior(prior_nodes_dir)
-            ),
-            resume,
-            {"phase": "nodes_pre"},
-            empty_schema=NODES_SCHEMA,
-        )
-        from lightrag_ray.stages.merge import EDGES_SCHEMA
+    from lightrag_ray.stages.merge import EDGES_SCHEMA
 
-        edges_out_schema = pa.schema(
-            [EDGES_SCHEMA.field(c) for c in EDGE_OUTPUT_COLUMNS + ["_ord"]]
-        )
-        f_edges = pool.submit(
-            _run_part,
-            paths,
-            "edges",
-            edges_dir,
-            lambda: canonicalize_edges(
-                _read_mentions("r"), cfg, prior_edges=_prior(prior_edges_dir)
-            ).select_columns(EDGE_OUTPUT_COLUMNS + ["_ord"]),
-            resume,
-            {"phase": "edges"},
-            empty_schema=edges_out_schema,
-        )
-        f_nodes.result()
-        f_edges.result()
+    edges_out_schema = pa.schema(
+        [EDGES_SCHEMA.field(c) for c in EDGE_OUTPUT_COLUMNS + ["_ord"]]
+    )
+    run_nodes_pre = (
+        _run_part,
+        paths,
+        "nodes_pre",
+        nodes_pre_dir,
+        lambda: canonicalize_entities(
+            _read_mentions("e"), cfg, prior_nodes=_prior(prior_nodes_dir)
+        ),
+        resume,
+        {"phase": "nodes_pre"},
+    )
+    run_edges = (
+        _run_part,
+        paths,
+        "edges",
+        edges_dir,
+        lambda: canonicalize_edges(
+            _read_mentions("r"), cfg, prior_edges=_prior(prior_edges_dir)
+        ).select_columns(EDGE_OUTPUT_COLUMNS + ["_ord"]),
+        resume,
+        {"phase": "edges"},
+    )
+    if cfg.concurrent_reduces:
+        # independent shuffles share the cluster (multi-node default)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_nodes = pool.submit(*run_nodes_pre, empty_schema=NODES_SCHEMA)
+            f_edges = pool.submit(*run_edges, empty_schema=edges_out_schema)
+            f_nodes.result()
+            f_edges.result()
+    else:
+        # sequential: each shuffle gets the whole node (single-node /
+        # oversubscribed hosts — see PipelineConfig.concurrent_reduces)
+        run_nodes_pre[0](*run_nodes_pre[1:], empty_schema=NODES_SCHEMA)
+        run_edges[0](*run_edges[1:], empty_schema=edges_out_schema)
 
     # ---- Phase C3: endpoint back-propagation → final nodes
     from lightrag_ray.stages.endpoints import FINAL_NODES_SCHEMA
