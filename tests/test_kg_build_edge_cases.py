@@ -79,3 +79,30 @@ def test_build_with_zero_entity_mentions(ray_session, tmp_path):
     )
     assert rd.read_parquet(res.nodes_dir).count() == 0
     assert rd.read_parquet(res.edges_dir).count() == 0
+
+
+def test_sequential_reduces_match_concurrent(ray_session, tmp_path):
+    """cfg.concurrent_reduces=False must produce the identical graph."""
+    from lightrag_ray.config import PipelineConfig
+    from lightrag_ray.pipelines.kg_build import build_kg
+    from lightrag_ray.sources.pages import synth_pages_from_documents
+
+    files = synth_pages_from_documents(
+        "/root/testdata/sf0.001", f"{tmp_path}/pages", num_files=2
+    )
+
+    def graph(out, **cfg_kw):
+        import ray.data as rd
+
+        res = build_kg(files, out, PipelineConfig(**cfg_kw), num_partitions=1)
+        nodes = rd.read_parquet(res.nodes_dir).to_pandas()
+        edges = rd.read_parquet(res.edges_dir).to_pandas()
+        return (
+            nodes.sort_values("entity_id").reset_index(drop=True),
+            edges.sort_values(["src_id", "tgt_id"]).reset_index(drop=True),
+        )
+
+    n1, e1 = graph(f"{tmp_path}/conc", concurrent_reduces=True)
+    n2, e2 = graph(f"{tmp_path}/seq", concurrent_reduces=False)
+    assert n1.equals(n2)
+    assert e1.equals(e2)
