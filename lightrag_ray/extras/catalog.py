@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable]:
         "knn_lsh_top10": q_knn_lsh,  # rows-only (ANN; exact = knn_top10)
         "langid": q_langid,  # rows-only (heuristic)
         "pchunk_stats": q_pchunk_stats,  # rows-only (P-chunk merge arithmetic; parity-tested)
+        "dup_clusters": q_dup_clusters,
     }
 
 
@@ -284,6 +285,7 @@ def oracle_sql() -> dict[str, str]:
         "binary_extract": SQL_BINARY_EXTRACT,
         "hash_sample": SQL_HASH_SAMPLE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "dup_clusters": SQL_DUP_CLUSTERS,
     }
 
 
@@ -357,3 +359,49 @@ def q_pchunk_stats(sf_dir: str):
         )
         .sort("doc_id")
     )
+
+
+def q_dup_clusters(sf_dir: str):
+    """Near-dup document clustering: connected components over the exact
+    n-gram-Jaccard pair graph (threshold 0.8).  ``cluster_id`` = min doc id
+    in the component; the keep-one dedup policy is ``doc_id == cluster_id``.
+    Oracle: DuckDB recursive CTE over the same pair set."""
+    import pyarrow as pa
+
+    pairs = dedup.ngram_jaccard_pairs(sf_dir, threshold=0.8)
+    comp = dedup.connected_components(pairs)
+    return comp.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("node"), "cluster_id": t.column("label")}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).sort("doc_id")
+
+
+SQL_DUP_CLUSTERS = r"""
+WITH RECURSIVE s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - 2, 0) + 1),
+                                      i -> substr(text, i::INT, 3))) AS sh
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+    AND len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(a.sh || b.sh)) >= 0.8
+),
+adj AS (
+  SELECT doc_a AS node, doc_b AS nbr FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+cc(node, label) AS (
+  SELECT node, node FROM (SELECT DISTINCT node FROM adj)
+  UNION
+  SELECT adj.node, cc.label FROM cc JOIN adj ON adj.nbr = cc.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id
+FROM cc GROUP BY node ORDER BY doc_id
+"""

@@ -555,3 +555,177 @@ def embedding_lsh_pairs(
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Max("sim", alias_name="sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components over a near-dup pair table (dedup clustering).
+#
+# Min-label propagation, hash-bucketed the same way as the canonicalization
+# reduces (stages/merge.py): each iteration is two groupby shuffles over
+# ``buckets`` groups (NOT one group per node), with plain-dict inner loops —
+# iterations ≈ cluster diameter, small for near-dup clusters.  A doc's final
+# ``cluster_id`` is the minimum doc id reachable through the pair graph; the
+# keep-one-per-cluster dedup policy is then ``doc_id == cluster_id``.
+
+
+def _cc_bucket_of(ids: "pa.ChunkedArray", buckets: int) -> pa.Array:
+    """Well-mixed bucket for int node ids (vectorized splitmix-style fold —
+    plain ``id % buckets`` would stripe structured id ranges)."""
+    import numpy as np
+
+    arr = np.asarray(ids.combine_chunks() if hasattr(ids, "combine_chunks") else ids,
+                     dtype=np.int64)
+    with np.errstate(over="ignore"):
+        mixed = (arr ^ (arr >> 33)) * np.int64(-49064778989728563)
+    return pa.array(((mixed ^ (mixed >> 29)) % buckets + buckets) % buckets,
+                    pa.int32())
+
+
+def connected_components(
+    pairs_ds,
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    buckets: int = 64,
+    max_iters: int = 50,
+):
+    """(node, cluster_id) for every node that appears in ``pairs_ds``.
+
+    Convergence is detected with a per-iteration ``changed`` counter (labels
+    only decrease under min-propagation).  ``pairs_ds`` is materialized once
+    as a bucketed adjacency; per-iteration state is the (node, label) table.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    ADJ_SCHEMA = pa.schema(
+        [("bucket", pa.int32()), ("node", pa.int64()), ("nbr", pa.int64())]
+    )
+    LABELS_SCHEMA = pa.schema(
+        [("bucket", pa.int32()), ("node", pa.int64()), ("label", pa.int64()),
+         ("changed", pa.int64())]
+    )
+    CAND_SCHEMA = pa.schema(
+        [("bucket", pa.int32()), ("node", pa.int64()), ("label", pa.int64()),
+         ("is_self", pa.bool_())]
+    )
+
+    def to_adj(batch: pa.Table) -> pa.Table:
+        a = batch.column(col_a).cast(pa.int64())
+        b = batch.column(col_b).cast(pa.int64())
+        node = pa.chunked_array([a, b]).combine_chunks()
+        nbr = pa.chunked_array([b, a]).combine_chunks()
+        return pa.table(
+            {"bucket": _cc_bucket_of(node, buckets), "node": node, "nbr": nbr},
+            schema=ADJ_SCHEMA,
+        )
+
+    adj = pairs_ds.map_batches(
+        to_adj, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": batch.column("bucket"),
+                "node": batch.column("node"),
+                "label": batch.column("node"),
+                "changed": pa.nulls(batch.num_rows, pa.int64()),
+            },
+            schema=LABELS_SCHEMA,
+        )
+
+    # distinct nodes, labeled with themselves
+    labels = (
+        adj.map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .map_groups(
+            lambda g: pa.Table.from_pandas(
+                g.iloc[:1][["bucket", "node", "label", "changed"]],
+                schema=LABELS_SCHEMA, preserve_index=False,
+            ),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    def send(group: pd.DataFrame) -> pa.Table:
+        # one bucket: label rows (nbr null) + adjacency rows
+        is_label = group["nbr"].isna()
+        lab = dict(zip(group.loc[is_label, "node"], group.loc[is_label, "label"]))
+        edges = group[~is_label]
+        recv = edges["nbr"].astype("int64")
+        cand = edges["node"].map(lab).astype("int64")
+        out = pd.DataFrame(
+            {
+                "node": pd.concat([recv, group.loc[is_label, "node"]]),
+                "label": pd.concat([cand, group.loc[is_label, "label"]]),
+                "is_self": [False] * len(recv) + [True] * int(is_label.sum()),
+            }
+        )
+        rb = _cc_bucket_of(pa.array(out["node"].to_numpy(), pa.int64()), buckets)
+        return pa.table(
+            {
+                "bucket": rb,
+                "node": pa.array(out["node"].to_numpy(), pa.int64()),
+                "label": pa.array(out["label"].to_numpy(), pa.int64()),
+                "is_self": pa.array(out["is_self"].tolist(), pa.bool_()),
+            },
+            schema=CAND_SCHEMA,
+        )
+
+    def reduce_min(group: pd.DataFrame) -> pa.Table:
+        mins = group.groupby("node")["label"].min()
+        self_rows = group[group["is_self"]]
+        old = dict(zip(self_rows["node"], self_rows["label"]))
+        nodes = list(mins.index)
+        new = [int(min(mins[n], old.get(n, mins[n]))) for n in nodes]
+        changed = [int(new[i] < old.get(n, new[i])) for i, n in enumerate(nodes)]
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(pa.array(nodes, pa.int64()), buckets),
+                "node": pa.array(nodes, pa.int64()),
+                "label": pa.array(new, pa.int64()),
+                "changed": pa.array(changed, pa.int64()),
+            },
+            schema=LABELS_SCHEMA,
+        )
+
+    for _ in range(max_iters):
+        # adjacency + current labels, cogrouped per bucket
+        def lab_rows(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "bucket": batch.column("bucket"),
+                    "node": batch.column("node"),
+                    "label": batch.column("label"),
+                    "nbr": pa.nulls(batch.num_rows, pa.int64()),
+                },
+            )
+
+        def adj_rows(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "bucket": batch.column("bucket"),
+                    "node": batch.column("node"),
+                    "label": pa.nulls(batch.num_rows, pa.int64()),
+                    "nbr": batch.column("nbr"),
+                },
+            )
+
+        union = labels.map_batches(
+            lab_rows, batch_format="pyarrow", zero_copy_batch=True
+        ).union(
+            adj.map_batches(adj_rows, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        candidates = union.groupby("bucket").map_groups(
+            send, batch_format="pandas"
+        )
+        labels = (
+            candidates.groupby("bucket")
+            .map_groups(reduce_min, batch_format="pandas")
+            .materialize()
+        )
+        if labels.sum("changed") == 0:
+            break
+
+    return labels.select_columns(["node", "label"])

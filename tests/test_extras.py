@@ -214,3 +214,28 @@ def test_media_stage_with_real_decoder(ray_session):
     out = stage(batch).to_pylist()
     assert out[0]["features"][0] == 1.0  # n_channels
     assert out[0]["feature_norm"] > 0
+
+
+def test_connected_components_shapes(ray_session):
+    """Unit topology cases for the label-propagation kernel."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lightrag_ray.extras.dedup import connected_components
+
+    pairs = pa.table({"doc_a": [1, 2, 10, 11, 20, 21, 22, 30],
+                      "doc_b": [2, 3, 11, 12, 21, 22, 20, 31]})
+    out = sorted(
+        (r["node"], r["label"])
+        for r in connected_components(rd.from_arrow(pairs), buckets=4).take_all()
+    )
+    assert out == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10),
+                   (20, 20), (21, 20), (22, 20), (30, 30), (31, 30)]
+    # a 20-hop chain converges (iterations ≈ diameter)
+    chain = pa.table({"doc_a": list(range(100, 120)),
+                      "doc_b": list(range(101, 121))})
+    labs = {
+        r["node"]: r["label"]
+        for r in connected_components(rd.from_arrow(chain), buckets=4).take_all()
+    }
+    assert set(labs.values()) == {100} and len(labs) == 21
