@@ -267,6 +267,25 @@ def _partials_table(out: dict) -> pa.Table:
     )
 
 
+def _fast_list(col) -> list:
+    """Arrow column → Python list via the numpy object path — ~8× faster
+    than ``to_pylist`` for string columns on CPython 3.11 (measured 0.07 s
+    vs 0.59 s per 524k rows).  Scalar columns only (a list-typed column
+    would surface numpy arrays instead of lists)."""
+    return col.to_numpy(zero_copy_only=False).tolist()
+
+
+def _group_bounds(names_np) -> "list[int]":
+    """Boundary indices of equal-value runs in a SORTED object array:
+    [0, b1, ..., n].  Vectorized; replaces the per-row boundary scan."""
+    import numpy as np
+
+    if len(names_np) == 0:
+        return [0]
+    changes = np.flatnonzero(names_np[1:] != names_np[:-1]) + 1
+    return [0, *changes.tolist(), len(names_np)]
+
+
 def make_entity_partials_fn(cfg: PipelineConfig, incremental: bool = False):
     cap = cfg.max_source_ids_per_entity
     # Incremental KEEP runs must NOT cap at the partial level: the finalizer
@@ -282,27 +301,24 @@ def make_entity_partials_fn(cfg: PipelineConfig, incremental: bool = False):
 
     def to_partials(batch: pa.Table) -> pa.Table:
         batch = batch.sort_by([("name", "ascending")] + _ORD_SORT_KEYS)
-        names = batch.column("name").to_pylist()
+        names_np = batch.column("name").to_numpy(zero_copy_only=False)
         cols = [
-            batch.column("timestamp").to_pylist(),
-            batch.column("file_path").to_pylist(),
-            batch.column("chunk_order").to_pylist(),
-            batch.column("rec_index").to_pylist(),
-            batch.column("source_id").to_pylist(),
-            batch.column("entity_type").to_pylist(),
-            batch.column("description").to_pylist(),
+            _fast_list(batch.column("timestamp")),
+            _fast_list(batch.column("file_path")),
+            _fast_list(batch.column("chunk_order")),
+            _fast_list(batch.column("rec_index")),
+            _fast_list(batch.column("source_id")),
+            _fast_list(batch.column("entity_type")),
+            _fast_list(batch.column("description")),
         ]
         out = {"key": [], "salt": [], "b1": [], "blob": []}
-        n = len(names)
-        start = 0
-        for end in range(1, n + 1):
-            if end < n and names[end] == names[start]:
-                continue
+        bounds = _group_bounds(names_np)
+        for gi in range(len(bounds) - 1):
+            start, end = bounds[gi], bounds[gi + 1]
             _emit_group_partial(
-                out, names[start], cols, start, end, cap, keep_mode, salts,
+                out, names_np[start], cols, start, end, cap, keep_mode, salts,
                 rbuckets,
             )
-            start = end
         return _partials_table(out)
 
     return to_partials
@@ -322,8 +338,8 @@ def make_edge_partials_fn(cfg: PipelineConfig, incremental: bool = False):
 
         # undirected: sorted pair (lightrag/operate.py:3383-3386), built as
         # one vectorized object-array pass, then ONE Arrow sort
-        srcs = np.asarray(batch.column("name").to_pylist(), dtype=object)
-        tgts = np.asarray(batch.column("tgt").to_pylist(), dtype=object)
+        srcs = batch.column("name").to_numpy(zero_copy_only=False)
+        tgts = batch.column("tgt").to_numpy(zero_copy_only=False)
         lo = np.minimum(srcs, tgts)
         hi = np.maximum(srcs, tgts)
         # the separator must be built WITHOUT numpy string coercion: both a
@@ -334,28 +350,25 @@ def make_edge_partials_fn(cfg: PipelineConfig, incremental: bool = False):
         keys = lo + sep + hi
         batch = batch.append_column("_ekey", pa.array(keys, pa.string()))
         batch = batch.sort_by([("_ekey", "ascending")] + _ORD_SORT_KEYS)
-        names = batch.column("_ekey").to_pylist()
+        names_np = batch.column("_ekey").to_numpy(zero_copy_only=False)
         cols = [
-            batch.column("timestamp").to_pylist(),
-            batch.column("file_path").to_pylist(),
-            batch.column("chunk_order").to_pylist(),
-            batch.column("rec_index").to_pylist(),
-            batch.column("source_id").to_pylist(),
-            batch.column("keywords").to_pylist(),
-            batch.column("weight").to_pylist(),
-            batch.column("description").to_pylist(),
+            _fast_list(batch.column("timestamp")),
+            _fast_list(batch.column("file_path")),
+            _fast_list(batch.column("chunk_order")),
+            _fast_list(batch.column("rec_index")),
+            _fast_list(batch.column("source_id")),
+            _fast_list(batch.column("keywords")),
+            _fast_list(batch.column("weight")),
+            _fast_list(batch.column("description")),
         ]
         out = {"key": [], "salt": [], "b1": [], "blob": []}
-        n = len(names)
-        start = 0
-        for end in range(1, n + 1):
-            if end < n and names[end] == names[start]:
-                continue
+        bounds = _group_bounds(names_np)
+        for gi in range(len(bounds) - 1):
+            start, end = bounds[gi], bounds[gi + 1]
             _emit_group_partial(
-                out, names[start], cols, start, end, cap, keep_mode, salts,
+                out, names_np[start], cols, start, end, cap, keep_mode, salts,
                 rbuckets,
             )
-            start = end
         return _partials_table(out)
 
     return to_partials
