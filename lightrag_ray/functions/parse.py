@@ -27,8 +27,9 @@ from lightrag_ray.constants import (
 )
 from lightrag_ray.functions.delimiters import fix_tuple_delimiter_corruption
 from lightrag_ray.functions.text import (
-    normalize_entity_name,
+    normalize_entity_name_short,
     sanitize_and_normalize,
+    sanitize_and_normalize_short,
     split_string_by_multi_markers,
     truncate_entity_identifier,
 )
@@ -73,10 +74,10 @@ def make_entity_mention(
     """Shared entity field rules (text mode lightrag/operate.py:614-696; JSON
     mode :877-921 applies the same rules minus the comma-to-first-token
     repair — hence the flag)."""
-    entity_name = normalize_entity_name(name_raw)
+    entity_name = normalize_entity_name_short(name_raw)
     if not entity_name or not entity_name.strip():
         return None
-    entity_type = sanitize_and_normalize(type_raw, remove_inner_quotes=True)
+    entity_type = sanitize_and_normalize_short(type_raw, remove_inner_quotes=True)
     if not entity_type.strip() or any(ch in entity_type for ch in _TYPE_REJECT_CHARS):
         return None
     if comma_type_first_token and "," in entity_type:
@@ -110,11 +111,11 @@ def make_relation_mention(
 ) -> RelationMention | None:
     """Shared relation field rules (text mode lightrag/operate.py:699-776;
     JSON mode :934-996)."""
-    source = normalize_entity_name(src_raw)
-    target = normalize_entity_name(tgt_raw)
+    source = normalize_entity_name_short(src_raw)
+    target = normalize_entity_name_short(tgt_raw)
     if not source or not target or source == target:
         return None
-    keywords = sanitize_and_normalize(kw_raw, remove_inner_quotes=True)
+    keywords = sanitize_and_normalize_short(kw_raw, remove_inner_quotes=True)
     keywords = keywords.replace("，", ",")
     description = sanitize_and_normalize(desc_raw)
     if not description.strip():

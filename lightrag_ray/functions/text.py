@@ -165,6 +165,11 @@ def normalize_entity_name(text: str) -> str:
     return sanitize_and_normalize(text, remove_inner_quotes=True)
 
 
+def normalize_entity_name_short(text: str) -> str:
+    """Memoized :func:`normalize_entity_name` for hot-name call sites."""
+    return sanitize_and_normalize_short(text, remove_inner_quotes=True)
+
+
 def truncate_entity_identifier(
     identifier: str,
     limit: int = ENTITY_NAME_MAX_LENGTH,
@@ -213,3 +218,19 @@ def md5_hex(text: str) -> str:
 def compute_mdhash_id(content: str, prefix: str = "") -> str:
     """Stable md5-based record id, e.g. ``doc-<md5>`` / ``ent-<md5>``."""
     return prefix + md5_hex(content)
+
+
+@lru_cache(maxsize=131072)
+def _sanitize_and_normalize_cached(text: str, remove_inner_quotes: bool) -> str:
+    return sanitize_and_normalize(text, remove_inner_quotes=remove_inner_quotes)
+
+
+def sanitize_and_normalize_short(text: str, remove_inner_quotes: bool = False) -> str:
+    """Memoized ``sanitize_and_normalize`` for SHORT, high-repetition fields
+    (entity names / types / keywords — a hot entity's name re-normalizes once
+    per mention otherwise).  Long strings (descriptions) bypass the cache so
+    the LRU holds ≤ ~35 MB worst-case per process.  Pure-function memo: the
+    output is byte-identical to the uncached path."""
+    if text is not None and len(text) <= 128:
+        return _sanitize_and_normalize_cached(text, remove_inner_quotes)
+    return sanitize_and_normalize(text, remove_inner_quotes=remove_inner_quotes)
