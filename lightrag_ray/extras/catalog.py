@@ -250,6 +250,64 @@ SELECT doc_id, lang FROM (
 """
 
 
+def q_term_df_top100(sf_dir: str, k: int = 100):
+    """Corpus term statistics: top-``k`` terms by document frequency.
+
+    The scale shape is tokenize → **in-batch partial aggregation** →
+    small groupby → top-k: each batch emits one (term, df, tf) partial row
+    per distinct term in the batch (a combiner), so the shuffle carries
+    ~|vocab| rows per batch instead of one row per token — at web scale the
+    exchange is bounded by vocabulary size × block count, not corpus token
+    count.  The final sort/limit runs over the aggregated vocabulary only.
+    Tokenization is ``[a-z0-9_]+`` over lowercased text, stated identically
+    in the DuckDB oracle (ASCII class on both sides — no engine-specific
+    ``\\w`` unicode semantics)."""
+    import os
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    token_re = re.compile(r"[a-z0-9_]+")
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        tf: Counter = Counter()
+        df: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            toks = token_re.findall((text or "").lower())
+            tf.update(toks)
+            df.update(set(toks))
+        terms = sorted(tf)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array([tf[t] for t in terms], pa.int64()),
+                "df": pa.array([df[t] for t in terms], pa.int64()),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+        .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("tf", alias_name="tf"))
+    )
+    return agg.sort(["df", "tf", "term"], descending=[True, True, False]).limit(k)
+
+
+SQL_TERM_DF_TOP100 = r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+FROM w GROUP BY term
+ORDER BY df DESC, tf DESC, term LIMIT 100
+"""
+
+
 def queries() -> dict[str, Callable]:
     return {
         "simhash": q_simhash,
@@ -263,6 +321,7 @@ def queries() -> dict[str, Callable]:
         "binary_extract": q_binary_extract,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
+        "term_df_top100": q_term_df_top100,
         "minhash_lsh_pairs": q_minhash_lsh,  # rows-only (LSH is approximate)
         "embedding_lsh_pairs": q_embedding_lsh,  # rows-only (ANN; exact = embedding_near_dup)
         "knn_lsh_top10": q_knn_lsh,  # rows-only (ANN; exact = knn_top10)
@@ -285,6 +344,7 @@ def oracle_sql() -> dict[str, str]:
         "binary_extract": SQL_BINARY_EXTRACT,
         "hash_sample": SQL_HASH_SAMPLE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "term_df_top100": SQL_TERM_DF_TOP100,
         "dup_clusters": SQL_DUP_CLUSTERS,
     }
 
