@@ -308,6 +308,106 @@ ORDER BY df DESC, tf DESC, term LIMIT 100
 """
 
 
+def q_distinctive_terms(sf_dir: str):
+    """Most-distinctive term per document: argmax over ``tf × N / df``.
+
+    The document-frequency table (one row per vocab term — small after the
+    combiner groupby) is collected once and **broadcast** via ``ray.put``;
+    the corpus then streams through a stateless ``map_batches`` that scores
+    each document's terms against the shared lookup.  This is the
+    broadcast-join scale pattern: the big side never shuffles, the small
+    side ships once per node, not once per batch.  Scoring uses the
+    rational ``tf * N / df`` (no transcendental functions) so the Ray and
+    DuckDB sides compute bit-identical IEEE doubles and ties break
+    identically (score desc, term asc)."""
+    import os
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    token_re = re.compile(r"[a-z0-9_]+")
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    # small side: vocabulary document frequencies (combiner → groupby → dict)
+    def partial_df(batch: pa.Table) -> pa.Table:
+        df: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            df.update(set(token_re.findall((text or "").lower())))
+        terms = sorted(df)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "df": pa.array([df[t] for t in terms], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    df_tbl = (
+        docs.map_batches(partial_df, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    n_docs = docs.count()
+    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"])))
+
+    def score(batch: pa.Table) -> pa.Table:
+        df = ray.get(df_ref)
+        doc_ids = batch.column("doc_id").to_pylist()
+        out_ids, out_terms, out_scores = [], [], []
+        for doc_id, text in zip(doc_ids, batch.column("text").to_pylist()):
+            tf = Counter(token_re.findall((text or "").lower()))
+            if not tf:
+                continue
+            scores = {t: tf[t] * float(n_docs) / df[t] for t in tf}
+            best_score = max(scores.values())
+            best = min(t for t, s in scores.items() if s == best_score)
+            out_ids.append(doc_id)
+            out_terms.append(best)
+            out_scores.append(best_score)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "term": pa.array(out_terms, pa.string()),
+                "score": pa.array(out_scores, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_DISTINCTIVE_TERMS = r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, score FROM (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (SELECT n_docs FROM n)::DOUBLE / df.df AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * (SELECT n_docs FROM n)::DOUBLE / df.df DESC,
+                    tf.term
+         ) AS rk
+  FROM tf JOIN df USING (term)
+) WHERE rk = 1
+"""
+
+
 def queries() -> dict[str, Callable]:
     return {
         "simhash": q_simhash,
@@ -322,6 +422,7 @@ def queries() -> dict[str, Callable]:
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "term_df_top100": q_term_df_top100,
+        "distinctive_terms": q_distinctive_terms,
         "minhash_lsh_pairs": q_minhash_lsh,  # rows-only (LSH is approximate)
         "embedding_lsh_pairs": q_embedding_lsh,  # rows-only (ANN; exact = embedding_near_dup)
         "knn_lsh_top10": q_knn_lsh,  # rows-only (ANN; exact = knn_top10)
@@ -345,6 +446,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": SQL_HASH_SAMPLE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "term_df_top100": SQL_TERM_DF_TOP100,
+        "distinctive_terms": SQL_DISTINCTIVE_TERMS,
         "dup_clusters": SQL_DUP_CLUSTERS,
     }
 
