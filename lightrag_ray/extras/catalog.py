@@ -356,6 +356,12 @@ def q_distinctive_terms(sf_dir: str):
         .to_pandas()
     )
     n_docs = docs.count()
+    MAX_BROADCAST_VOCAB = 5_000_000  # ~100 MB dict; web-scale corpora with
+    # larger vocabularies need a hash-partitioned (term) shuffle join instead
+    if len(df_tbl) > MAX_BROADCAST_VOCAB:
+        raise ValueError(
+            f"vocabulary has {len(df_tbl)} terms — too large to broadcast"
+        )
     df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"])))
 
     def score(batch: pa.Table) -> pa.Table:
