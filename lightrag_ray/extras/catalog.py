@@ -424,6 +424,7 @@ def queries() -> dict[str, Callable]:
         "event_sliding_windows": events.sliding_window_user_stats,
         "event_sessions": events.session_windows,
         "event_type_rates": events.event_type_rates,
+        "event_asof_join": events.asof_join,
         "binary_extract": q_binary_extract,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
@@ -448,6 +449,7 @@ def oracle_sql() -> dict[str, str]:
         "event_sliding_windows": events.SQL_SLIDING_WINDOW,
         "event_sessions": events.SQL_SESSION_WINDOWS,
         "event_type_rates": events.SQL_EVENT_TYPE_RATES,
+        "event_asof_join": events.SQL_ASOF_JOIN,
         "binary_extract": SQL_BINARY_EXTRACT,
         "hash_sample": SQL_HASH_SAMPLE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,

@@ -207,3 +207,96 @@ SELECT event_type, count(*) AS n,
        round(count(*)::DOUBLE / (SELECT count(*) FROM events), 6) AS rate
 FROM events GROUP BY event_type
 """
+
+
+def asof_join(
+    sf_dir: str, left_type: str = "purchase", right_type: str = "click"
+):
+    """Temporal as-of join: each ``left_type`` event is joined to the most
+    recent ``right_type`` event by the same user at-or-before its timestamp
+    (ties broken by highest event_id — a total order, so the result is
+    deterministic; left rows with no prior right event are dropped).
+
+    Ray Data has no native as-of join; the scale shape is ONE hash shuffle
+    on the join key (``groupby(user_id)``) + an in-group sort and linear
+    two-pointer sweep — per-group cost is O(n log n), no per-row lookups,
+    no row-pair explosion (the SQL oracle's inequality join is O(n²) per
+    user and exists only as the correctness statement).  Timestamps flow as
+    epoch-µs int64 throughout."""
+    import pandas as pd
+
+    def sweep(group: pd.DataFrame) -> pa.Table:
+        lhs = group[group["event_type"] == left_type].sort_values(
+            ["t_us", "event_id"]
+        )
+        rhs = group[group["event_type"] == right_type].sort_values(
+            ["t_us", "event_id"]
+        )
+        out = {k: [] for k in ("event_id", "user_id", "t_us",
+                               "right_event_id", "right_t_us", "right_value")}
+        r_t = rhs["t_us"].to_numpy()
+        r_id = rhs["event_id"].to_numpy()
+        r_val = rhs["value"].to_numpy()
+        j = -1
+        for ev, uid, t in zip(
+            lhs["event_id"].to_numpy(),
+            lhs["user_id"].to_numpy(),
+            lhs["t_us"].to_numpy(),
+        ):
+            while j + 1 < len(r_t) and r_t[j + 1] <= t:
+                j += 1
+            if j >= 0:
+                out["event_id"].append(int(ev))
+                out["user_id"].append(int(uid))
+                out["t_us"].append(int(t))
+                out["right_event_id"].append(int(r_id[j]))
+                out["right_t_us"].append(int(r_t[j]))
+                out["right_value"].append(float(r_val[j]))
+        return pa.table(
+            {
+                "event_id": pa.array(out["event_id"], pa.int64()),
+                "user_id": pa.array(out["user_id"], pa.int64()),
+                "t_us": pa.array(out["t_us"], pa.int64()),
+                "right_event_id": pa.array(out["right_event_id"], pa.int64()),
+                "right_t_us": pa.array(out["right_t_us"], pa.int64()),
+                "right_value": pa.array(out["right_value"], pa.float64()),
+            }
+        )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch.column("event_type"),
+            value_set=pa.array([left_type, right_type]),
+        )
+        batch = batch.filter(keep)
+        t_us = pc.cast(batch.column("ts"), pa.int64())
+        return batch.drop_columns(["ts"]).append_column("t_us", t_us)
+
+    ds = _events(
+        sf_dir, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("user_id").map_groups(sweep, batch_format="pandas")
+
+
+SQL_ASOF_JOIN = """
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events
+  WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us, value FROM events
+  WHERE event_type = 'click'
+),
+j AS (
+  SELECT l.event_id, l.user_id, l.t_us,
+         r.event_id AS right_event_id, r.t_us AS right_t_us,
+         r.value AS right_value,
+         row_number() OVER (
+           PARTITION BY l.event_id
+           ORDER BY r.t_us DESC, r.event_id DESC
+         ) AS rk
+  FROM l JOIN r ON l.user_id = r.user_id AND r.t_us <= l.t_us
+)
+SELECT event_id, user_id, t_us, right_event_id, right_t_us, right_value
+FROM j WHERE rk = 1
+"""
