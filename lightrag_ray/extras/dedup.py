@@ -593,6 +593,13 @@ def connected_components(
     Convergence is detected with a per-iteration ``changed`` counter (labels
     only decrease under min-propagation).  ``pairs_ds`` is materialized once
     as a bucketed adjacency; per-iteration state is the (node, label) table.
+
+    Each iteration is one-hop min-propagation followed by a label-shortcut
+    pass (``label ← label[label]``, pointer doubling), so convergence takes
+    O(log diameter) iterations rather than O(diameter) — a 10⁶-node chain
+    converges in ~20 rounds.  If ``max_iters`` is still exhausted the
+    function RAISES instead of silently returning unconverged (wrong)
+    cluster ids.
     """
     import pandas as pd
     import ray.data as rd
@@ -690,6 +697,63 @@ def connected_components(
             schema=LABELS_SCHEMA,
         )
 
+    SHORT_SCHEMA = pa.schema(
+        [("bucket", pa.int32()), ("node", pa.int64()), ("label", pa.int64()),
+         ("changed", pa.int64()), ("is_entry", pa.bool_())]
+    )
+
+    def emit_short(batch: pa.Table) -> pa.Table:
+        # entry rows live in bucket_of(node) (lookup side); query rows are
+        # routed to bucket_of(label) where their pointer target's entry is.
+        n = batch.num_rows
+        ent = pa.table(
+            {
+                "bucket": batch.column("bucket"),
+                "node": batch.column("node"),
+                "label": batch.column("label"),
+                "changed": pa.nulls(n, pa.int64()),
+                "is_entry": pa.array([True] * n, pa.bool_()),
+            },
+            schema=SHORT_SCHEMA,
+        )
+        qry = pa.table(
+            {
+                "bucket": _cc_bucket_of(batch.column("label"), buckets),
+                "node": batch.column("node"),
+                "label": batch.column("label"),
+                "changed": batch.column("changed"),
+                "is_entry": pa.array([False] * n, pa.bool_()),
+            },
+            schema=SHORT_SCHEMA,
+        )
+        return pa.concat_tables([ent, qry])
+
+    def resolve_short(group: pd.DataFrame) -> pa.Table:
+        import numpy as np
+
+        ent = group[group["is_entry"]]
+        lab = dict(zip(ent["node"], ent["label"]))
+        q = group[~group["is_entry"]]
+        nodes = q["node"].to_numpy(dtype="int64")
+        ptr = q["label"].to_numpy(dtype="int64")
+        resolved = np.fromiter(
+            (lab.get(p, p) for p in ptr), dtype=np.int64, count=len(ptr)
+        )
+        changed = (
+            (resolved < ptr) | (q["changed"].fillna(0).to_numpy() > 0)
+        ).astype(np.int64)
+        node_arr = pa.array(nodes, pa.int64())
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(node_arr, buckets),
+                "node": node_arr,
+                "label": pa.array(resolved, pa.int64()),
+                "changed": pa.array(changed, pa.int64()),
+            },
+            schema=LABELS_SCHEMA,
+        )
+
+    converged = False
     for _ in range(max_iters):
         # adjacency + current labels, cogrouped per bucket
         def lab_rows(batch: pa.Table) -> pa.Table:
@@ -720,12 +784,26 @@ def connected_components(
         candidates = union.groupby("bucket").map_groups(
             send, batch_format="pandas"
         )
+        propagated = candidates.groupby("bucket").map_groups(
+            reduce_min, batch_format="pandas"
+        )
+        # pointer-doubling shortcut: label ← label[label]; `changed` carries
+        # forward the propagation step's flag so one sum covers both.
         labels = (
-            candidates.groupby("bucket")
-            .map_groups(reduce_min, batch_format="pandas")
+            propagated.map_batches(
+                emit_short, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("bucket")
+            .map_groups(resolve_short, batch_format="pandas")
             .materialize()
         )
         if labels.sum("changed") == 0:
+            converged = True
             break
 
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "iterations — raise max_iters (cluster labels would be wrong)"
+        )
     return labels.select_columns(["node", "label"])

@@ -237,6 +237,7 @@ def asof_join(
         r_t = rhs["t_us"].to_numpy()
         r_id = rhs["event_id"].to_numpy()
         r_val = rhs["value"].to_numpy()
+        r_ok = rhs["v_ok"].to_numpy()
         j = -1
         for ev, uid, t in zip(
             lhs["event_id"].to_numpy(),
@@ -251,7 +252,9 @@ def asof_join(
                 out["t_us"].append(int(t))
                 out["right_event_id"].append(int(r_id[j]))
                 out["right_t_us"].append(int(r_t[j]))
-                out["right_value"].append(float(r_val[j]))
+                out["right_value"].append(
+                    float(r_val[j]) if r_ok[j] else None
+                )
         return pa.table(
             {
                 "event_id": pa.array(out["event_id"], pa.int64()),
@@ -264,13 +267,25 @@ def asof_join(
         )
 
     def prep(batch: pa.Table) -> pa.Table:
-        keep = pc.is_in(
-            batch.column("event_type"),
-            value_set=pa.array([left_type, right_type]),
+        # Null-ts rows are dropped on BOTH sides, matching the oracle where
+        # `r.t_us <= l.t_us` is never true for NULL; a NULL right-side value
+        # flows through as NULL (the oracle emits NULL, not NaN), tracked
+        # via a validity column that survives the pandas group conversion.
+        keep = pc.and_(
+            pc.is_in(
+                batch.column("event_type"),
+                value_set=pa.array([left_type, right_type]),
+            ),
+            pc.is_valid(batch.column("ts")),
         )
         batch = batch.filter(keep)
         t_us = pc.cast(batch.column("ts"), pa.int64())
-        return batch.drop_columns(["ts"]).append_column("t_us", t_us)
+        v_ok = pc.is_valid(batch.column("value"))
+        return (
+            batch.drop_columns(["ts"])
+            .append_column("t_us", t_us)
+            .append_column("v_ok", v_ok)
+        )
 
     ds = _events(
         sf_dir, ["event_id", "ts", "user_id", "event_type", "value"]

@@ -93,14 +93,21 @@ def _take_pipe_table(lines: list[str], start: int):
 
 
 def _take_html_table(lines: list[str], start: int):
+    """(consumed, html, remainder): the table ends at the FIRST ``</table>``
+    — prose after the closing tag on the same line is returned as
+    ``remainder`` for normal re-processing, not swallowed into the table."""
     buf: list[str] = []
     j = start
     while j < len(lines):
+        low = lines[j].lower()
+        close = low.find("</table>")
+        if close >= 0:
+            end = close + len("</table>")
+            buf.append(lines[j][:end])
+            return j - start + 1, "\n".join(buf).strip(), lines[j][end:].strip()
         buf.append(lines[j])
-        if "</table>" in lines[j].lower():
-            return j - start + 1, "\n".join(buf).strip()
         j += 1
-    return 0, ""
+    return 0, "", ""
 
 
 def _take_equation(lines: list[str], start: int):
@@ -200,7 +207,7 @@ def markdown_to_blocks(text: str) -> tuple[list[dict[str, Any]], dict[str, Any]]
                 continue
 
         if stripped.lower().startswith("<table"):
-            consumed, html = _take_html_table(lines, i)
+            consumed, html, rest = _take_html_table(lines, i)
             if consumed > 0:
                 table_n += 1
                 tid = f"tb-{table_n}"
@@ -213,6 +220,9 @@ def markdown_to_blocks(text: str) -> tuple[list[dict[str, Any]], dict[str, Any]]
                 if thead:
                     tables[tid] = {"table_header": " ".join(thead.group(0).split("\n"))}
                 i += consumed
+                if rest:
+                    lines.insert(i, rest)
+                    n = len(lines)
                 continue
 
         if "|" in line and i + 1 < n and _is_delimiter(line, lines[i + 1]):

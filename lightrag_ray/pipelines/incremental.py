@@ -29,6 +29,42 @@ from lightrag_ray.pipelines.kg_build import BuildResult, build_kg
 from lightrag_ray.state import checkpoint as ckpt
 
 
+def _existing_custom_chunk_ids(out_dir: str, doc_key: str) -> set[str]:
+    """chunk_ids already written for ``doc_key`` by earlier completed
+    custom-chunk operations.  A second overlapping operation must not write
+    the same chunk_id into another ``custom-<op>`` partition — the re-reduce
+    would double-count its mentions (the reference's patch mode unions
+    chunks_list per chunk id instead, lightrag/lightrag.py:1846-2100)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    paths = ckpt.BuildPaths(root=out_dir)
+    manifest = paths.pages_manifest
+    ids: set[str] = set()
+    if not os.path.isdir(manifest):
+        return ids
+    for name in os.listdir(manifest):
+        if not (name.startswith("chunks-custom-") and name.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(manifest, name)) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if rec.get("doc_id") != doc_key:
+            continue
+        op = name[len("chunks-custom-"):-len(".json")]
+        part = os.path.join(out_dir, "chunks", f"custom-{op}")
+        for fn in glob.glob(os.path.join(part, "**", "*.parquet"),
+                            recursive=True):
+            ids.update(
+                pq.read_table(fn, columns=["chunk_id"])
+                .column("chunk_id").to_pylist()
+            )
+    return ids
+
+
 def _invalidate_merge_phases(out_dir: str) -> None:
     paths = ckpt.BuildPaths(root=out_dir)
     for unit, phase_dir in (
@@ -219,6 +255,15 @@ def insert_custom_chunks(
             entries.append((cid, text))
     if not entries:
         return None
+    # Anti-join against chunk_ids already landed by earlier custom operations
+    # for this doc: an overlapping chunk set is a patch — only NEW chunk_ids
+    # get a partition, so each chunk_id exists at most once across custom-*
+    # partitions and the re-reduce never double-counts mentions.
+    already = _existing_custom_chunk_ids(out_dir, doc_key)
+    entries = [(cid, t) for cid, t in entries if cid not in already]
+    if not entries:
+        # every chunk already present — ensure the graph phases are current
+        return build_kg(pages_paths, out_dir, cfg, num_partitions=num_partitions)
     op = compute_mdhash_id(
         f"{len(doc_key)}:{doc_key}:{'|'.join(cid for cid, _ in entries)}",
         prefix="op-",

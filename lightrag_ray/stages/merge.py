@@ -271,7 +271,12 @@ def _fast_list(col) -> list:
     """Arrow column → Python list via the numpy object path — ~8× faster
     than ``to_pylist`` for string columns on CPython 3.11 (measured 0.07 s
     vs 0.59 s per 524k rows).  Scalar columns only (a list-typed column
-    would surface numpy arrays instead of lists)."""
+    would surface numpy arrays instead of lists).  Columns with nulls take
+    the ``to_pylist`` path: the numpy route would coerce a nullable int
+    column to float64 (3 → 3.0, None → nan), silently changing partial-blob
+    value types and breaking canonicalization determinism."""
+    if col.null_count:
+        return col.to_pylist()
     return col.to_numpy(zero_copy_only=False).tolist()
 
 

@@ -239,3 +239,70 @@ def test_connected_components_shapes(ray_session):
         for r in connected_components(rd.from_arrow(chain), buckets=4).take_all()
     }
     assert set(labs.values()) == {100} and len(labs) == 21
+
+
+def test_connected_components_long_chain(ray_session):
+    """Diameter ≫ max_iters converges via pointer-doubling: a 150-hop chain
+    with max_iters=12 (≈ log₂ 150 + slack) must fully shortcut to label 0 —
+    pre-fix this silently returned unconverged labels (ADVICE r2)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lightrag_ray.extras.dedup import connected_components
+
+    chain = pa.table({"doc_a": list(range(150)), "doc_b": list(range(1, 151))})
+    out = connected_components(
+        rd.from_arrow(chain), buckets=4, max_iters=12
+    ).take_all()
+    assert len(out) == 151 and {r["label"] for r in out} == {0}
+
+
+def test_connected_components_raises_on_exhaustion(ray_session):
+    """max_iters too small to converge must raise, never return wrong ids."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from lightrag_ray.extras.dedup import connected_components
+
+    chain = pa.table({"doc_a": list(range(60)), "doc_b": list(range(1, 61))})
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(rd.from_arrow(chain), buckets=4, max_iters=2)
+
+
+def test_asof_join_null_handling(ray_session, tmp_path):
+    """Null ts rows are dropped on both sides and a NULL right-side value
+    joins as NULL (not NaN) — matching the SQL oracle where `r.t_us <= l.t_us`
+    is never true for NULL ts (ADVICE r2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lightrag_ray.extras.events import asof_join
+
+    t = lambda s: s * 1_000_000  # noqa: E731 — seconds → epoch-µs
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "ts": pa.array(
+                [t(10), t(20), None, t(30), t(40), None],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([7, 7, 7, 7, 7, 7], pa.int64()),
+            "event_type": [
+                "click", "click", "click", "purchase", "purchase", "purchase"
+            ],
+            "value": pa.array([1.5, None, 9.9, 0.0, 0.0, 0.0], pa.float64()),
+            "props": ["{}"] * 6,
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    out = (
+        asof_join(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # purchase 6 (null ts) dropped; click 3 (null ts) never matches
+    assert list(out["event_id"]) == [4, 5]
+    assert list(out["right_event_id"]) == [2, 2]  # latest click at/before
+    assert out["right_value"].isna().all()  # click 2 has NULL value → NULL

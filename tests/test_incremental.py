@@ -188,5 +188,36 @@ def test_insert_custom_chunks(corpus):
     nodes2, edges2 = _nodes_edges(out)
     assert nodes.equals(nodes2) and edges.equals(edges2)
 
+    # overlapping operation: the repeated chunk is anti-joined away, only the
+    # new chunk lands, and no chunk_id is ever duplicated across partitions
+    # (pre-fix the repeat landed again and the re-reduce double-counted its
+    # mentions, ADVICE r2)
+    def _edge_weight(edges, a, b):
+        m = edges[(edges.src_id == a) & (edges.tgt_id == b)]
+        return float(m.iloc[0]["weight"]) if len(m) else None
+
+    w_before = _edge_weight(edges, *sorted(["quixotry", "onyxish"]))
+    res3 = insert_custom_chunks(
+        out, files,
+        full_text="zebraic quixotry flambeau",
+        text_chunks=["zebraic quixotry flambeau onyxish", "glyphward zebraic"],
+        cfg=cfg, num_partitions=2,
+    )
+    assert res3 is not None
+    nodes3, edges3 = _nodes_edges(out)
+    assert "glyphward" in set(nodes3["entity_id"])
+    assert _edge_weight(edges3, *sorted(["quixotry", "onyxish"])) == w_before
+
+    import glob as _g
+
+    import pyarrow.parquet as _pq
+
+    cids: list[str] = []
+    for fn in _g.glob(f"{out}/chunks/custom-*/**/*.parquet", recursive=True):
+        cids += _pq.read_table(fn, columns=["chunk_id"]).column(
+            "chunk_id"
+        ).to_pylist()
+    assert len(cids) == len(set(cids)) and len(cids) == 3
+
     # all-empty chunk list is a no-op
     assert insert_custom_chunks(out, files, "x", ["", "  "], cfg=cfg) is None
