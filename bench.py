@@ -77,14 +77,17 @@ def synth_replicated_pages(num_files: int = 16) -> list[str]:
         )
 
     os.makedirs(out_dir, exist_ok=True)
-    ds = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    ds = rd.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
     ds.map_batches(replicate, batch_format="pyarrow", zero_copy_batch=True).repartition(
         num_files
     ).write_parquet(out_dir)
     return sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
 
 
-def run_headline() -> dict:
+def run_headline(eff_cpus: float | None = None) -> dict:
     import ray.data as rd
 
     from lightrag_ray.config import PipelineConfig
@@ -98,14 +101,19 @@ def run_headline() -> dict:
     build_dir = os.path.join(WORK, f"build-cpus{NUM_CPUS}")
     shutil.rmtree(build_dir, ignore_errors=True)
 
+    # Size pools from MEASURED sustained parallelism, not the nominal vCPU
+    # count: on a throttled shared-tenancy host (this one sustains ~12-18 of
+    # 32 nominal) pools sized to nominal oversubscribe and thrash (round-2
+    # VERDICT #1).  eff ≤ nominal, so the fixed pools always fit the session.
+    sized = NUM_CPUS if eff_cpus is None else max(3, min(NUM_CPUS, round(eff_cpus)))
     # fused phase runs BOTH pools at once: budget chunker + extractor + read
-    # tasks within NUM_CPUS or the executor deadlocks waiting for actors
-    chunker_pool = max(1, NUM_CPUS // 8)
-    extractor_pool = max(2, NUM_CPUS - 2 - chunker_pool)
+    # tasks within the sized budget or the executor deadlocks waiting for actors
+    chunker_pool = max(1, sized // 8)
+    extractor_pool = max(2, sized - 2 - chunker_pool)
     # shuffle knobs derived from cluster size (config.autoscaled), pools
     # budgeted explicitly for the fused phase
     cfg = PipelineConfig.autoscaled(
-        cluster_cpus=NUM_CPUS,
+        cluster_cpus=sized,
         chunker_concurrency=chunker_pool,
         extractor_concurrency=extractor_pool,
         chunker_batch_size=512,
@@ -132,6 +140,7 @@ def run_headline() -> dict:
         "docs_per_sec": round(n_pages / wall, 1),
         "n_nodes": n_nodes,
         "n_edges": n_edges,
+        "sized_cpus": sized,
     }
 
 
@@ -163,7 +172,10 @@ def main() -> None:
 
     DataContext.get_current().enable_progress_bars = False
 
-    headline = run_headline()
+    from lightrag_ray.probe import measure_effective_cpus
+
+    eff = measure_effective_cpus(NUM_CPUS)
+    headline = run_headline(eff)
     qtimes = run_queries()
     ray.shutdown()
 
@@ -176,6 +188,8 @@ def main() -> None:
                 "queries": {"kg_build": headline["kg_build_sec"], **qtimes},
                 "sf": os.path.basename(os.path.normpath(SF_DIR)),
                 "num_cpus": NUM_CPUS,
+                "effective_cpus": round(eff, 1),
+                "sized_cpus": headline["sized_cpus"],
                 "docs_per_sec": headline["docs_per_sec"],
                 "n_pages": headline["n_pages"],
                 "n_nodes": headline["n_nodes"],

@@ -156,6 +156,16 @@ def build_kg(
     # phase (reference-parity: text_chunks is persisted); with False the
     # whole path fuses into one streaming pass per partition.
     extract_text = make_extract_text_fn(cfg)
+    # Prune the pages scan to the columns extract_text actually reads: the
+    # schema carries BOTH html:binary and text:string (duplicate corpus
+    # bytes) but only cfg.text_source is used — at 100 TB reading both
+    # doubles the bytes through Parquet + the object store.
+    pages_columns = [
+        "url",
+        "warc_ts",
+        "html" if cfg.text_source == "html" else "text",
+        "lang",
+    ]
 
     def _chunked(source_ds):
         return source_ds.map_batches(
@@ -191,7 +201,9 @@ def build_kg(
                 paths,
                 unit,
                 paths.part_dir("chunks", k),
-                lambda files=files: _chunked(rd.read_parquet(files)),
+                lambda files=files: _chunked(
+                    rd.read_parquet(files, columns=pages_columns)
+                ),
                 resume,
                 extra={"phase": "chunks", "partition_id": k, "n_files_in": len(files)},
             )
@@ -225,7 +237,9 @@ def build_kg(
                 paths,
                 unit,
                 paths.part_dir("mentions", k),
-                lambda files=files: _extracted(_chunked(rd.read_parquet(files))),
+                lambda files=files: _extracted(
+                    _chunked(rd.read_parquet(files, columns=pages_columns))
+                ),
                 resume,
                 extra={"phase": "mentions_fused", "partition_id": k},
                 partition_cols=["kind"],
