@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable]:
         "langid": q_langid,  # rows-only (heuristic)
         "pchunk_stats": q_pchunk_stats,  # rows-only (P-chunk merge arithmetic; parity-tested)
         "dup_clusters": q_dup_clusters,
+        "dup_clusters_lsh": q_dup_clusters_lsh,  # rows-only (LSH-fed scale path; exact = dup_clusters)
     }
 
 
@@ -539,6 +540,28 @@ def q_dup_clusters(sf_dir: str):
     import pyarrow as pa
 
     pairs = dedup.ngram_jaccard_pairs(sf_dir, threshold=0.8)
+    comp = dedup.connected_components(pairs)
+    return comp.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("node"), "cluster_id": t.column("label")}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).sort("doc_id")
+
+
+def q_dup_clusters_lsh(sf_dir: str):
+    """Near-dup clustering, production scale path (round-2 VERDICT #4):
+    connected components over the BUCKETED MinHash-LSH candidate pair table
+    instead of the O(n²) exact-Jaccard graph.  Same output contract as
+    :func:`q_dup_clusters` (``cluster_id`` = min doc id in the component;
+    keep-one policy is ``doc_id == cluster_id``); rows-only in the driver
+    because MinHash similarity is an estimate — the exact graph stays the
+    oracle, and tests assert LSH-fed clusters equal exact-fed clusters on
+    the test corpus (recall 1.0 at the 0.8 threshold)."""
+    import pyarrow as pa
+
+    pairs = dedup.minhash_lsh_pairs(sf_dir, threshold=0.8)
     comp = dedup.connected_components(pairs)
     return comp.map_batches(
         lambda t: pa.table(

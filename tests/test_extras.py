@@ -306,3 +306,17 @@ def test_asof_join_null_handling(ray_session, tmp_path):
     assert list(out["event_id"]) == [4, 5]
     assert list(out["right_event_id"]) == [2, 2]  # latest click at/before
     assert out["right_value"].isna().all()  # click 2 has NULL value → NULL
+
+
+def test_dup_clusters_lsh_matches_exact(ray_session):
+    """Round-2 VERDICT #4: the production clustering path (connected
+    components over the BUCKETED MinHash-LSH pair table) must produce the
+    same clusters as the exact O(n²) n-gram-Jaccard graph on the oracle
+    corpus — recall 1.0 at the 0.8 threshold."""
+    exact = C.q_dup_clusters(SF_DIR).to_pandas()
+    lsh = C.q_dup_clusters_lsh(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(
+        exact.sort_values("doc_id").reset_index(drop=True),
+        lsh.sort_values("doc_id").reset_index(drop=True),
+        check_dtype=False,
+    )
