@@ -116,48 +116,56 @@ FROM w GROUP BY 1, 2
 SESSION_GAP_S = 1800
 
 
-def session_windows(sf_dir: str, gap_s: int = SESSION_GAP_S):
+def session_windows(sf_dir: str, gap_s: int = SESSION_GAP_S, buckets: int = 64):
     """Per-user session windows (gap-based): events more than ``gap_s``
-    apart start a new session.  One groupby(user) + in-group sort — session
-    state never crosses the per-user group, so the shuffle key is the only
-    coordination."""
+    apart start a new session.
+
+    Scale shape (round-2 VERDICT #5): users are hashed into ``buckets``
+    coarse groups so the shuffle produces O(buckets) map_groups calls, not
+    one per user (millions of tiny pandas groups at web scale).  Inside a
+    bucket the whole reduction is vectorized: one (user, t) sort, boundary
+    flags where the user changes or the gap exceeds ``gap_s``, then
+    ``np.add.reduceat`` / boundary indexing for the per-session aggregates —
+    no per-session Python loop.  Session state never crosses a user, and a
+    user never crosses a bucket, so the bucket key is the only coordination.
+    """
+    import numpy as np
     import pandas as pd
 
     def sessions(group: pd.DataFrame) -> pa.Table:
-        g = group.sort_values("t")
-        t = g["t"].to_numpy()
-        new_session = [True] + list((t[1:] - t[:-1]) > gap_s)
-        import numpy as np
-
-        session_idx = np.cumsum(new_session) - 1
-        out = {"user_id": [], "session_start": [], "session_end": [],
-               "n_events": [], "value_sum": []}
-        values = g["value"].to_numpy()
-        for s in range(session_idx.max() + 1):
-            m = session_idx == s
-            out["user_id"].append(int(g["user_id"].iloc[0]))
-            out["session_start"].append(int(t[m].min()))
-            out["session_end"].append(int(t[m].max()))
-            out["n_events"].append(int(m.sum()))
-            out["value_sum"].append(float(values[m].sum()))
+        g = group.sort_values(["user_id", "t"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["t"].to_numpy(np.int64)
+        v = g["value"].to_numpy(np.float64)
+        n = len(u)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) > gap_s)
+        starts = np.flatnonzero(new)
+        nexts = np.r_[starts[1:], n]
         return pa.table(
             {
-                "user_id": pa.array(out["user_id"], pa.int64()),
-                "session_start": pa.array(out["session_start"], pa.int64()),
-                "session_end": pa.array(out["session_end"], pa.int64()),
-                "n_events": pa.array(out["n_events"], pa.int64()),
-                "value_sum": pa.array(out["value_sum"], pa.float64()),
+                "user_id": pa.array(u[starts], pa.int64()),
+                "session_start": pa.array(t[starts], pa.int64()),
+                "session_end": pa.array(t[nexts - 1], pa.int64()),
+                "n_events": pa.array(nexts - starts, pa.int64()),
+                "value_sum": pa.array(np.add.reduceat(v, starts), pa.float64()),
             }
         )
 
-    def add_epoch(batch: pa.Table) -> pa.Table:
+    def add_epoch_bucket(batch: pa.Table) -> pa.Table:
+        from lightrag_ray.extras.dedup import _cc_bucket_of
+
         epoch = pc.divide(pc.cast(batch.column("ts"), pa.int64()), 1_000_000)
-        return batch.append_column("t", pc.cast(epoch, pa.int64()))
+        batch = batch.append_column("t", pc.cast(epoch, pa.int64()))
+        return batch.append_column(
+            "ub", _cc_bucket_of(batch.column("user_id").cast(pa.int64()), buckets)
+        )
 
     ds = _events(sf_dir, ["ts", "user_id", "value"]).map_batches(
-        add_epoch, batch_format="pyarrow", zero_copy_batch=True
+        add_epoch_bucket, batch_format="pyarrow", zero_copy_batch=True
     )
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return ds.groupby("ub").map_groups(sessions, batch_format="pandas")
 
 
 SQL_SESSION_WINDOWS = f"""

@@ -320,3 +320,22 @@ def test_dup_clusters_lsh_matches_exact(ray_session):
         lsh.sort_values("doc_id").reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_session_windows_bucket_invariant(ray_session):
+    """Round-2 VERDICT #5: sessions are computed per user inside coarse
+    user-hash buckets (O(buckets) group calls, not O(users)).  The result
+    must be invariant to the bucket count — buckets=1 forces EVERY user
+    through one vectorized group call, pinning the cross-user boundary
+    handling of the reduceat kernel."""
+    from lightrag_ray.extras import events as E
+
+    a = E.session_windows(SF_DIR, buckets=1).to_pandas()
+    b = E.session_windows(SF_DIR, buckets=64).to_pandas()
+    key = ["user_id", "session_start"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert a["user_id"].nunique() > 1  # buckets=1 really mixed users per call
