@@ -457,7 +457,7 @@ def queries() -> dict[str, Callable]:
         "minhash_lsh_pairs": q_minhash_lsh,  # rows-only (LSH is approximate)
         "embedding_lsh_pairs": q_embedding_lsh,  # rows-only (ANN; exact = embedding_near_dup)
         "knn_lsh_top10": q_knn_lsh,  # rows-only (ANN; exact = knn_top10)
-        "langid": q_langid,  # rows-only (heuristic)
+        "langid": q_langid,
         "pchunk_stats": q_pchunk_stats,  # rows-only (P-chunk merge arithmetic; parity-tested)
         "dup_clusters": q_dup_clusters,
         "dup_clusters_lsh": q_dup_clusters_lsh,  # rows-only (LSH-fed scale path; exact = dup_clusters)
@@ -481,6 +481,7 @@ def oracle_sql() -> dict[str, str]:
         "term_df_top100": SQL_TERM_DF_TOP100,
         "distinctive_terms": SQL_DISTINCTIVE_TERMS,
         "dup_clusters": SQL_DUP_CLUSTERS,
+        "langid": textstats.SQL_LANGID,
     }
 
 

@@ -2,8 +2,13 @@
 
 Language ID is a deterministic stopword/charset heuristic (no model):
 score = fraction of words in each language's closed stopword list, with a CJK
-charset override.  Rows-only checked (a heuristic has no SQL ground truth);
-the remaining token statistics live in pipelines/queries.py with full oracles.
+charset override.  The heuristic IS SQL-expressible (list membership + argmax
+with sorted tie-break), so ``SQL_LANGID`` below is generated from the same
+``_PROFILES`` dict — the stopword lists can never drift between engine and
+oracle.  Caveat: Python's ``\\w`` is Unicode while DuckDB's RE2 ``\\w`` is
+ASCII; the two agree on ASCII corpora (the driver's synthetic tables are pure
+ASCII — verified), and the CJK override handles the non-ASCII class the
+heuristic actually distinguishes.
 """
 
 from __future__ import annotations
@@ -36,7 +41,10 @@ def predict_lang(text: str) -> tuple[str, float]:
         score = sum(1 for w in words if w in _PROFILES[lang]) / len(words)
         if score > best:
             best_lang, best = lang, score
-    return best_lang, round(best, 4)
+    # Raw fraction, not round(best, 4): hits/total is the same IEEE-double
+    # division the SQL oracle performs, so both sides are bit-identical;
+    # a round() here would reintroduce banker's-vs-half-away divergence.
+    return best_lang, best
 
 
 def langid_batch(batch: pa.Table) -> pa.Table:
@@ -60,3 +68,46 @@ def langid(sf_dir: str):
     return rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     ).map_batches(langid_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_in(words: frozenset[str]) -> str:
+    return ", ".join(f"'{w}'" for w in sorted(words))
+
+
+# Generated from _PROFILES so the oracle's stopword lists are the engine's.
+# Argmax semantics mirror predict_lang exactly: strict `>` over langs in
+# sorted order == max count with ascending-lang tie-break, and the winner
+# must have count >= 1 (else 'und'); same denominator for every lang means
+# comparing raw counts is equivalent to comparing score fractions.
+SQL_LANGID = f"""
+WITH tot AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\w+')) AS n,
+         regexp_matches(text, '[一-龥]') AS is_cjk
+  FROM documents
+), w AS (
+  SELECT doc_id, lower(unnest(regexp_extract_all(text, '\\w+'))) AS w
+  FROM documents
+), cnt AS (
+  SELECT doc_id, lang, c FROM (
+    SELECT doc_id,
+           count(*) FILTER (WHERE w IN ({_sql_in(_PROFILES["de"])})) AS de,
+           count(*) FILTER (WHERE w IN ({_sql_in(_PROFILES["en"])})) AS en,
+           count(*) FILTER (WHERE w IN ({_sql_in(_PROFILES["es"])})) AS es,
+           count(*) FILTER (WHERE w IN ({_sql_in(_PROFILES["fr"])})) AS fr
+    FROM w GROUP BY doc_id
+  ) UNPIVOT (c FOR lang IN (de, en, es, fr))
+), best AS (
+  SELECT doc_id, lang, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang ASC) AS rk
+  FROM cnt
+)
+SELECT t.doc_id,
+       CASE WHEN t.is_cjk THEN 'zh'
+            WHEN b.c IS NULL OR b.c = 0 THEN 'und'
+            ELSE b.lang END AS lang_pred,
+       CASE WHEN t.is_cjk THEN 1.0
+            WHEN b.c IS NULL OR b.c = 0 THEN 0.0
+            ELSE b.c::DOUBLE / t.n END AS lang_score
+FROM tot t LEFT JOIN best b ON t.doc_id = b.doc_id AND b.rk = 1
+"""
