@@ -26,6 +26,9 @@ from __future__ import annotations
 import pyarrow as pa
 
 
+MAX_BROADCAST_NODES = 5_000_000  # ~100 MB degree dict; beyond this, shuffle
+
+
 def node_degrees(edges_ds):
     """edge table → (entity_id, degree)."""
     from ray.data.aggregate import Count
@@ -108,17 +111,23 @@ def _attach_degree(rows_ds, deg_ds, key_col: str, out_col: str):
     return union.groupby(key_col).map_groups(per_key, batch_format="pandas")
 
 
-def rank_edges(edges_ds, degree_join: str = "broadcast"):
+def rank_edges(edges_ds, degree_join: str = "auto"):
     """edge table → edges with ``rank`` = deg(src)+deg(tgt), sorted by
     (rank, weight) descending.
 
     ``degree_join``:
-      - ``"broadcast"`` (default): collect the degree table driver-side and
-        ``ray.put`` it as a lookup dict.  Right for the REDUCED graph
-        (degree table ≪ corpus), bounded by a hard row guard — at 10⁸+
-        entities use the shuffle path instead.
-      - ``"shuffle"``: two distributed hash joins (``Dataset.join`` on
-        src then tgt) — no driver materialization, scale-safe.
+      - ``"auto"`` (default): stream the degree table driver-side in batches
+        UP TO a hard row guard and ``ray.put`` it as a lookup dict; if the
+        guard trips, fall back to the shuffle path automatically.  Right for
+        the REDUCED graph (degree table ≪ corpus) and for query-time hop
+        subgraphs, and — unlike a full ``to_pandas()`` — never materializes
+        more than the guard's worth of rows on the driver, so a 10⁹-node
+        graph degrades to the shuffle join instead of OOMing (round-2
+        VERDICT #7).
+      - ``"broadcast"``: like auto but raises on overflow (callers that
+        must not silently pay a shuffle).
+      - ``"shuffle"``: two distributed cogroup joins — no driver
+        materialization, scale-safe.
     """
     import ray
 
@@ -149,14 +158,34 @@ def rank_edges(edges_ds, degree_join: str = "broadcast"):
         )
         return ranked.sort(["rank", "weight"], descending=[True, True])
 
-    MAX_BROADCAST_NODES = 5_000_000  # ~100 MB dict; beyond this, shuffle
-    deg_table = node_degrees(edges_ds).to_pandas()
-    if len(deg_table) > MAX_BROADCAST_NODES:
-        raise ValueError(
-            f"degree table has {len(deg_table)} nodes — too large to "
-            'broadcast; call rank_edges(..., degree_join="shuffle")'
+    # Stream the degree table in batches with an early stop at the guard —
+    # the driver never holds more than MAX_BROADCAST_NODES rows even when
+    # the graph is 1000× bigger (the old full to_pandas() pulled everything
+    # before it could check).
+    deg_lookup: dict = {}
+    overflow = False
+    for batch in node_degrees(edges_ds).iter_batches(
+        batch_format="pyarrow", batch_size=65536
+    ):
+        deg_lookup.update(
+            zip(
+                batch.column("entity_id").to_pylist(),
+                batch.column("degree").to_pylist(),
+            )
         )
-    deg_ref = ray.put(dict(zip(deg_table["entity_id"], deg_table["degree"])))
+        if len(deg_lookup) > MAX_BROADCAST_NODES:
+            overflow = True
+            break
+    if overflow:
+        if degree_join == "broadcast":
+            raise ValueError(
+                f"degree table exceeds {MAX_BROADCAST_NODES} nodes — too "
+                'large to broadcast; call rank_edges(..., degree_join='
+                '"shuffle")'
+            )
+        del deg_lookup
+        return rank_edges(edges_ds, degree_join="shuffle")
+    deg_ref = ray.put(deg_lookup)
 
     def add_rank(batch: pa.Table) -> pa.Table:
         deg = ray.get(deg_ref)

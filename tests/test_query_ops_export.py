@@ -186,3 +186,33 @@ def test_export_data_formats(ray_session, tmp_path):
 
     with _pytest.raises(ValueError):
         export_data(nodes, edges, str(tmp_path / "x.bad"), "bad")
+
+
+def test_rank_edges_auto_falls_back_on_guard(ray_session, monkeypatch):
+    """Round-2 VERDICT #7: the default arm must never hold more than the
+    guard's worth of degree rows on the driver — when the guard trips, auto
+    silently degrades to the shuffle join (same result), while an explicit
+    degree_join="broadcast" raises."""
+    import pytest
+    import ray.data as rd
+
+    from lightrag_ray.pipelines import query_ops
+
+    edges = rd.from_items(
+        [
+            {"src_id": "a", "tgt_id": "b", "weight": 2.0},
+            {"src_id": "b", "tgt_id": "c", "weight": 3.0},
+            {"src_id": "c", "tgt_id": "d", "weight": 1.0},
+        ]
+    )
+    cols = ["src_id", "tgt_id", "weight", "rank"]
+    normal = [
+        {k: r[k] for k in cols} for r in query_ops.rank_edges(edges).take_all()
+    ]
+    monkeypatch.setattr(query_ops, "MAX_BROADCAST_NODES", 1)
+    fallback = [
+        {k: r[k] for k in cols} for r in query_ops.rank_edges(edges).take_all()
+    ]
+    assert normal == fallback
+    with pytest.raises(ValueError, match="too large to broadcast"):
+        query_ops.rank_edges(edges, degree_join="broadcast").take_all()
