@@ -31,20 +31,28 @@ TIMED_QUERIES = ["doc_chunk_stats", "kg_nodes_simple", "exact_dedup", "knn_top10
                  "simhash", "minhash_lsh_pairs", "embedding_lsh_pairs"]
 
 
-def _pages_dir() -> str:
+def _pages_dir(k_lo: int = 0, k_hi: int | None = None) -> str:
     tag = os.path.basename(os.path.normpath(SF_DIR))
-    return os.path.join(WORK, f"pages-{tag}-x{REPLICATE}")
+    k_hi = REPLICATE if k_hi is None else k_hi
+    suffix = f"-x{REPLICATE}" if k_lo == 0 and k_hi == REPLICATE else f"-k{k_lo}-{k_hi}"
+    return os.path.join(WORK, f"pages-{tag}{suffix}")
 
 
-def synth_replicated_pages(num_files: int = 16) -> list[str]:
+def synth_replicated_pages(
+    num_files: int = 16, k_lo: int = 0, k_hi: int | None = None
+) -> list[str]:
     """Deterministic replicated pages corpus (idempotent across runs — also
-    serves as the warm-read for scaling comparisons)."""
+    serves as the warm-read for scaling comparisons).  ``k_lo``/``k_hi``
+    select the variant range: the default [0, REPLICATE) is the headline
+    corpus; a disjoint range synthesizes NEW pages (distinct urls/texts) for
+    the incremental leg."""
     import glob
 
     import pyarrow as pa
     import ray.data as rd
 
-    out_dir = _pages_dir()
+    k_hi = REPLICATE if k_hi is None else k_hi
+    out_dir = _pages_dir(k_lo, k_hi)
     existing = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
     if existing:
         return existing
@@ -58,7 +66,7 @@ def synth_replicated_pages(num_files: int = 16) -> list[str]:
         sources = batch.column("source").to_pylist()
         urls, tss, htmls, out_texts, out_langs = [], [], [], [], []
         for did, text, lang, src in zip(doc_ids, texts, langs, sources):
-            for k in range(REPLICATE):
+            for k in range(k_lo, k_hi):
                 urls.append(f"https://{src}.example.org/doc/{did:010d}/v{k:04d}")
                 tss.append(_EPOCH_US + (did * REPLICATE + k) * 1_000_000)
                 body = f"{text} variant{k:04d}"
@@ -144,6 +152,52 @@ def run_headline(eff_cpus: float | None = None) -> dict:
     }
 
 
+def run_incremental(eff_cpus: float | None = None) -> dict:
+    """Incremental update_kg leg (round-2 VERDICT #8): prior graph = the
+    headline build, delta = 10% NEW pages (disjoint variant range, distinct
+    urls).  Measures the already_* merge arm: only the delta's mentions are
+    extracted; the prior node/edge tables stream through the stored-partial
+    path."""
+    import ray.data as rd
+
+    from lightrag_ray.config import PipelineConfig
+    from lightrag_ray.pipelines.incremental import update_kg
+
+    delta_files = synth_replicated_pages(
+        num_files=4, k_lo=REPLICATE, k_hi=REPLICATE + max(1, REPLICATE // 10)
+    )
+    n_delta = sum(
+        __import__("pyarrow.parquet", fromlist=["x"]).read_metadata(f).num_rows
+        for f in delta_files
+    )
+    prior_dir = os.path.join(WORK, f"build-cpus{NUM_CPUS}")
+    out_dir = os.path.join(WORK, f"update-cpus{NUM_CPUS}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    sized = NUM_CPUS if eff_cpus is None else max(3, min(NUM_CPUS, round(eff_cpus)))
+    chunker_pool = max(1, sized // 8)
+    extractor_pool = max(2, sized - 2 - chunker_pool)
+    cfg = PipelineConfig.autoscaled(
+        cluster_cpus=sized,
+        chunker_concurrency=chunker_pool,
+        extractor_concurrency=extractor_pool,
+        chunker_batch_size=512,
+        extractor_batch_size=512,
+        merge_batch_size=524288,
+        write_chunks_table=False,
+        concurrent_reduces=False,
+    )
+    t0 = time.perf_counter()
+    result = update_kg(prior_dir, delta_files, out_dir, cfg, num_partitions=1)
+    wall = time.perf_counter() - t0
+    return {
+        "kg_update_sec": round(wall, 3),
+        "n_delta_pages": n_delta,
+        "delta_docs_per_sec": round(n_delta / wall, 1),
+        "n_nodes_after": rd.read_parquet(result.nodes_dir).count(),
+        "n_edges_after": rd.read_parquet(result.edges_dir).count(),
+    }
+
+
 def run_queries() -> dict:
     from lightrag_ray.extras import catalog as X
     from lightrag_ray.pipelines import queries as Q
@@ -176,6 +230,7 @@ def main() -> None:
 
     eff = measure_effective_cpus(NUM_CPUS)
     headline = run_headline(eff)
+    incr = run_incremental(eff)
     qtimes = run_queries()
     ray.shutdown()
 
@@ -185,12 +240,18 @@ def main() -> None:
                 "metric": "kg_construction_wall_seconds",
                 "value": headline["kg_build_sec"],
                 "unit": "sec",
-                "queries": {"kg_build": headline["kg_build_sec"], **qtimes},
+                "queries": {
+                    "kg_build": headline["kg_build_sec"],
+                    "kg_update_10pct": incr["kg_update_sec"],
+                    **qtimes,
+                },
                 "sf": os.path.basename(os.path.normpath(SF_DIR)),
                 "num_cpus": NUM_CPUS,
                 "effective_cpus": round(eff, 1),
                 "sized_cpus": headline["sized_cpus"],
                 "docs_per_sec": headline["docs_per_sec"],
+                "delta_docs_per_sec": incr["delta_docs_per_sec"],
+                "n_delta_pages": incr["n_delta_pages"],
                 "n_pages": headline["n_pages"],
                 "n_nodes": headline["n_nodes"],
                 "n_edges": headline["n_edges"],
