@@ -28,6 +28,7 @@ from dataclasses import dataclass
 import pyarrow as pa
 
 from lightrag_ray.config import PipelineConfig
+from lightrag_ray.constants import SOURCE_IDS_LIMIT_KEEP
 from lightrag_ray.stages.chunk import ChunkerStage
 from lightrag_ray.stages.endpoints import FINAL_NODES_COLUMNS, apply_endpoints
 from lightrag_ray.stages.extract import ExtractStage
@@ -140,6 +141,20 @@ def build_kg(
     DataContext.get_current().enable_progress_bars = False
 
     cfg = cfg or PipelineConfig()
+    if cfg.source_ids_limit_method != SOURCE_IDS_LIMIT_KEEP:
+        import warnings
+
+        # A FIFO tail-cap at the partial level is provably unsafe (refutation
+        # in stages/merge.py's module docstring), so FIFO partials carry the
+        # key's FULL source list through both shuffles.
+        warnings.warn(
+            "source_ids_limit_method=FIFO keeps UNCAPPED per-key source "
+            "lists in merge partials (the tail-cap is not associative — "
+            "see stages/merge.py). A planet-hot key's partials grow with "
+            "its mention count; the reference shares this limitation. "
+            "Use KEEP (the default) for bounded memory at scale.",
+            stacklevel=2,
+        )
     paths = ckpt.BuildPaths(root=out_dir)
     ckpt.ensure_dirs(paths)
 

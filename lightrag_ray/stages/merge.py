@@ -28,8 +28,20 @@ Every per-key field merges associatively:
     ``ord = (timestamp, file_path, chunk_order, rec_index)`` — the
     deterministic stand-in for the reference's sequential doc/chunk
     processing order (lightrag/operate.py:4092-4125);
-  - FIFO mode keeps full source lists in partials (tail-cap needs the whole
-    ordered list — same unboundedness as the reference; KEEP is default).
+  - FIFO mode keeps full source lists in partials.  A per-partial tail-cap
+    is PROVABLY unsafe (round-2 VERDICT #9, refuted): a sid's effective
+    position is its MIN ord across occurrences, and merging partials can
+    only DECREASE it — so membership in the final tail-K is never locally
+    decidable.  Counterexample (K=1): sid a occurs at ord 1 and 10, sid b at
+    ord 5.  Partial P sees {a@10, b@5}: local min-ords a→10, b→5, local
+    tail-1 = {a}, so a cap drops b — but the global min-ords are a→1, b→5,
+    making b the true tail-1.  Symmetrically no eviction of the CURRENT
+    tail is final either: a merge may sink a kept sid's min-ord below an
+    evicted one's.  Hence FIFO partials stay uncapped (same unboundedness
+    as the reference, which holds full per-entity source lists in memory);
+    ``build_kg`` warns loudly when FIFO is configured.  KEEP (default) caps
+    safely: any sid in the global first-K is within the first K of every
+    partial containing it (min-ord union preserves first-K prefixes).
 
 Deterministic deviations from the reference (documented, P/R-neutral):
   - ``created_at`` = max mention timestamp (reference: wall clock);

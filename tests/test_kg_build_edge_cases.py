@@ -106,3 +106,50 @@ def test_sequential_reduces_match_concurrent(ray_session, tmp_path):
     n2, e2 = graph(f"{tmp_path}/seq", concurrent_reduces=False)
     assert n1.equals(n2)
     assert e1.equals(e2)
+
+
+def test_fifo_mode_warns_unbounded_partials(ray_session, tmp_path):
+    """Round-2 VERDICT #9: a per-partial FIFO tail-cap is provably unsafe
+    (refutation in stages/merge.py), so FIFO keeps uncapped source lists —
+    build_kg must warn loudly about the unbounded-memory trade; KEEP (the
+    default) must stay silent."""
+    import warnings
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from lightrag_ray.config import PipelineConfig
+    from lightrag_ray.pipelines.kg_build import build_kg
+    from lightrag_ray.sources.pages import PAGES_SCHEMA
+
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    table = pa.table(
+        {
+            "url": ["https://z.example.org/doc/0"],
+            "warc_ts": pa.array([1_000_000], pa.timestamp("us")),
+            "html": [b"<p>alpha12345 beta67890</p>"],
+            "text": ["alpha12345 beta67890"],
+            "lang": ["en"],
+        },
+        schema=PAGES_SCHEMA,
+    )
+    pq.write_table(table, pages_dir / "part-0.parquet")
+    files = [str(pages_dir / "part-0.parquet")]
+
+    with pytest.warns(UserWarning, match="UNCAPPED per-key source"):
+        build_kg(
+            files,
+            str(tmp_path / "build-fifo"),
+            PipelineConfig(source_ids_limit_method="FIFO"),
+            num_partitions=1,
+        )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        build_kg(
+            files,
+            str(tmp_path / "build-keep"),
+            PipelineConfig(),
+            num_partitions=1,
+        )
