@@ -235,8 +235,11 @@ class LLMQueryEngine:
         cached = self.cache.get(key)
         if cached is not None:
             return QueryResult(answer=cached, context=context)
-        answer = remove_think_tags(
-            self.answer_model_fn(query, system_prompt, [])
-        )
-        self.cache.put(key, answer)
+        # capture the truncation marker BEFORE remove_think_tags rebuilds a
+        # plain str and drops it (reference lightrag/utils.py:4600-4604)
+        from lightrag_ray.functions.provider import is_truncated_response
+
+        raw = self.answer_model_fn(query, system_prompt, [])
+        answer = remove_think_tags(raw)
+        self.cache.put(key, answer, truncated=is_truncated_response(raw))
         return QueryResult(answer=answer, context=context)

@@ -115,7 +115,13 @@ class LLMCache:
 
 
 def cached_model_fn(model_fn, cache: LLMCache, llm_identity: dict | None = None):
-    """Wrap a ``(user, system, history) -> str`` model fn with the cache."""
+    """Wrap a ``(user, system, history) -> str`` model fn with the cache.
+
+    A reply carrying the :class:`functions.provider.TruncatedResponse`
+    marker is returned to the caller (parsing proceeds on the partial
+    payload) but never written to the cache — the reference's cache-write
+    guard, lightrag/utils.py:4602-4618."""
+    from lightrag_ray.functions.provider import is_truncated_response
 
     def wrapped(user_prompt: str, system_prompt: str | None, history: list[dict]):
         key = extraction_cache_key(user_prompt, system_prompt, history, llm_identity)
@@ -123,7 +129,7 @@ def cached_model_fn(model_fn, cache: LLMCache, llm_identity: dict | None = None)
         if hit is not None:
             return hit
         response = model_fn(user_prompt, system_prompt, history)
-        cache.put(key, response)
+        cache.put(key, response, truncated=is_truncated_response(response))
         return response
 
     return wrapped
