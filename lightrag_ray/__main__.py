@@ -30,6 +30,12 @@ def main(argv: list[str] | None = None) -> int:
     p_status = sub.add_parser("status", help="summarize a build manifest")
     p_status.add_argument("--out", required=True)
 
+    p_track = sub.add_parser(
+        "track", help="per-operation doc status (reference track_id surface): "
+        "no --id lists tracks; with --id prints the partition/doc summary")
+    p_track.add_argument("--out", required=True)
+    p_track.add_argument("--id", default=None, help="track id")
+
     p_query = sub.add_parser("query", help="retrieve context from a built graph")
     p_query.add_argument("--out", required=True)
     p_query.add_argument("--mode", default="hybrid",
@@ -75,6 +81,20 @@ def main(argv: list[str] | None = None) -> int:
         from lightrag_ray.state.checkpoint import build_status
 
         print(json.dumps(build_status(args.out), indent=2))
+        return 0
+
+    if args.cmd == "track":
+        from lightrag_ray.state import doc_status as DS
+
+        if args.id is None:
+            tracks = [
+                {"track_id": t["track_id"], "created_at": t["created_at"],
+                 "n_partitions": len(t["partitions"])}
+                for t in DS.list_tracks(args.out)
+            ]
+            print(json.dumps(tracks, indent=2))
+        else:
+            print(json.dumps(DS.track_status(args.out, args.id), indent=2))
         return 0
 
     import ray

@@ -57,6 +57,7 @@ class BuildResult:
     nodes_dir: str
     edges_dir: str
     lineage_path: str
+    track_id: str | None = None
 
 
 def _partition_files(files: list[str], num_partitions: int) -> list[list[str]]:
@@ -127,6 +128,7 @@ def build_kg(
     resume: bool = True,
     prior_nodes_dir: str | None = None,
     prior_edges_dir: str | None = None,
+    track_id: str | None = None,
 ) -> BuildResult:
     """Run (or resume) the full build.  Ray must already be initialized.
 
@@ -205,6 +207,16 @@ def build_kg(
         )
 
     digests = [_files_digest(files) for files in parts]
+
+    # track-id ops surface (reference lightrag.py:1804-1829): every
+    # invocation gets a track record; per-doc status derives from the unit
+    # markers (state/doc_status.py), never from a stored state machine.
+    from lightrag_ray.state import doc_status as track
+
+    if track_id is None:
+        track_id = track.generate_track_id("insert")
+    track.record_track(paths, track_id, parts, digests)
+
     any_part_ran = False
     if cfg.write_chunks_table:
         for k, files in enumerate(parts):
@@ -366,4 +378,5 @@ def build_kg(
         nodes_dir=nodes_dir,
         edges_dir=edges_dir,
         lineage_path=lineage_path,
+        track_id=track_id,
     )
