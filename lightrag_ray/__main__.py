@@ -55,7 +55,8 @@ def main(argv: list[str] | None = None) -> int:
     p_export.add_argument("--out", required=True)
     p_export.add_argument("--output", required=True, help="output file path")
     p_export.add_argument("--format", default="csv",
-                          choices=["csv", "excel", "md", "txt", "graphml"])
+                          choices=["csv", "excel", "md", "txt", "graphml",
+                                   "vectors"])
 
     p_merge = sub.add_parser("merge-entities", help="manual cross-name merge")
     p_merge.add_argument("--out", required=True)
@@ -161,12 +162,18 @@ def main(argv: list[str] | None = None) -> int:
 
             import ray.data as rd
 
-            from lightrag_ray.pipelines.export import export_data, write_graphml
+            from lightrag_ray.pipelines.export import (
+                export_data,
+                export_vector_upserts,
+                write_graphml,
+            )
 
             nodes = rd.read_parquet(os.path.join(args.out, "nodes"))
             edges = rd.read_parquet(os.path.join(args.out, "edges"))
             if args.format == "graphml":
                 write_graphml(nodes, edges, args.output)
+            elif args.format == "vectors":
+                export_vector_upserts(nodes, edges, args.output)
             else:
                 export_data(nodes, edges, args.output, args.format)
             print(json.dumps({"written": args.output, "format": args.format}))

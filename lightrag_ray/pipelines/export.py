@@ -263,3 +263,85 @@ def write_graphml(nodes_ds, edges_ds, path: str) -> None:
                     f.write(f'      <data key="de{i}">{escape(str(row[k]))}</data>\n')
                 f.write("    </edge>\n")
         f.write("  </graph>\n</graphml>\n")
+
+
+def export_vector_upserts(
+    nodes_ds,
+    edges_ds,
+    out_dir: str,
+    embedder_factory=None,
+    concurrency=(1, 4),
+    batch_size: int = 256,
+):
+    """Outbound bulk-upsert export for external vector stores.
+
+    The reference upserts entity/relation vectors directly into 13 storage
+    backends (lightrag/kg/: milvus, qdrant, faiss, …) whose clients are not
+    installable here; the portable equivalent is the bulk-load artifact
+    every one of those stores accepts: partitioned JSONL of
+    ``{"id", "vector", "payload": {...}}`` records — qdrant's upload format,
+    trivially mappable to a milvus insert or a faiss id/vector pair.
+
+    The content and id schemes are the SAME ones the query path embeds
+    (stages/embed.entity_vdb_rows / relation_vdb_rows), so an external store
+    loaded from this export answers the same nearest-neighbor queries as the
+    built-in vector_topk.  Streaming end to end: rows → embed actor pool →
+    ``write_json`` (one JSONL file per block; resumable partitioned output).
+    Returns the two output directories."""
+    import os
+
+    from lightrag_ray.stages.embed import (
+        HashEmbedder,
+        embed_table,
+        entity_vdb_rows,
+        relation_vdb_rows,
+    )
+
+    embedder_factory = embedder_factory or HashEmbedder
+
+    def _records(id_col: str, payload_cols: list[str]):
+        def to_records(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_pylist()
+            vecs = batch.column("embedding").to_pylist()
+            payload_lists = {c: batch.column(c).to_pylist() for c in payload_cols}
+            payloads = [
+                {c: payload_lists[c][i] for c in payload_cols}
+                for i in range(batch.num_rows)
+            ]
+            return pa.table(
+                {
+                    "id": pa.array(ids, pa.string()),
+                    "vector": pa.array(vecs, pa.list_(pa.float64())),
+                    "payload": pa.array(payloads),
+                }
+            )
+
+        return to_records
+
+    ent_dir = os.path.join(out_dir, "entities")
+    rel_dir = os.path.join(out_dir, "relationships")
+    embed_table(
+        nodes_ds.map_batches(
+            entity_vdb_rows, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        concurrency=concurrency,
+        batch_size=batch_size,
+        embedder_factory=embedder_factory,
+    ).map_batches(
+        _records("vdb_id", ["entity_name", "content"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).write_json(ent_dir)
+    embed_table(
+        edges_ds.map_batches(
+            relation_vdb_rows, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        concurrency=concurrency,
+        batch_size=batch_size,
+        embedder_factory=embedder_factory,
+    ).map_batches(
+        _records("vdb_id", ["src_id", "tgt_id", "content"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).write_json(rel_dir)
+    return ent_dir, rel_dir

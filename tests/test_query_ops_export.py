@@ -216,3 +216,50 @@ def test_rank_edges_auto_falls_back_on_guard(ray_session, monkeypatch):
     assert normal == fallback
     with pytest.raises(ValueError, match="too large to broadcast"):
         query_ops.rank_edges(edges, degree_join="broadcast").take_all()
+
+
+def test_export_vector_upserts(built, tmp_path):
+    """Outbound vector-store bulk export: JSONL records whose ids, contents
+    and vectors match the query path's own VDB build."""
+    import glob
+    import json
+
+    import numpy as np
+    import ray.data as rd
+
+    from lightrag_ray.pipelines.export import export_vector_upserts
+    from lightrag_ray.stages.embed import (
+        HashEmbedder,
+        entity_vdb_rows,
+    )
+
+    nodes, edges = built
+    ent_dir, rel_dir = export_vector_upserts(
+        nodes, edges, str(tmp_path / "vdb_export")
+    )
+    ent_records = []
+    for f in sorted(glob.glob(f"{ent_dir}/*.json")):
+        with open(f) as fh:
+            ent_records += [json.loads(line) for line in fh if line.strip()]
+    assert len(ent_records) == nodes.count()
+    by_id = {r["id"]: r for r in ent_records}
+
+    # ids + contents must be exactly the query path's VDB rows, and vectors
+    # must be the same deterministic embedding vector_topk would use
+    expected = nodes.map_batches(
+        entity_vdb_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    emb = HashEmbedder()
+    for row in expected:
+        rec = by_id[row["vdb_id"]]
+        assert rec["payload"]["content"] == row["content"]
+        np.testing.assert_allclose(
+            np.array(rec["vector"]), emb.embed([row["content"]])[0], atol=1e-9
+        )
+
+    rel_records = []
+    for f in sorted(glob.glob(f"{rel_dir}/*.json")):
+        with open(f) as fh:
+            rel_records += [json.loads(line) for line in fh if line.strip()]
+    assert len(rel_records) == edges.count()
+    assert {"src_id", "tgt_id", "content"} <= set(rel_records[0]["payload"])
