@@ -230,8 +230,15 @@ def main() -> None:
 
     eff = measure_effective_cpus(NUM_CPUS)
     headline = run_headline(eff)
-    incr = run_incremental(eff)
-    qtimes = run_queries()
+    # scaling legs compare ONLY the headline build; skip the incremental +
+    # query legs there so a 4-CPU leg doesn't pay an hour of extras
+    headline_only = os.environ.get("BENCH_HEADLINE_ONLY") == "1"
+    incr = (
+        {"kg_update_sec": None, "n_delta_pages": 0, "delta_docs_per_sec": None}
+        if headline_only
+        else run_incremental(eff)
+    )
+    qtimes = {} if headline_only else run_queries()
     ray.shutdown()
 
     print(
@@ -274,7 +281,7 @@ def scaling() -> None:
     hi_n = int(os.environ.get("BENCH_SCALE_HI", str(4 * lo_n)))
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
