@@ -279,6 +279,31 @@ def build_kg(
 
     mentions_glob = os.path.join(out_dir, "mentions")
 
+    def _read_sized(files_or_dir, target_block_bytes: int = 32 << 20):
+        """read_parquet with fan-out sized by ACTUAL bytes.
+
+        Ray's default read heuristic targets a minimum block COUNT, which
+        splits a tiny reduced-graph table into hundreds of near-empty blocks
+        — and the downstream sort pays per-block scheduling for every one
+        (measured: 40 s wall / 9 s remote compute for the endpoint
+        aggregation over an 8 KB-scale graph, 382 blocks).  Sizing the block
+        count as max(shuffle width, bytes/target) keeps full parallelism on
+        TB-scale inputs and collapses KB-scale ones to one block per shuffle
+        partition."""
+        files = (
+            sorted(
+                glob.glob(
+                    os.path.join(files_or_dir, "**", "*.parquet"), recursive=True
+                )
+            )
+            if isinstance(files_or_dir, str)
+            else list(files_or_dir)
+        )
+        n_bytes = sum(os.path.getsize(f) for f in files)
+        width = cfg.shuffle_partitions or 8
+        n_blocks = max(width, n_bytes // target_block_bytes)
+        return rd.read_parquet(files, override_num_blocks=int(n_blocks))
+
     def _read_mentions(kind: str):
         # mentions are hive-partitioned by kind: select the partition
         # directories directly — only that half of the table leaves storage
@@ -300,7 +325,7 @@ def build_kg(
                 [f for f in MENTIONS_SCHEMA if f.name != "kind"]
             )
             return rd.from_arrow(schema.empty_table())
-        return rd.read_parquet(files)
+        return _read_sized(files)
 
     # ---- Phases C1 + C2: entity/edge canonicalization (independent shuffles,
     # run concurrently so the two Dataset executions share the cluster)
@@ -309,7 +334,7 @@ def build_kg(
     from concurrent.futures import ThreadPoolExecutor
 
     def _prior(path):
-        return rd.read_parquet(path) if path else None
+        return _read_sized(path) if path else None
 
     from lightrag_ray.stages.merge import NODES_SCHEMA
 
@@ -362,7 +387,7 @@ def build_kg(
         "nodes",
         nodes_dir,
         lambda: apply_endpoints(
-            rd.read_parquet(nodes_pre_dir), rd.read_parquet(edges_dir), cfg
+            _read_sized(nodes_pre_dir), _read_sized(edges_dir), cfg
         ).select_columns(FINAL_NODES_COLUMNS),
         resume,
         extra={"phase": "nodes"},
