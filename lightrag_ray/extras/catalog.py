@@ -461,6 +461,8 @@ def queries() -> dict[str, Callable]:
         "pchunk_stats": q_pchunk_stats,  # rows-only (P-chunk merge arithmetic; parity-tested)
         "dup_clusters": q_dup_clusters,
         "dup_clusters_lsh": q_dup_clusters_lsh,  # rows-only (LSH-fed scale path; exact = dup_clusters)
+        "corpus_dedup": q_corpus_dedup,
+        "corpus_dedup_lsh": q_corpus_dedup_lsh,  # rows-only (LSH-fed; exact = corpus_dedup)
     }
 
 
@@ -481,6 +483,7 @@ def oracle_sql() -> dict[str, str]:
         "term_df_top100": SQL_TERM_DF_TOP100,
         "distinctive_terms": SQL_DISTINCTIVE_TERMS,
         "dup_clusters": SQL_DUP_CLUSTERS,
+        "corpus_dedup": SQL_CORPUS_DEDUP,
         "langid": textstats.SQL_LANGID,
     }
 
@@ -557,6 +560,68 @@ def q_pchunk_stats(sf_dir: str):
     )
 
 
+MAX_DROP_BROADCAST = 20_000_000  # ~160 MB id set; see q_corpus_dedup
+
+
+def _dedup_corpus(sf_dir: str, clusters_ds):
+    """documents minus non-canonical near-dup cluster members (keep-one
+    policy: the member with ``doc_id == cluster_id`` survives).
+
+    The drop set contains ONLY documents that appear in the near-dup pair
+    graph — a small fraction of a crawl corpus — so it broadcasts
+    (``ray.put`` once, read inside every filter task) and the corpus itself
+    streams through a stateless filter: no corpus shuffle.  A hard guard
+    bounds the broadcast (same precedent as q_distinctive_terms); beyond it,
+    salt-bucket both sides on hash(doc_id) and anti-join inside map_groups
+    instead of lifting the set to the driver."""
+    import os
+
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    drop: set[int] = set()
+    for b in clusters_ds.iter_batches(batch_format="pyarrow"):
+        for d, c in zip(
+            b.column("doc_id").to_pylist(), b.column("cluster_id").to_pylist()
+        ):
+            if d != c:
+                drop.add(d)
+        if len(drop) > MAX_DROP_BROADCAST:
+            raise ValueError(
+                f"duplicate set exceeds {MAX_DROP_BROADCAST} ids — use a "
+                "bucketed anti-join instead of the broadcast filter"
+            )
+    drop_ref = ray.put(frozenset(drop))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        dropped = _ray.get(drop_ref)
+        ids = batch.column("doc_id").to_pylist()
+        return batch.filter(pa.array([i not in dropped for i in ids]))
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    ).map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_corpus_dedup(sf_dir: str):
+    """End-to-end fuzzy corpus dedup, exact arm (the oracle corpus flow):
+    exact 3-gram-Jaccard pairs → connected components → keep the canonical
+    member per cluster → filtered corpus.  Output = the surviving
+    (doc_id, lang) rows."""
+    return _dedup_corpus(sf_dir, q_dup_clusters(sf_dir))
+
+
+def q_corpus_dedup_lsh(sf_dir: str):
+    """End-to-end fuzzy corpus dedup, production scale path: MinHash-LSH
+    candidate pairs (bucketed, no O(n²)) → connected components → keep-one →
+    streamed corpus filter.  Rows-only in the driver (LSH estimates
+    similarity); tests assert it equals the exact arm on the test corpus."""
+    return _dedup_corpus(sf_dir, q_dup_clusters_lsh(sf_dir))
+
+
 def q_dup_clusters(sf_dir: str):
     """Near-dup document clustering: connected components over the exact
     n-gram-Jaccard pair graph (threshold 0.8).  ``cluster_id`` = min doc id
@@ -597,7 +662,10 @@ def q_dup_clusters_lsh(sf_dir: str):
     ).sort("doc_id")
 
 
-SQL_DUP_CLUSTERS = r"""
+# shared recursive-CTE prefix: exact 3-gram Jaccard pair graph (threshold
+# 0.8) → connected components — the oracle for BOTH the cluster table and
+# the corpus-dedup projection (one string so they can never drift)
+_SQL_CC_PREFIX = r"""
 WITH RECURSIVE s AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(length(text) - 2, 0) + 1),
@@ -619,7 +687,18 @@ cc(node, label) AS (
   SELECT node, node FROM (SELECT DISTINCT node FROM adj)
   UNION
   SELECT adj.node, cc.label FROM cc JOIN adj ON adj.nbr = cc.node
+),
+clusters AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node
 )
-SELECT node AS doc_id, min(label) AS cluster_id
-FROM cc GROUP BY node ORDER BY doc_id
+"""
+
+SQL_DUP_CLUSTERS = _SQL_CC_PREFIX + r"""
+SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id
+"""
+
+SQL_CORPUS_DEDUP = _SQL_CC_PREFIX + r"""
+SELECT d.doc_id, d.lang
+FROM documents d LEFT JOIN clusters c USING (doc_id)
+WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
 """

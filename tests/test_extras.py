@@ -339,3 +339,21 @@ def test_session_windows_bucket_invariant(ray_session):
         check_dtype=False,
     )
     assert a["user_id"].nunique() > 1  # buckets=1 really mixed users per call
+
+
+def test_corpus_dedup_oracle_and_lsh_agreement(ray_session, con):
+    """End-to-end fuzzy dedup: the exact arm must match its recursive-CTE
+    oracle, the LSH-fed arm must produce the identical surviving corpus, and
+    every surviving cluster representative must be the min doc_id."""
+    exact = _normalize(C.q_corpus_dedup(SF_DIR).to_pandas())
+    oracle = _normalize(con.execute(C.SQL_CORPUS_DEDUP).fetchdf())
+    pd.testing.assert_frame_equal(exact, oracle, check_dtype=False)
+
+    lsh = _normalize(C.q_corpus_dedup_lsh(SF_DIR).to_pandas())
+    pd.testing.assert_frame_equal(exact, lsh, check_dtype=False)
+
+    clusters = C.q_dup_clusters(SF_DIR).to_pandas()
+    dupes = set(clusters.loc[clusters.doc_id != clusters.cluster_id, "doc_id"])
+    survivors = set(exact["doc_id"])
+    assert dupes.isdisjoint(survivors)
+    assert set(clusters["cluster_id"]) <= survivors
