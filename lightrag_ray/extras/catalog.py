@@ -176,6 +176,14 @@ def q_knn_lsh(sf_dir: str):
     return dedup.knn_lsh_topk(sf_dir, k=10)
 
 
+def q_knn_ivf(sf_dir: str):
+    return dedup.knn_ivf_topk(sf_dir, k=10, nprobe=4)
+
+
+def q_ivf_assignments(sf_dir: str):
+    return dedup.ivf_assignments(sf_dir)
+
+
 def q_langid(sf_dir: str):
     return textstats.langid(sf_dir)
 
@@ -457,6 +465,8 @@ def queries() -> dict[str, Callable]:
         "minhash_lsh_pairs": q_minhash_lsh,  # rows-only (LSH is approximate)
         "embedding_lsh_pairs": q_embedding_lsh,  # rows-only (ANN; exact = embedding_near_dup)
         "knn_lsh_top10": q_knn_lsh,  # rows-only (ANN; exact = knn_top10)
+        "knn_ivf_top10": q_knn_ivf,  # rows-only (IVF ANN; exact = knn_top10)
+        "ivf_assignments": q_ivf_assignments,  # rows-only (k-means quantizer)
         "langid": q_langid,
         "pchunk_stats": q_pchunk_stats,  # rows-only (P-chunk merge arithmetic; parity-tested)
         "dup_clusters": q_dup_clusters,

@@ -357,3 +357,24 @@ def test_corpus_dedup_oracle_and_lsh_agreement(ray_session, con):
     survivors = set(exact["doc_id"])
     assert dupes.isdisjoint(survivors)
     assert set(clusters["cluster_id"]) <= survivors
+
+
+def test_ivf_ann_recall_and_exactness(ray_session):
+    """IVF ANN: full-probe equals brute force exactly; recall is monotone in
+    nprobe; the quantizer covers all lists and assignments are total."""
+    from lightrag_ray.extras.dedup import ivf_assignments, knn_ivf_topk
+    from lightrag_ray.pipelines.queries import queries as Q
+
+    brute = Q()["knn_top10"](SF_DIR).to_pandas()["vec_id"].tolist()
+    full = [r["vec_id"] for r in knn_ivf_topk(SF_DIR, nprobe=16).take_all()]
+    assert full == brute  # nprobe = n_lists ⇒ exact
+
+    recalls = []
+    for nprobe in (2, 8, 16):
+        got = {r["vec_id"] for r in knn_ivf_topk(SF_DIR, nprobe=nprobe).take_all()}
+        recalls.append(len(got & set(brute)) / len(brute))
+    assert recalls[0] <= recalls[1] <= recalls[2] == 1.0
+
+    a = ivf_assignments(SF_DIR).to_pandas()
+    assert len(a) == 500 and a["vec_id"].is_unique
+    assert a["list_id"].between(0, 15).all()
