@@ -473,6 +473,7 @@ def queries() -> dict[str, Callable]:
         "dup_clusters_lsh": q_dup_clusters_lsh,  # rows-only (LSH-fed scale path; exact = dup_clusters)
         "corpus_dedup": q_corpus_dedup,
         "corpus_dedup_lsh": q_corpus_dedup_lsh,  # rows-only (LSH-fed; exact = corpus_dedup)
+        "curated_corpus": q_curated_corpus,
     }
 
 
@@ -494,6 +495,7 @@ def oracle_sql() -> dict[str, str]:
         "distinctive_terms": SQL_DISTINCTIVE_TERMS,
         "dup_clusters": SQL_DUP_CLUSTERS,
         "corpus_dedup": SQL_CORPUS_DEDUP,
+        "curated_corpus": _sql_curated_corpus(),
         "langid": textstats.SQL_LANGID,
     }
 
@@ -632,6 +634,97 @@ def q_corpus_dedup_lsh(sf_dir: str):
     return _dedup_corpus(sf_dir, q_dup_clusters_lsh(sf_dir))
 
 
+CURATE_MIN_WORDS = 30
+CURATE_MIN_UNIQ_RATIO = 0.35
+
+
+def q_curated_corpus(sf_dir: str):
+    """End-to-end training-data curation: quality gate (word count +
+    uniq-word ratio) ∧ language gate (known predicted language) ∧ near-dup
+    gate (cluster-canonical only) → curated corpus rows
+    (doc_id, lang_pred, n_words).
+
+    One streamed pass computes the per-doc gates (langid + quality share the
+    same word split); only the near-dup drop set (pair-graph members —
+    small) is driver-materialized, exactly as in q_corpus_dedup.  Every gate
+    is individually oracled (langid / text_quality / dup_clusters), and the
+    composition has its own spliced-CTE oracle below."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from lightrag_ray.extras.textstats import _WORD_RE, predict_lang
+
+    clusters = q_dup_clusters(sf_dir)
+    drop: set[int] = set()
+    for b in clusters.iter_batches(batch_format="pyarrow"):
+        for d, c in zip(
+            b.column("doc_id").to_pylist(), b.column("cluster_id").to_pylist()
+        ):
+            if d != c:
+                drop.add(d)
+    drop_ref = ray.put(frozenset(drop))
+
+    def curate(batch: pa.Table) -> pa.Table:
+        import pyarrow as pa  # noqa: F811 — worker-side
+
+        dropped = ray.get(drop_ref)
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        keep_ids, keep_langs, keep_words = [], [], []
+        for doc_id, text in zip(ids, texts):
+            if doc_id in dropped:
+                continue
+            words = _WORD_RE.findall(text or "")
+            n = len(words)
+            if n < CURATE_MIN_WORDS:
+                continue
+            if len(set(words)) / n < CURATE_MIN_UNIQ_RATIO:
+                continue
+            lang, _ = predict_lang(text or "")
+            if lang == "und":
+                continue
+            keep_ids.append(doc_id)
+            keep_langs.append(lang)
+            keep_words.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(keep_ids, pa.int64()),
+                "lang_pred": pa.array(keep_langs, pa.string()),
+                "n_words": pa.array(keep_words, pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(curate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_curated_corpus() -> str:
+    from lightrag_ray.extras.textstats import SQL_LANGID_CTES
+
+    return (
+        "WITH RECURSIVE " + _SQL_CC_CTES + ", " + SQL_LANGID_CTES + f""",
+qual AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\w+')) AS n_words,
+         len(list_distinct(regexp_extract_all(text, '\\w+'))) AS n_uniq
+  FROM documents
+)
+SELECT d.doc_id, l.lang_pred, q.n_words
+FROM documents d
+JOIN langpred l USING (doc_id)
+JOIN qual q USING (doc_id)
+LEFT JOIN clusters c USING (doc_id)
+WHERE (c.doc_id IS NULL OR c.cluster_id = d.doc_id)
+  AND q.n_words >= {CURATE_MIN_WORDS}
+  AND q.n_uniq::DOUBLE / q.n_words >= {CURATE_MIN_UNIQ_RATIO}
+  AND l.lang_pred <> 'und'
+"""
+    )
+
+
 def q_dup_clusters(sf_dir: str):
     """Near-dup document clustering: connected components over the exact
     n-gram-Jaccard pair graph (threshold 0.8).  ``cluster_id`` = min doc id
@@ -672,11 +765,11 @@ def q_dup_clusters_lsh(sf_dir: str):
     ).sort("doc_id")
 
 
-# shared recursive-CTE prefix: exact 3-gram Jaccard pair graph (threshold
-# 0.8) → connected components — the oracle for BOTH the cluster table and
-# the corpus-dedup projection (one string so they can never drift)
-_SQL_CC_PREFIX = r"""
-WITH RECURSIVE s AS (
+# shared recursive-CTE body: exact 3-gram Jaccard pair graph (threshold
+# 0.8) → connected components — the oracle for the cluster table, the
+# corpus-dedup projection, and the curated-corpus composition (one string
+# so they can never drift)
+_SQL_CC_CTES = r"""s AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(length(text) - 2, 0) + 1),
                                       i -> substr(text, i::INT, 3))) AS sh
@@ -703,11 +796,11 @@ clusters AS (
 )
 """
 
-SQL_DUP_CLUSTERS = _SQL_CC_PREFIX + r"""
+SQL_DUP_CLUSTERS = "WITH RECURSIVE " + _SQL_CC_CTES + r"""
 SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id
 """
 
-SQL_CORPUS_DEDUP = _SQL_CC_PREFIX + r"""
+SQL_CORPUS_DEDUP = "WITH RECURSIVE " + _SQL_CC_CTES + r"""
 SELECT d.doc_id, d.lang
 FROM documents d LEFT JOIN clusters c USING (doc_id)
 WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id

@@ -79,8 +79,10 @@ def _sql_in(words: frozenset[str]) -> str:
 # sorted order == max count with ascending-lang tie-break, and the winner
 # must have count >= 1 (else 'und'); same denominator for every lang means
 # comparing raw counts is equivalent to comparing score fractions.
-SQL_LANGID = f"""
-WITH tot AS (
+# Exposed as bare CTEs (no WITH) so composite oracles (q_curated_corpus)
+# can splice the same logic instead of duplicating it.
+SQL_LANGID_CTES = f"""
+tot AS (
   SELECT doc_id,
          len(regexp_extract_all(text, '\\w+')) AS n,
          regexp_matches(text, '[一-龥]') AS is_cjk
@@ -101,13 +103,19 @@ WITH tot AS (
   SELECT doc_id, lang, c,
          row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang ASC) AS rk
   FROM cnt
+), langpred AS (
+  SELECT t.doc_id,
+         CASE WHEN t.is_cjk THEN 'zh'
+              WHEN b.c IS NULL OR b.c = 0 THEN 'und'
+              ELSE b.lang END AS lang_pred,
+         CASE WHEN t.is_cjk THEN 1.0
+              WHEN b.c IS NULL OR b.c = 0 THEN 0.0
+              ELSE b.c::DOUBLE / t.n END AS lang_score
+  FROM tot t LEFT JOIN best b ON t.doc_id = b.doc_id AND b.rk = 1
 )
-SELECT t.doc_id,
-       CASE WHEN t.is_cjk THEN 'zh'
-            WHEN b.c IS NULL OR b.c = 0 THEN 'und'
-            ELSE b.lang END AS lang_pred,
-       CASE WHEN t.is_cjk THEN 1.0
-            WHEN b.c IS NULL OR b.c = 0 THEN 0.0
-            ELSE b.c::DOUBLE / t.n END AS lang_score
-FROM tot t LEFT JOIN best b ON t.doc_id = b.doc_id AND b.rk = 1
 """
+
+SQL_LANGID = (
+    "WITH " + SQL_LANGID_CTES
+    + "\nSELECT doc_id, lang_pred, lang_score FROM langpred"
+)
