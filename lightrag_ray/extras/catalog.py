@@ -381,20 +381,27 @@ def q_distinctive_terms(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    df_tbl = (
+    MAX_BROADCAST_VOCAB = 5_000_000  # ~100 MB dict; web-scale corpora with
+    # larger vocabularies need a hash-partitioned (term) shuffle join instead.
+    # Streamed with an early stop so the driver never holds more than the
+    # guard's worth of rows (same fix as rank_edges, round-2 VERDICT #7).
+    df_lookup: dict = {}
+    for b in (
         docs.map_batches(partial_df, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("term")
         .aggregate(Sum("df", alias_name="df"))
-        .to_pandas()
-    )
-    n_docs = docs.count()
-    MAX_BROADCAST_VOCAB = 5_000_000  # ~100 MB dict; web-scale corpora with
-    # larger vocabularies need a hash-partitioned (term) shuffle join instead
-    if len(df_tbl) > MAX_BROADCAST_VOCAB:
-        raise ValueError(
-            f"vocabulary has {len(df_tbl)} terms — too large to broadcast"
+        .iter_batches(batch_format="pyarrow", batch_size=65536)
+    ):
+        df_lookup.update(
+            zip(b.column("term").to_pylist(), b.column("df").to_pylist())
         )
-    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"])))
+        if len(df_lookup) > MAX_BROADCAST_VOCAB:
+            raise ValueError(
+                f"vocabulary exceeds {MAX_BROADCAST_VOCAB} terms — too "
+                "large to broadcast"
+            )
+    n_docs = docs.count()
+    df_ref = ray.put(df_lookup)
 
     def score(batch: pa.Table) -> pa.Table:
         df = ray.get(df_ref)
