@@ -218,7 +218,10 @@ FROM events GROUP BY event_type
 
 
 def asof_join(
-    sf_dir: str, left_type: str = "purchase", right_type: str = "click"
+    sf_dir: str,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    buckets: int = 64,
 ):
     """Temporal as-of join: each ``left_type`` event is joined to the most
     recent ``right_type`` event by the same user at-or-before its timestamp
@@ -226,43 +229,54 @@ def asof_join(
     deterministic; left rows with no prior right event are dropped).
 
     Ray Data has no native as-of join; the scale shape is ONE hash shuffle
-    on the join key (``groupby(user_id)``) + an in-group sort and linear
-    two-pointer sweep — per-group cost is O(n log n), no per-row lookups,
-    no row-pair explosion (the SQL oracle's inequality join is O(n²) per
-    user and exists only as the correctness statement).  Timestamps flow as
-    epoch-µs int64 throughout."""
+    on coarse user buckets (O(buckets) map_groups calls, not one tiny
+    pandas group per user — same rationale as ``session_windows``) + an
+    in-bucket sort and a per-user vectorized ``searchsorted`` sweep: rhs is
+    sorted by (t, event_id), so ``searchsorted(right)-1`` lands on the last
+    right event at-or-before each left timestamp with the highest event_id
+    on ties.  Python work is O(users-in-bucket) slicing, never per event.
+    The SQL oracle's inequality join is O(n²) per user and exists only as
+    the correctness statement.  Timestamps flow as epoch-µs int64."""
+    import numpy as np
     import pandas as pd
 
     def sweep(group: pd.DataFrame) -> pa.Table:
-        lhs = group[group["event_type"] == left_type].sort_values(
-            ["t_us", "event_id"]
-        )
-        rhs = group[group["event_type"] == right_type].sort_values(
-            ["t_us", "event_id"]
-        )
+        g = group.sort_values(["user_id", "t_us", "event_id"], kind="mergesort")
+        is_l = (g["event_type"] == left_type).to_numpy()
+        is_r = (g["event_type"] == right_type).to_numpy()
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["t_us"].to_numpy(np.int64)
+        ev = g["event_id"].to_numpy(np.int64)
+        val = g["value"].to_numpy(np.float64)
+        ok = g["v_ok"].to_numpy(bool)
+
         out = {k: [] for k in ("event_id", "user_id", "t_us",
                                "right_event_id", "right_t_us", "right_value")}
-        r_t = rhs["t_us"].to_numpy()
-        r_id = rhs["event_id"].to_numpy()
-        r_val = rhs["value"].to_numpy()
-        r_ok = rhs["v_ok"].to_numpy()
-        j = -1
-        for ev, uid, t in zip(
-            lhs["event_id"].to_numpy(),
-            lhs["user_id"].to_numpy(),
-            lhs["t_us"].to_numpy(),
-        ):
-            while j + 1 < len(r_t) and r_t[j + 1] <= t:
-                j += 1
-            if j >= 0:
-                out["event_id"].append(int(ev))
-                out["user_id"].append(int(uid))
-                out["t_us"].append(int(t))
-                out["right_event_id"].append(int(r_id[j]))
-                out["right_t_us"].append(int(r_t[j]))
-                out["right_value"].append(
-                    float(r_val[j]) if r_ok[j] else None
-                )
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) if n else []
+        bounds = list(starts) + [n]
+        for gi in range(len(bounds) - 1):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            l_m = is_l[lo:hi]
+            r_m = is_r[lo:hi]
+            if not l_m.any() or not r_m.any():
+                continue
+            l_t, l_ev = t[lo:hi][l_m], ev[lo:hi][l_m]
+            r_t, r_ev = t[lo:hi][r_m], ev[lo:hi][r_m]
+            r_val, r_ok = val[lo:hi][r_m], ok[lo:hi][r_m]
+            idx = np.searchsorted(r_t, l_t, side="right") - 1
+            hit = idx >= 0
+            if not hit.any():
+                continue
+            k = idx[hit]
+            out["event_id"].extend(l_ev[hit].tolist())
+            out["user_id"].extend([int(u[lo])] * int(hit.sum()))
+            out["t_us"].extend(l_t[hit].tolist())
+            out["right_event_id"].extend(r_ev[k].tolist())
+            out["right_t_us"].extend(r_t[k].tolist())
+            out["right_value"].extend(
+                float(v) if o else None for v, o in zip(r_val[k], r_ok[k])
+            )
         return pa.table(
             {
                 "event_id": pa.array(out["event_id"], pa.int64()),
@@ -289,16 +303,22 @@ def asof_join(
         batch = batch.filter(keep)
         t_us = pc.cast(batch.column("ts"), pa.int64())
         v_ok = pc.is_valid(batch.column("value"))
+        from lightrag_ray.extras.dedup import _cc_bucket_of
+
         return (
             batch.drop_columns(["ts"])
             .append_column("t_us", t_us)
             .append_column("v_ok", v_ok)
+            .append_column(
+                "ub",
+                _cc_bucket_of(batch.column("user_id").cast(pa.int64()), buckets),
+            )
         )
 
     ds = _events(
         sf_dir, ["event_id", "ts", "user_id", "event_type", "value"]
     ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-    return ds.groupby("user_id").map_groups(sweep, batch_format="pandas")
+    return ds.groupby("ub").map_groups(sweep, batch_format="pandas")
 
 
 SQL_ASOF_JOIN = """

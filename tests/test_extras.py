@@ -378,3 +378,19 @@ def test_ivf_ann_recall_and_exactness(ray_session):
     a = ivf_assignments(SF_DIR).to_pandas()
     assert len(a) == 500 and a["vec_id"].is_unique
     assert a["list_id"].between(0, 15).all()
+
+
+def test_asof_join_bucket_invariant(ray_session):
+    """asof_join groups by coarse user buckets; buckets=1 forces every user
+    through ONE vectorized sweep call, pinning cross-user boundary handling
+    of the per-user searchsorted kernel."""
+    from lightrag_ray.extras import events as E
+
+    a = E.asof_join(SF_DIR, buckets=1).to_pandas()
+    b = E.asof_join(SF_DIR, buckets=64).to_pandas()
+    key = ["event_id"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
