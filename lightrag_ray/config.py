@@ -152,7 +152,12 @@ class PipelineConfig:
         if nominal_cpus is None:
             nominal_cpus = int(ray.cluster_resources().get("CPU", 8))
         eff = measure_effective_cpus(nominal_cpus)
-        sized = max(2, min(nominal_cpus, round(eff)))
+        # ceil, not round: the probe's residual bias is downward, and
+        # undersizing starves the cluster (a healthy host must size to
+        # nominal)
+        import math
+
+        sized = max(2, min(nominal_cpus, math.ceil(eff)))
         knobs = dict(cluster_cpus=sized)
         if eff < 0.7 * nominal_cpus:
             knobs["concurrent_reduces"] = False

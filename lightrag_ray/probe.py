@@ -55,10 +55,18 @@ def measure_effective_cpus(
     nominal = max(1, int(nominal))
     spin = ray.remote(num_cpus=1)(_spin)
     ray.get([spin.remote(0.05) for _ in range(nominal)])  # warm-up
+    # Dispatch-overhead calibration: a single task's wall minus its busy time
+    # is pure submit/fetch latency.  Without subtracting it, busy/wall
+    # UNDERESTIMATES a healthy host by 10-25% (more at higher widths), and a
+    # pool sized from that starves the cluster it meant to protect — measured
+    # as a 16-CPU bench leg sized to ~13 and a 0.53 scaling ratio vs 0.89.
+    t0 = time.perf_counter()
+    ray.get(spin.remote(task_secs))
+    overhead = max(0.0, (time.perf_counter() - t0) - task_secs)
     best = 1.0
     for _ in range(max(1, rounds)):
         t0 = time.perf_counter()
         busy = sum(ray.get([spin.remote(task_secs) for _ in range(nominal)]))
-        wall = time.perf_counter() - t0
+        wall = max(task_secs, time.perf_counter() - t0 - overhead)
         best = max(best, min(float(nominal), busy / wall))
     return best
