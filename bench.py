@@ -280,9 +280,17 @@ def scaling() -> None:
     effective-core ceiling; the ratio is still 4×."""
     lo_n = int(os.environ.get("BENCH_SCALE_LO", "4"))
     hi_n = int(os.environ.get("BENCH_SCALE_HI", str(4 * lo_n)))
+    # Scaling legs default to a 600k-page corpus (REPLICATE=120): the
+    # criterion is a RATIO at two widths on the same input, and on this
+    # burstable host legs long enough to deplete CPU credits measure the
+    # hypervisor's credit curve, not the engine (observed: 0.99 on short
+    # legs, 0.53-0.74 on 2.4M-page legs as the lo/hi legs hit different
+    # credit states).  Override with $BENCH_SCALE_REPLICATE.
+    scale_rep = os.environ.get("BENCH_SCALE_REPLICATE", "120")
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1",
+                   BENCH_REPLICATE=scale_rep)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
