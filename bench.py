@@ -315,6 +315,11 @@ def scaling() -> None:
                 "cpus": [lo_n, hi_n],
                 "scaling_efficiency": round(eff, 3),
                 "n_pages": lo["n_pages"],
+                # per-leg host state, for attributing a bad ratio to the
+                # burstable host's credit curve vs the engine
+                "effective_cpus": [lo.get("effective_cpus"),
+                                   hi.get("effective_cpus")],
+                "sized_cpus": [lo.get("sized_cpus"), hi.get("sized_cpus")],
             }
         )
     )
