@@ -7,8 +7,8 @@ a deterministic Common-Crawl-style corpus synthesized from
 enough for parallelism to matter.  Prints ONE JSON line.
 
     python bench.py                # headline + per-query timings
-    python bench.py --scaling      # same job at num_cpus=8 and 32 in fresh
-                                   # processes; reports scaling efficiency
+    python bench.py --scaling      # same job at N and 4N CPUs (default 4/16)
+                                   # in fresh processes; reports efficiency
 
 Ray session: ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32).
 """

@@ -911,9 +911,104 @@ def make_bucket_finalize_edges_groupfn(cfg: PipelineConfig,
 # dataset-level drivers
 
 
+MAX_DELTA_KEY_BROADCAST = 5_000_000  # ~100 MB key set; beyond: full reduce
+
+
+def _collect_distinct_keys(ds, to_keys_fn) -> "frozenset | None":
+    """Distinct key set of a (small) delta, streamed driver-side with an
+    early stop at MAX_DELTA_KEY_BROADCAST — returns None on overflow so the
+    caller falls back to the always-correct full reduce.  Per-batch dedup
+    runs distributed; the driver only unions already-deduped key batches."""
+    import ray.data as rd  # noqa: F401
+
+    keys: set = set()
+    dedup = ds.map_batches(to_keys_fn, batch_format="pyarrow", zero_copy_batch=True)
+    for batch in dedup.iter_batches(batch_format="pyarrow", batch_size=65536):
+        keys.update(batch.column("key").to_pylist())
+        if len(keys) > MAX_DELTA_KEY_BROADCAST:
+            return None
+    return frozenset(keys)
+
+
+def _split_prior(prior_ds, key_of_batch, delta_keys):
+    """prior snapshot → (touched, untouched) by membership in the delta key
+    set (broadcast once via ray.put; the snapshot streams through a
+    stateless filter — no shuffle)."""
+    import ray
+
+    keys_ref = ray.put(delta_keys)
+
+    def _filter(batch: pa.Table, keep_touched: bool) -> pa.Table:
+        wanted = ray.get(keys_ref)
+        row_keys = key_of_batch(batch)
+        mask = [
+            (k in wanted) == keep_touched for k in row_keys
+        ]
+        return batch.filter(pa.array(mask))
+
+    touched = prior_ds.map_batches(
+        lambda b: _filter(b, True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    untouched = prior_ds.map_batches(
+        lambda b: _filter(b, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return touched, untouched
+
+
+def _entity_mention_keys(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    return pa.table({"key": pc.unique(batch.column("name").cast(pa.string()))})
+
+
+def _edge_mention_keys(batch: pa.Table) -> pa.Table:
+    import numpy as np
+    import pyarrow.compute as pc
+
+    srcs = batch.column("name").to_numpy(zero_copy_only=False)
+    tgts = batch.column("tgt").to_numpy(zero_copy_only=False)
+    lo = np.minimum(srcs, tgts)
+    hi = np.maximum(srcs, tgts)
+    sep = np.empty(len(lo), dtype=object)
+    sep[:] = "\x00"
+    return pa.table({"key": pc.unique(pa.array(lo + sep + hi, pa.string()))})
+
+
+def _untouched_nodes_passthrough(batch: pa.Table) -> pa.Table:
+    """Prior node rows whose key has NO new mentions: the reducer would
+    re-emit them verbatim (finalize_entity_key with blobs=[] →
+    _stored_node_row), so they bypass both shuffles — columnar."""
+    complete = pa.compute.equal(
+        batch.column("truncate").cast(pa.string()), ""
+    )
+    cols = {name: batch.column(name) for name in NODES_SCHEMA.names
+            if name != "_sources_complete"}
+    cols["_sources_complete"] = complete
+    return pa.table(cols, schema=NODES_SCHEMA)
+
+
+def _untouched_edges_passthrough(batch: pa.Table) -> pa.Table:
+    """Prior edge rows with no new mentions → verbatim rows with the
+    stored-sentinel ``_ord`` (same as _stored_edge_row)."""
+    n = batch.num_rows
+    sentinel = ["0" * 20, "", "0" * 10, "0" * 10]
+    cols = {name: batch.column(name) for name in EDGES_SCHEMA.names
+            if name != "_ord"}
+    cols["_ord"] = pa.array([sentinel] * n, pa.list_(pa.string()))
+    return pa.table(cols, schema=EDGES_SCHEMA)
+
+
 def canonicalize_entities(mentions_e, cfg: PipelineConfig, prior_nodes=None):
     """entity mention rows (∪ optional prior node snapshot) → node table
-    (pre endpoint-append)."""
+    (pre endpoint-append).
+
+    Incremental scale path: the reduce shuffles only the DELTA's mentions
+    plus the prior rows whose key the delta actually touches; untouched
+    prior rows — the overwhelming majority when a small delta lands on a
+    huge graph — bypass both shuffles as verbatim pass-through rows (the
+    reducer's own stored-only semantics, finalize_entity_key with no
+    blobs).  Falls back to the full reduce when the delta key set exceeds
+    the broadcast guard."""
     incremental = prior_nodes is not None
     partials = mentions_e.map_batches(
         make_entity_partials_fn(cfg, incremental),
@@ -921,7 +1016,15 @@ def canonicalize_entities(mentions_e, cfg: PipelineConfig, prior_nodes=None):
         zero_copy_batch=True,
         batch_size=cfg.merge_batch_size,
     )
+    untouched = None
     if prior_nodes is not None:
+        delta_keys = _collect_distinct_keys(mentions_e, _entity_mention_keys)
+        if delta_keys is not None:
+            prior_nodes, untouched = _split_prior(
+                prior_nodes,
+                lambda b: b.column("entity_id").to_pylist(),
+                delta_keys,
+            )
         partials = partials.union(
             prior_nodes.map_batches(
                 make_prior_nodes_to_partials_fn(cfg),
@@ -934,16 +1037,27 @@ def canonicalize_entities(mentions_e, cfg: PipelineConfig, prior_nodes=None):
     ).map_groups(
         make_bucket_merge_groupfn(cfg, "e", incremental), batch_format="pandas"
     )
-    return salted.groupby(
+    reduced = salted.groupby(
         "b2", num_partitions=cfg.shuffle_partitions
     ).map_groups(
         make_bucket_finalize_entities_groupfn(cfg, incremental),
         batch_format="pandas",
     )
+    if untouched is not None:
+        reduced = reduced.union(
+            untouched.map_batches(
+                _untouched_nodes_passthrough,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+    return reduced
 
 
 def canonicalize_edges(mentions_r, cfg: PipelineConfig, prior_edges=None):
-    """relation mention rows (∪ optional prior edge snapshot) → edge table."""
+    """relation mention rows (∪ optional prior edge snapshot) → edge table.
+    Incremental scale path as in :func:`canonicalize_entities`: untouched
+    prior edges bypass the shuffles as verbatim sentinel-``_ord`` rows."""
     incremental = prior_edges is not None
     partials = mentions_r.map_batches(
         make_edge_partials_fn(cfg, incremental),
@@ -951,7 +1065,25 @@ def canonicalize_edges(mentions_r, cfg: PipelineConfig, prior_edges=None):
         zero_copy_batch=True,
         batch_size=cfg.merge_batch_size,
     )
+    untouched = None
     if prior_edges is not None:
+        delta_keys = _collect_distinct_keys(mentions_r, _edge_mention_keys)
+        if delta_keys is not None:
+
+            def _edge_keys_of(batch: pa.Table) -> list:
+                import numpy as np
+
+                srcs = batch.column("src_id").to_numpy(zero_copy_only=False)
+                tgts = batch.column("tgt_id").to_numpy(zero_copy_only=False)
+                lo = np.minimum(srcs, tgts)
+                hi = np.maximum(srcs, tgts)
+                sep = np.empty(len(lo), dtype=object)
+                sep[:] = "\x00"
+                return (lo + sep + hi).tolist()
+
+            prior_edges, untouched = _split_prior(
+                prior_edges, _edge_keys_of, delta_keys
+            )
         partials = partials.union(
             prior_edges.map_batches(
                 make_prior_edges_to_partials_fn(cfg),
@@ -964,9 +1096,18 @@ def canonicalize_edges(mentions_r, cfg: PipelineConfig, prior_edges=None):
     ).map_groups(
         make_bucket_merge_groupfn(cfg, "r", incremental), batch_format="pandas"
     )
-    return salted.groupby(
+    reduced = salted.groupby(
         "b2", num_partitions=cfg.shuffle_partitions
     ).map_groups(
         make_bucket_finalize_edges_groupfn(cfg, incremental),
         batch_format="pandas",
     )
+    if untouched is not None:
+        reduced = reduced.union(
+            untouched.map_batches(
+                _untouched_edges_passthrough,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+    return reduced

@@ -221,3 +221,85 @@ def test_insert_custom_chunks(corpus):
 
     # all-empty chunk list is a no-op
     assert insert_custom_chunks(out, files, "x", ["", "  "], cfg=cfg) is None
+
+
+def test_untouched_bypass_equals_full_reduce(ray_session, tmp_path, monkeypatch):
+    """The delta-key semi-join bypass must produce byte-identical graphs to
+    the always-correct full reduce (forced via a zero broadcast guard), and
+    an update whose delta shares NO keys with the prior graph must re-emit
+    every prior row verbatim."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lightrag_ray.config import PipelineConfig
+    from lightrag_ray.pipelines.incremental import update_kg
+    from lightrag_ray.pipelines.kg_build import build_kg
+    from lightrag_ray.sources.pages import PAGES_SCHEMA
+    from lightrag_ray.stages import merge as M
+
+    def write_pages(path, texts, base):
+        table = pa.table(
+            {
+                "url": [f"https://b.example.org/doc/{base + i}" for i in
+                        range(len(texts))],
+                "warc_ts": pa.array(
+                    [1_000_000 + base + i for i in range(len(texts))],
+                    pa.timestamp("us"),
+                ),
+                "html": [f"<p>{t}</p>".encode() for t in texts],
+                "text": texts,
+                "lang": ["en"] * len(texts),
+            },
+            schema=PAGES_SCHEMA,
+        )
+        pq.write_table(table, path)
+        return [str(path)]
+
+    prior_texts = [
+        "alphaword betaword gammaword", "alphaword deltaword",
+        "betaword gammaword epsilonword",
+    ]
+    # delta overlaps one key (alphaword) and introduces new ones
+    delta_texts = ["alphaword zetaword", "etaword thetaword"]
+    prior_files = write_pages(tmp_path / "prior.parquet", prior_texts, 0)
+    delta_files = write_pages(tmp_path / "delta.parquet", delta_texts, 100)
+
+    cfg = PipelineConfig()
+    prior = build_kg(prior_files, str(tmp_path / "prior"), cfg, num_partitions=1)
+
+    def graph(out):
+        nodes = rd.read_parquet(out.nodes_dir).take_all()
+        edges = rd.read_parquet(out.edges_dir).take_all()
+        nodes.sort(key=lambda r: r["entity_id"])
+        edges.sort(key=lambda r: (r["src_id"], r["tgt_id"]))
+        return nodes, edges
+
+    up_bypass = update_kg(str(tmp_path / "prior"), delta_files,
+                          str(tmp_path / "up1"), cfg, num_partitions=1)
+    g_bypass = graph(up_bypass)
+
+    monkeypatch.setattr(M, "MAX_DELTA_KEY_BROADCAST", 0)  # force full reduce
+    up_full = update_kg(str(tmp_path / "prior"), delta_files,
+                        str(tmp_path / "up2"), cfg, num_partitions=1)
+    g_full = graph(up_full)
+    monkeypatch.undo()
+    assert g_bypass == g_full
+
+    # disjoint delta (single-entity pages -> zero relation mentions): every
+    # prior edge must re-emit verbatim through the empty-reduce + bypass path
+    disjoint = write_pages(tmp_path / "disjoint.parquet",
+                           ["omegaword99", "sigmaword99"], 200)
+    up3 = update_kg(str(tmp_path / "prior"), disjoint,
+                    str(tmp_path / "up3"), cfg, num_partitions=1)
+    prior_edges = {
+        (r["src_id"], r["tgt_id"], r["weight"], r["description"])
+        for r in rd.read_parquet(prior.edges_dir).take_all()
+    }
+    up3_edges = {
+        (r["src_id"], r["tgt_id"], r["weight"], r["description"])
+        for r in rd.read_parquet(up3.edges_dir).take_all()
+    }
+    assert up3_edges == prior_edges
+    up3_nodes = {r["entity_id"] for r in rd.read_parquet(up3.nodes_dir).take_all()}
+    assert {"omegaword99", "sigmaword99"} <= up3_nodes
