@@ -816,10 +816,59 @@ def connected_components(
 
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the k-means-bucketed scale path for similarity
-# search, alongside the hyperplane-LSH variant above.  Coarse quantizer:
-# deterministic Lloyd k-means on a SAMPLED subset (driver-side numpy on
-# ≤ max_train vectors — centroids are the only state that ships); search
-# probes the nprobe nearest lists and exact-reranks only their members.
+# search, alongside the hyperplane-LSH variant above (intent parity:
+# lightrag/kg/faiss_impl.py's index-backed search).  Coarse quantizer:
+# deterministic Lloyd k-means on a STREAM-sampled subset (the corpus never
+# materializes on the driver); centroids are trained ONCE and shipped via
+# ray.put; the index is a list_id-partitioned Parquet table and search reads
+# ONLY the nprobe probed partitions before exact-reranking their members.
+
+
+def _ivf_training_sample(
+    sf_dir: str, max_train: int = 4096, oversample: float = 4.0
+) -> np.ndarray:
+    """The first ``max_train`` embedding rows by md5-of-vec_id order, found
+    WITHOUT materializing the table: a streamed hash-threshold filter keeps
+    only rows whose md5 prefix falls below ``oversample × max_train / n``
+    (expected ~oversample×max_train survivors regardless of corpus size),
+    then the driver sorts that small pool by full digest and takes the head.
+    Any row in the global head has a prefix ≤ the cutoff row's, so the result
+    is IDENTICAL to sorting the whole table — at streaming cost.  If a freak
+    undershoot leaves fewer than max_train survivors the cutoff is widened
+    deterministically and the scan re-run."""
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    n = ds.count()  # Parquet metadata only — no data read
+    want = min(max_train, n)
+    frac = min(1.0, oversample * max_train / max(n, 1))
+
+    while True:
+        cutoff = int(frac * 0xFFFFFFFF)
+
+        def pick(batch: pa.Table, _cut=cutoff) -> pa.Table:
+            ids = batch.column("vec_id").to_pylist()
+            mask = pa.array(
+                [
+                    int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) <= _cut
+                    for d in ids
+                ]
+            )
+            return batch.filter(mask)
+
+        pool = rd.read_parquet(path, columns=["vec_id", "embedding"]).map_batches(
+            pick, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        if len(pool) >= want or frac >= 1.0:
+            break
+        frac = min(1.0, frac * 4)
+
+    pool.sort(key=lambda r: hashlib.md5(str(r["vec_id"]).encode()).hexdigest())
+    return np.array([r["embedding"] for r in pool[:max_train]], dtype=np.float64)
 
 
 def ivf_train_centroids(
@@ -828,26 +877,12 @@ def ivf_train_centroids(
     max_train: int = 4096,
     n_iters: int = 10,
 ) -> np.ndarray:
-    """Deterministic coarse quantizer: hash-sampled training vectors (first
-    ``max_train`` by md5-of-vec_id order — any worker/run picks the same
+    """Deterministic coarse quantizer: stream-sampled training vectors
+    (first ``max_train`` by md5-of-vec_id order — any run picks the same
     set), seeded k-means++-lite init, ``n_iters`` Lloyd rounds on unit
-    vectors.  Returns (n_lists, dim) unit-normalized centroids."""
-    import hashlib
-    import os
-
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    ids = t.column("vec_id").to_pylist()
-    order = sorted(
-        range(len(ids)),
-        key=lambda i: hashlib.md5(str(ids[i]).encode()).hexdigest(),
-    )[:max_train]
-    mat = np.array(
-        [t.column("embedding")[i].as_py() for i in order], dtype=np.float64
-    )
+    vectors.  Returns (n_lists, dim) unit-normalized centroids.  Runs ONCE
+    on the driver; callers ship the result via ``ray.put``."""
+    mat = _ivf_training_sample(sf_dir, max_train)
     norms = np.linalg.norm(mat, axis=1)
     unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
 
@@ -865,60 +900,113 @@ def ivf_train_centroids(
     return centroids
 
 
-def ivf_assignments(sf_dir: str, n_lists: int = 16):
-    """embeddings → (vec_id, list_id): each vector assigned to its nearest
-    coarse centroid.  The centroid matrix is tiny and deterministic, so it
-    is recomputed per task from the same sample rather than shipped — the
-    index-build half of IVF, materializable as a partitioned table."""
-    import os
+_IVF_CENTROIDS: dict = {}  # driver-side only: (sf_dir, n_lists) → ndarray
 
-    import ray.data as rd
+
+def _ivf_centroids(sf_dir: str, n_lists: int) -> np.ndarray:
+    """Driver-side centroid cache so repeated queries in one session train
+    once.  Workers NEVER call this — they receive the matrix via ray.put."""
+    key = (sf_dir, n_lists)
+    if key not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[key] = ivf_train_centroids(sf_dir, n_lists)
+    return _IVF_CENTROIDS[key]
+
+
+def _make_ivf_assign_fn(cents_ref, with_embedding: bool):
+    """Batch kernel: nearest-centroid list assignment.  Centroids arrive by
+    object-store reference (one copy cluster-wide, zero-copy per task)."""
+    import ray
 
     def assign(batch: pa.Table) -> pa.Table:
-        cents = _ivf_centroids_cached(sf_dir, n_lists)
+        cents = ray.get(cents_ref)
         ids = np.asarray(batch.column("vec_id"), np.int64)
         mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1)
         unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
         list_ids = (unit @ cents.T).argmax(axis=1)
-        return pa.table(
-            {
-                "vec_id": pa.array(ids, pa.int64()),
-                "list_id": pa.array(list_ids.astype(np.int32), pa.int32()),
-            }
-        )
+        cols = {
+            "vec_id": pa.array(ids, pa.int64()),
+            "list_id": pa.array(list_ids.astype(np.int32), pa.int32()),
+        }
+        if with_embedding:
+            cols["embedding"] = batch.column("embedding")
+        return pa.table(cols)
 
-    return rd.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    ).map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
-
-
-_IVF_CACHE: dict = {}
+    return assign
 
 
-def _ivf_centroids_cached(sf_dir: str, n_lists: int) -> np.ndarray:
-    key = (sf_dir, n_lists)
-    if key not in _IVF_CACHE:
-        _IVF_CACHE[key] = ivf_train_centroids(sf_dir, n_lists)
-    return _IVF_CACHE[key]
-
-
-def knn_ivf_topk(
-    sf_dir: str,
-    query_vec_id: int = 0,
-    k: int = 10,
-    n_lists: int = 16,
-    nprobe: int = 4,
-):
-    """Top-k cosine neighbors via IVF: score exactly ONLY the vectors whose
-    coarse list is among the query's ``nprobe`` nearest lists — the k-means
-    analogue of :func:`knn_lsh_topk` (brute-force ``knn_top10`` stays the
-    oracle; recall rises with nprobe and hits 1.0 at nprobe=n_lists)."""
+def ivf_assignments(sf_dir: str, n_lists: int = 16, with_embedding: bool = False):
+    """embeddings → (vec_id, list_id): each vector assigned to its nearest
+    coarse centroid — the index-build half of IVF.  Centroids are trained
+    once on the driver from a streamed sample and broadcast via ``ray.put``;
+    the corpus itself streams through the assignment kernel."""
     import os
 
-    import pyarrow.parquet as pq
     import ray
     import ray.data as rd
+
+    cents_ref = ray.put(_ivf_centroids(sf_dir, n_lists))
+    return rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(
+        _make_ivf_assign_fn(cents_ref, with_embedding),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def ivf_build_index(sf_dir: str, index_dir: str, n_lists: int = 16) -> str:
+    """Materialize the IVF index: (vec_id, embedding) partitioned by
+    ``list_id`` under ``index_dir`` (one Hive directory per inverted list),
+    so a probe reads ONLY its nprobe partitions.  Idempotent: a completed
+    index (marker file) is reused; a partial one is rebuilt."""
+    import json
+    import os
+    import shutil
+
+    marker = os.path.join(index_dir, "_IVF_INDEX.json")
+    if os.path.exists(marker):
+        return index_dir
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    ivf_assignments(sf_dir, n_lists, with_embedding=True).write_parquet(
+        index_dir, partition_cols=["list_id"]
+    )
+    with open(marker, "w") as f:
+        json.dump({"sf_dir": sf_dir, "n_lists": n_lists}, f)
+    return index_dir
+
+
+def _ivf_default_index_dir(sf_dir: str, n_lists: int) -> str:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), "lightrag_ray_ivf", f"{tag}_n{n_lists}"
+    )
+
+
+def _ivf_probe_paths(index_dir: str, probe_lists) -> list:
+    """The Parquet files of the Hive partitions a probe of ``probe_lists``
+    reads — files of exactly nprobe ``list_id=X`` directories, never the
+    whole index (expanded here because ``read_parquet`` takes a file list)."""
+    import glob
+
+    files: list = []
+    for l in sorted(probe_lists):
+        part = os.path.join(index_dir, f"list_id={int(l)}")
+        files.extend(sorted(glob.glob(os.path.join(part, "*.parquet"))))
+    return files
+
+
+def _ivf_query_probe(
+    sf_dir: str, query_vec_id: int, n_lists: int, nprobe: int
+) -> tuple:
+    """(query unit vector, the nprobe list ids its search reads).  The query
+    row itself comes out of a predicate-pushdown Parquet read (row-group
+    stats pruning), not a table scan."""
+    import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     q_table = pq.read_table(
@@ -929,29 +1017,54 @@ def knn_ivf_topk(
         raise ValueError(f"vec_id {query_vec_id}: {q_table.num_rows} rows")
     q_vec = np.array(q_table.column("embedding")[0].as_py(), dtype=np.float64)
     q_unit = q_vec / np.linalg.norm(q_vec)
-    cents = _ivf_centroids_cached(sf_dir, n_lists)
-    probe = set(np.argsort(-(cents @ q_unit))[:nprobe].tolist())
-    q_ref = ray.put((q_unit, probe))
+    cents = _ivf_centroids(sf_dir, n_lists)
+    probe = np.argsort(-(cents @ q_unit))[:nprobe].tolist()
+    return q_unit, probe
+
+
+def knn_ivf_topk(
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    index_dir: str | None = None,
+):
+    """Top-k cosine neighbors via IVF: read ONLY the ``nprobe`` inverted-list
+    partitions nearest the query and exact-rerank their members — the
+    k-means analogue of :func:`knn_lsh_topk` (brute-force ``knn_top10``
+    stays the oracle; recall rises with nprobe, 1.0 at nprobe=n_lists).
+    The pruned read is the point of IVF: at 100-TB embeddings a probe
+    touches nprobe/n_lists of the bytes, not the full table."""
+    import ray
+    import ray.data as rd
+
+    q_unit, probe = _ivf_query_probe(sf_dir, query_vec_id, n_lists, nprobe)
+
+    if index_dir is None:
+        index_dir = _ivf_default_index_dir(sf_dir, n_lists)
+    ivf_build_index(sf_dir, index_dir, n_lists)
+    q_ref = ray.put(q_unit)
 
     def score(batch: pa.Table) -> pa.Table:
-        q, probe_lists = ray.get(q_ref)
-        cents_w = _ivf_centroids_cached(sf_dir, n_lists)
+        q = ray.get(q_ref)
         ids = np.asarray(batch.column("vec_id"), np.int64)
         mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1)
         unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
-        list_ids = (unit @ cents_w.T).argmax(axis=1)
-        cand = np.isin(list_ids, list(probe_lists)) & (ids != query_vec_id)
-        sims = unit[cand] @ q
+        keep = ids != query_vec_id
+        sims = unit[keep] @ q
         return pa.table(
             {
-                "vec_id": pa.array(ids[cand], pa.int64()),
+                "vec_id": pa.array(ids[keep], pa.int64()),
                 "sim": pa.array(np.round(sims, 4), pa.float64()),
             }
         )
 
     return (
-        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        rd.read_parquet(
+            _ivf_probe_paths(index_dir, probe), columns=["vec_id", "embedding"]
+        )
         .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
         .sort(["sim", "vec_id"], descending=[True, False])
         .limit(k)
