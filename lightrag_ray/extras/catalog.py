@@ -582,43 +582,65 @@ def q_pchunk_stats(sf_dir: str):
 MAX_DROP_BROADCAST = 20_000_000  # ~160 MB id set; see q_corpus_dedup
 
 
-def _dedup_corpus(sf_dir: str, clusters_ds):
-    """documents minus non-canonical near-dup cluster members (keep-one
-    policy: the member with ``doc_id == cluster_id`` survives).
+def _collect_drop_set(clusters_ds):
+    """Object-store ref to the non-canonical cluster members (doc_id ≠
+    cluster_id) as an int64 array — the drop side of the keep-one policy.
 
-    The drop set contains ONLY documents that appear in the near-dup pair
-    graph — a small fraction of a crawl corpus — so it broadcasts
-    (``ray.put`` once, read inside every filter task) and the corpus itself
-    streams through a stateless filter: no corpus shuffle.  A hard guard
-    bounds the broadcast (same precedent as q_distinctive_terms); beyond it,
+    The set contains ONLY documents that appear in the near-dup pair graph —
+    a small fraction of a crawl corpus — so it broadcasts (``ray.put`` once,
+    read zero-copy inside every filter task).  A hard guard bounds the
+    broadcast (same precedent as q_distinctive_terms); beyond it,
     salt-bucket both sides on hash(doc_id) and anti-join inside map_groups
     instead of lifting the set to the driver."""
-    import os
-
-    import pyarrow as pa
+    import numpy as np
+    import pyarrow.compute as pc
     import ray
-    import ray.data as rd
 
-    drop: set[int] = set()
+    chunks: list = []
+    total = 0
     for b in clusters_ds.iter_batches(batch_format="pyarrow"):
-        for d, c in zip(
-            b.column("doc_id").to_pylist(), b.column("cluster_id").to_pylist()
-        ):
-            if d != c:
-                drop.add(d)
-        if len(drop) > MAX_DROP_BROADCAST:
+        mask = pc.not_equal(b.column("doc_id"), b.column("cluster_id"))
+        dropped = pc.filter(b.column("doc_id"), mask)
+        arr = np.asarray(dropped.combine_chunks()
+                         if hasattr(dropped, "combine_chunks") else dropped,
+                         dtype=np.int64)
+        chunks.append(arr)
+        total += len(arr)
+        if total > MAX_DROP_BROADCAST:
             raise ValueError(
                 f"duplicate set exceeds {MAX_DROP_BROADCAST} ids — use a "
                 "bucketed anti-join instead of the broadcast filter"
             )
-    drop_ref = ray.put(frozenset(drop))
+    drop = np.unique(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
+    return ray.put(drop)
+
+
+def _drop_mask(batch: "pa.Table", drop_ref) -> "pa.Array":
+    """Boolean keep-mask for a batch: doc_id NOT in the broadcast drop set
+    (vectorized ``pc.is_in`` — never a per-row Python membership loop)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    drop = ray.get(drop_ref)  # zero-copy numpy view from the object store
+    return pc.invert(
+        pc.is_in(batch.column("doc_id"), value_set=pa.array(drop, pa.int64()))
+    )
+
+
+def _dedup_corpus(sf_dir: str, clusters_ds):
+    """documents minus non-canonical near-dup cluster members (keep-one
+    policy: the member with ``doc_id == cluster_id`` survives).  The corpus
+    streams through a stateless vectorized filter — no corpus shuffle; only
+    the (guard-bounded) drop set is driver-materialized."""
+    import os
+
+    import ray.data as rd
+
+    drop_ref = _collect_drop_set(clusters_ds)
 
     def keep(batch: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        dropped = _ray.get(drop_ref)
-        ids = batch.column("doc_id").to_pylist()
-        return batch.filter(pa.array([i not in dropped for i in ids]))
+        return batch.filter(_drop_mask(batch, drop_ref))
 
     return rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
@@ -663,26 +685,19 @@ def q_curated_corpus(sf_dir: str):
 
     from lightrag_ray.extras.textstats import _WORD_RE, predict_lang
 
-    clusters = q_dup_clusters(sf_dir)
-    drop: set[int] = set()
-    for b in clusters.iter_batches(batch_format="pyarrow"):
-        for d, c in zip(
-            b.column("doc_id").to_pylist(), b.column("cluster_id").to_pylist()
-        ):
-            if d != c:
-                drop.add(d)
-    drop_ref = ray.put(frozenset(drop))
+    drop_ref = _collect_drop_set(q_dup_clusters(sf_dir))
 
     def curate(batch: pa.Table) -> pa.Table:
         import pyarrow as pa  # noqa: F811 — worker-side
 
-        dropped = ray.get(drop_ref)
+        # vectorized near-dup gate first: the per-doc text work below only
+        # runs on survivors (the text gates are legitimately per-doc Python;
+        # the membership test is not)
+        batch = batch.filter(_drop_mask(batch, drop_ref))
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
         keep_ids, keep_langs, keep_words = [], [], []
         for doc_id, text in zip(ids, texts):
-            if doc_id in dropped:
-                continue
             words = _WORD_RE.findall(text or "")
             n = len(words)
             if n < CURATE_MIN_WORDS:
