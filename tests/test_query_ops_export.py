@@ -130,6 +130,38 @@ def test_rank_edges_shuffle_matches_broadcast(ray_session, tmp_path):
     assert broadcast == shuffle
 
 
+def test_attach_degree_bucketed_not_per_key(ray_session):
+    """The shuffle-fallback cogroup is keyed on a COARSE bucket, not on the
+    node key (round-3 VERDICT #4): buckets=1 forces EVERY key through one
+    vectorized group call — pinning multi-key handling inside a bucket — and
+    must agree with a wide bucketing and with per-key expectations."""
+    import ray.data as rd
+
+    from lightrag_ray.pipelines.query_ops import _attach_degree, node_degrees
+
+    edges = rd.from_items(
+        [
+            {"src_id": "a", "tgt_id": "b", "weight": 2.0},
+            {"src_id": "a", "tgt_id": "c", "weight": 1.0},
+            {"src_id": "b", "tgt_id": "c", "weight": 3.0},
+            {"src_id": "c", "tgt_id": "d", "weight": 1.0},
+            {"src_id": "e", "tgt_id": "f", "weight": 9.0},  # no-marker bucket mix
+        ]
+    )
+    deg = node_degrees(edges)
+    expected_deg = {"a": 2, "b": 2, "c": 3, "d": 1, "e": 1, "f": 1}
+
+    for buckets in (1, 256):
+        out = _attach_degree(edges, deg, "src_id", "_d", buckets=buckets)
+        got = {
+            (r["src_id"], r["tgt_id"], r["weight"]): r["_d"]
+            for r in out.take_all()
+        }
+        assert len(got) == 5
+        for (s, _t, _w), d in got.items():
+            assert d == expected_deg[s]
+
+
 def test_export_data_formats(ray_session, tmp_path):
     """aexport_data formats (lightrag/utils.py:4020-4366): csv sections, md
     tables, txt fixed-width, excel sheets (read back via our own xlsx
