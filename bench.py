@@ -137,6 +137,10 @@ def run_headline(eff_cpus: float | None = None) -> dict:
         # oversubscribed host (measured 330 s concurrent vs 78 s sequential
         # for the same two phases); each phase saturates the node alone
         concurrent_reduces=False,
+        # re-probe at phase boundaries: the session-start probe can't see the
+        # burstable host depleting credits MID-build (identical code measured
+        # 202.6 vs 479.6 s); the reduce phases re-size from a fresh reading
+        reprobe=True,
     )
     t0 = time.perf_counter()
     result = build_kg(files, build_dir, cfg, num_partitions=1, resume=False)
@@ -186,6 +190,7 @@ def run_incremental(eff_cpus: float | None = None) -> dict:
         merge_batch_size=524288,
         write_chunks_table=False,
         concurrent_reduces=False,
+        reprobe=True,
     )
     t0 = time.perf_counter()
     result = update_kg(prior_dir, delta_files, out_dir, cfg, num_partitions=1)

@@ -176,6 +176,16 @@ class PipelineConfig:
     # CPU-constrained runs; bench.py does.
     concurrent_reduces: bool = True
 
+    # Re-run the ~2 s effective-core probe at phase boundaries (after the
+    # map-heavy chunk/extract phases, before each shuffle-heavy reduce) and
+    # re-derive shuffle width / concurrent_reduces from the FRESH reading.
+    # A burstable host can deplete its CPU credits MID-build: a probe taken
+    # at session start then oversizes every later shuffle (measured on this
+    # class of host: identical code 202.6 s vs 479.6 s, reduce shuffles
+    # 19 → 174 s, when depletion hit between phase B and C).  Costs ~2 s per
+    # boundary; only the partitioning knobs change, so output is identical.
+    reprobe: bool = False
+
     # materialize the chunks table as its own phase (the reference persists
     # text_chunks; True gives chunk-level provenance + a resume point at the
     # cost of one extra write+read of ~input-sized data).  False fuses

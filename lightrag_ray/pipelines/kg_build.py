@@ -277,6 +277,64 @@ def build_kg(
         for unit in ("nodes_pre", "edges", "nodes"):
             ckpt.reset_unit(paths, unit, paths.phase_dir(unit))
 
+    def _reprobed(cfg_in: PipelineConfig, boundary: str):
+        """Phase-boundary re-sizing (cfg.reprobe): re-measure sustained
+        parallelism NOW and re-derive the shuffle knobs from it.
+
+        A session-start probe cannot see a burstable host depleting its CPU
+        credits mid-build; shuffles sized to the stale reading thrash (see
+        PipelineConfig.reprobe).  Only partitioning knobs change
+        (shuffle_partitions, concurrent_reduces) — salt/reduce bucketing and
+        every semantic knob stay fixed, so the output is bit-identical to a
+        non-adaptive run.  Returns (cfg, lineage_extra | None)."""
+        if not cfg_in.reprobe:
+            return cfg_in, None
+        import dataclasses
+        import math
+
+        import ray
+
+        from lightrag_ray import probe
+
+        nominal = int(ray.cluster_resources().get("CPU", 8))
+        eff = probe.measure_effective_cpus(nominal)
+        sized = max(2, min(nominal, math.ceil(eff)))
+        cfg_out = dataclasses.replace(
+            cfg_in,
+            shuffle_partitions=max(8, sized),
+            concurrent_reduces=cfg_in.concurrent_reduces
+            and eff >= 0.7 * nominal,
+        )
+        info = {
+            "reprobe_boundary": boundary,
+            "reprobe_effective_cpus": round(eff, 2),
+            "reprobe_nominal_cpus": nominal,
+            "reprobe_shuffle_partitions": cfg_out.shuffle_partitions,
+            "reprobe_concurrent_reduces": cfg_out.concurrent_reduces,
+        }
+        import logging
+
+        logging.getLogger("lightrag_ray.kg_build").info(
+            "reprobe@%s: eff=%.1f/%d -> shuffle_partitions=%d "
+            "concurrent_reduces=%s",
+            boundary,
+            eff,
+            nominal,
+            cfg_out.shuffle_partitions,
+            cfg_out.concurrent_reduces,
+        )
+        return cfg_out, info
+
+    # boundary B→C: the reduce phases shuffle; only probe when they will run
+    reduce_pending = not (
+        resume
+        and ckpt.is_done(paths, "nodes_pre")
+        and ckpt.is_done(paths, "edges")
+    )
+    reprobe_bc = None
+    if reduce_pending:
+        cfg, reprobe_bc = _reprobed(cfg, "B->C")
+
     mentions_glob = os.path.join(out_dir, "mentions")
 
     def _read_sized(files_or_dir, target_block_bytes: int = 32 << 20):
@@ -352,7 +410,7 @@ def build_kg(
             _read_mentions("e"), cfg, prior_nodes=_prior(prior_nodes_dir)
         ),
         resume,
-        {"phase": "nodes_pre"},
+        {"phase": "nodes_pre", **(reprobe_bc or {})},
     )
     run_edges = (
         _run_part,
@@ -363,7 +421,7 @@ def build_kg(
             _read_mentions("r"), cfg, prior_edges=_prior(prior_edges_dir)
         ).select_columns(EDGE_OUTPUT_COLUMNS + ["_ord"]),
         resume,
-        {"phase": "edges"},
+        {"phase": "edges", **(reprobe_bc or {})},
     )
     if cfg.concurrent_reduces:
         # independent shuffles share the cluster (multi-node default)
@@ -381,6 +439,10 @@ def build_kg(
     # ---- Phase C3: endpoint back-propagation → final nodes
     from lightrag_ray.stages.endpoints import FINAL_NODES_SCHEMA
 
+    reprobe_cd = None
+    if not (resume and ckpt.is_done(paths, "nodes")):
+        cfg, reprobe_cd = _reprobed(cfg, "C->endpoints")
+
     nodes_dir = paths.phase_dir("nodes")
     _run_part(
         paths,
@@ -390,7 +452,7 @@ def build_kg(
             _read_sized(nodes_pre_dir), _read_sized(edges_dir), cfg
         ).select_columns(FINAL_NODES_COLUMNS),
         resume,
-        extra={"phase": "nodes"},
+        extra={"phase": "nodes", **(reprobe_cd or {})},
         empty_schema=pa.schema(
             [FINAL_NODES_SCHEMA.field(c) for c in FINAL_NODES_COLUMNS]
         ),

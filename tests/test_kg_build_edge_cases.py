@@ -153,3 +153,62 @@ def test_fifo_mode_warns_unbounded_partials(ray_session, tmp_path):
             PipelineConfig(),
             num_partitions=1,
         )
+
+
+def test_reprobe_resizes_at_phase_boundaries(ray_session, tmp_path, monkeypatch):
+    """Round-3 VERDICT next #2: cfg.reprobe re-measures sustained parallelism
+    at the map→shuffle phase boundaries (a burstable host can deplete its CPU
+    credits MID-build; a session-start probe can't see it) and re-derives the
+    shuffle knobs from the fresh reading.  The re-sizing must be recorded in
+    lineage, and — since only partitioning knobs change — the graph must be
+    bit-identical to a non-adaptive build."""
+    import pandas as pd
+    import ray.data as rd
+
+    from lightrag_ray import probe
+    from lightrag_ray.config import PipelineConfig
+    from lightrag_ray.pipelines.kg_build import build_kg
+    from lightrag_ray.sources.pages import synth_pages_from_documents
+
+    files = synth_pages_from_documents(
+        "/root/testdata/sf0.001", f"{tmp_path}/pages", num_files=2
+    )
+    calls: list = []
+
+    def fake_probe(nominal=None, **kw):  # a throttled host: 2 of 4 sustained
+        calls.append(nominal)
+        return 2.0
+
+    monkeypatch.setattr(probe, "measure_effective_cpus", fake_probe)
+
+    def graph(out, **cfg_kw):
+        res = build_kg(files, out, PipelineConfig(**cfg_kw), num_partitions=1)
+        nodes = rd.read_parquet(res.nodes_dir).to_pandas()
+        edges = rd.read_parquet(res.edges_dir).to_pandas()
+        return (
+            res,
+            nodes.sort_values("entity_id").reset_index(drop=True),
+            edges.sort_values(["src_id", "tgt_id"]).reset_index(drop=True),
+        )
+
+    res_a, n_a, e_a = graph(
+        f"{tmp_path}/adaptive", reprobe=True, concurrent_reduces=True
+    )
+    assert len(calls) == 2  # B->C and C->endpoints boundaries, exactly once each
+    lin = pd.read_parquet(res_a.lineage_path).set_index("phase")
+    assert lin.loc["nodes_pre", "reprobe_boundary"] == "B->C"
+    assert lin.loc["edges", "reprobe_effective_cpus"] == 2.0
+    assert lin.loc["nodes", "reprobe_boundary"] == "C->endpoints"
+    # eff < 0.7 × nominal flips concurrent_reduces off; width = max(8, ceil(eff))
+    assert not lin.loc["nodes_pre", "reprobe_concurrent_reduces"]
+    assert lin.loc["nodes_pre", "reprobe_shuffle_partitions"] == 8
+
+    # a resumed build with everything done must NOT pay the probe again
+    calls.clear()
+    build_kg(files, f"{tmp_path}/adaptive", PipelineConfig(reprobe=True),
+             num_partitions=1)
+    assert calls == []
+
+    _, n_b, e_b = graph(f"{tmp_path}/plain")
+    assert n_a.equals(n_b)
+    assert e_a.equals(e_b)
