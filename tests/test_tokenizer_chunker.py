@@ -267,6 +267,64 @@ def test_bpe_heap_matches_naive_random_vocab(tmp_path):
             assert tok._bpe(piece) == tok._bpe_naive(piece), piece
 
 
+def test_bpe_heap_adversarial_rank_inversions(tmp_path):
+    """Round-3 VERDICT next #7: deliberately NON-BPE-CONSISTENT rank tables.
+
+    A vocab produced by real BPE training is rank-monotone (a merged token
+    always ranks above the pairs that built it) and closed (every token's
+    halves are themselves tokens).  Neither property is guaranteed for a
+    custom or truncated vocab file, and the heap merge must not silently
+    assume them.  Each trial builds a table that violates both on purpose:
+
+      * rank INVERSIONS — "abab"/"aaaa" rank BELOW "ab"/"aa", so the
+        lowest-rank candidate pair changes identity mid-merge;
+      * UNREACHABLE merges — tokens like "aba" whose halves ("ab"+"a" or
+        "a"+"ba") may not both exist at merge time under the true leftmost-
+        lowest order;
+      * repeated-byte runs — b"aaaa..." where every adjacent pair is the
+        same candidate and positional tie-breaking decides.
+
+    The merge-order CONTRACT (leftmost lowest-rank adjacent pair first,
+    re-scanned after every merge) is pinned by heap == naive on every piece.
+    """
+    import base64 as _b64
+    import itertools
+    import random
+
+    from lightrag_ray.functions.tokenizer import BPETokenizer
+
+    rng = random.Random(0xADF5)
+    alphabet = b"ab"
+    # all {a,b}-strings of length 2..4: the densest possible overlap structure
+    multi = [
+        bytes(p)
+        for n in (2, 3, 4)
+        for p in itertools.product(alphabet, repeat=n)
+    ]
+    for trial in range(20):
+        ranked = list(multi)
+        rng.shuffle(ranked)  # arbitrary rank order: inversions ~guaranteed
+        if trial % 2:  # force the canonical inversion explicitly
+            ranked.remove(b"abab"), ranked.remove(b"ab")
+            ranked = [b"abab"] + ranked + [b"ab"]
+        lines = [f"{_b64.b64encode(bytes([b])).decode()} {b}" for b in range(256)]
+        lines += [
+            f"{_b64.b64encode(t).decode()} {256 + i}" for i, t in enumerate(ranked)
+        ]
+        vp = tmp_path / f"adv{trial}.tiktoken"
+        vp.write_text("\n".join(lines))
+        tok = BPETokenizer(str(vp))
+        pieces = [bytes(rng.choice(alphabet) for _ in range(n))
+                  for n in (1, 2, 3, 7, 16, 63, 200)]
+        pieces += [b"a" * 41, b"ab" * 50, b"aab" * 30]
+        for piece in pieces:
+            tok._cache.clear()
+            got = tok._bpe(piece)
+            assert got == tok._bpe_naive(piece), (trial, piece)
+            # round-trip: whatever the merge order, bytes are preserved
+            assert b"".join(tok._bytes_of[t] for t in got) == piece
+
+
 def test_bpe_piece_cache_bounded_and_hit():
     from lightrag_ray.functions.tokenizer import BPETokenizer
 
