@@ -204,6 +204,81 @@ def run_incremental(eff_cpus: float | None = None) -> dict:
     }
 
 
+def synth_replicated_documents(num_files: int = 16) -> str:
+    """documents-shaped replicated corpus for the dedup/curation legs
+    (round-3 VERDICT next #6): REPLICATE variants per source doc, with
+    realistic crawl-dup skew — every 10th variant is a NEAR-DUP of the base
+    text (suffix marker only → 3-gram Jaccard ≈ 1, clusters of REPLICATE/10
+    members), the rest are distinct documents (deterministic word shuffle
+    drops char-3-gram Jaccard to ~0.5, below the 0.8 threshold).  Returns an
+    sf_dir-shaped directory containing documents.parquet/."""
+    import glob
+    import random
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    root = os.path.join(WORK, f"docs-{tag}-x{REPLICATE}")
+    out_dir = os.path.join(root, "documents.parquet")
+    if glob.glob(os.path.join(out_dir, "*.parquet")):
+        return root
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        out_ids, out_texts, out_langs = [], [], []
+        for did, text, lang in zip(doc_ids, texts, langs):
+            words = (text or "").split()
+            for k in range(REPLICATE):
+                out_ids.append(did * REPLICATE + k)
+                if k % 10 == 0:  # near-dup arm: marker suffix only
+                    out_texts.append(f"{text} variant{k:04d}")
+                else:  # distinct arm: deterministic word shuffle
+                    w = list(words)
+                    random.Random((did << 20) | k).shuffle(w)
+                    out_texts.append(" ".join(w) + f" variant{k:04d}")
+                out_langs.append(lang)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "text": pa.array(out_texts, pa.string()),
+                "lang": pa.array(out_langs, pa.string()),
+            }
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    rd.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    ).map_batches(replicate, batch_format="pyarrow", zero_copy_batch=True).repartition(
+        num_files
+    ).write_parquet(out_dir)
+    return root
+
+
+def run_dedup_legs() -> dict:
+    """LSH→CC→filter chain throughput at bench scale (round-3 VERDICT next
+    #6): corpus_dedup_lsh and curated_corpus_lsh over the replicated
+    documents corpus, with the CC iteration count recorded."""
+    from lightrag_ray.extras import catalog as X
+
+    sf_like = synth_replicated_documents()
+    out = {}
+    for name, fn in (
+        ("corpus_dedup_lsh", X.q_corpus_dedup_lsh),
+        ("curated_corpus_lsh", X.q_curated_corpus_lsh),
+    ):
+        cc: dict = {}
+        t0 = time.perf_counter()
+        n = fn(sf_like, cc_stats=cc).count()
+        out[name] = round(time.perf_counter() - t0, 3)
+        out[f"{name}_rows"] = n
+        out[f"{name}_cc_iters"] = cc.get("cc_iterations")
+    return out
+
+
 def run_queries() -> dict:
     from lightrag_ray.extras import catalog as X
     from lightrag_ray.pipelines import queries as Q
@@ -245,6 +320,7 @@ def main() -> None:
         else run_incremental(eff)
     )
     qtimes = {} if headline_only else run_queries()
+    dedup_legs = {} if headline_only else run_dedup_legs()
     ray.shutdown()
 
     print(
@@ -257,7 +333,13 @@ def main() -> None:
                     "kg_build": headline["kg_build_sec"],
                     "kg_update_10pct": incr["kg_update_sec"],
                     **qtimes,
+                    **{
+                        k: v
+                        for k, v in dedup_legs.items()
+                        if not k.endswith(("_rows", "_cc_iters"))
+                    },
                 },
+                "dedup_legs": dedup_legs,
                 "sf": os.path.basename(os.path.normpath(SF_DIR)),
                 "num_cpus": NUM_CPUS,
                 "effective_cpus": round(eff, 1),

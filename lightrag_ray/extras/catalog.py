@@ -481,6 +481,7 @@ def queries() -> dict[str, Callable]:
         "corpus_dedup": q_corpus_dedup,
         "corpus_dedup_lsh": q_corpus_dedup_lsh,  # rows-only (LSH-fed; exact = corpus_dedup)
         "curated_corpus": q_curated_corpus,
+        "curated_corpus_lsh": q_curated_corpus_lsh,  # rows-only (LSH arm; exact = curated_corpus)
     }
 
 
@@ -655,12 +656,14 @@ def q_corpus_dedup(sf_dir: str):
     return _dedup_corpus(sf_dir, q_dup_clusters(sf_dir))
 
 
-def q_corpus_dedup_lsh(sf_dir: str):
+def q_corpus_dedup_lsh(sf_dir: str, cc_stats: dict | None = None):
     """End-to-end fuzzy corpus dedup, production scale path: MinHash-LSH
     candidate pairs (bucketed, no O(n²)) → connected components → keep-one →
     streamed corpus filter.  Rows-only in the driver (LSH estimates
-    similarity); tests assert it equals the exact arm on the test corpus."""
-    return _dedup_corpus(sf_dir, q_dup_clusters_lsh(sf_dir))
+    similarity); tests assert it equals the exact arm on the test corpus.
+    ``cc_stats`` (optional dict) receives the CC iteration count — bench.py
+    records it for the at-scale legs."""
+    return _dedup_corpus(sf_dir, q_dup_clusters_lsh(sf_dir, cc_stats=cc_stats))
 
 
 CURATE_MIN_WORDS = 30
@@ -668,6 +671,20 @@ CURATE_MIN_UNIQ_RATIO = 0.35
 
 
 def q_curated_corpus(sf_dir: str):
+    """End-to-end training-data curation with the EXACT near-dup arm — the
+    hash-oracled correctness surface (spliced-CTE oracle below)."""
+    return _curated_corpus(sf_dir, q_dup_clusters(sf_dir))
+
+
+def q_curated_corpus_lsh(sf_dir: str, cc_stats: dict | None = None):
+    """Curation with the MinHash-LSH near-dup arm — the production scale
+    path (the exact arm's pair graph is O(n²) by design).  Rows-only in the
+    driver; tests assert it equals the exact arm on the test corpus, where
+    LSH recall is 1.0 at the threshold."""
+    return _curated_corpus(sf_dir, q_dup_clusters_lsh(sf_dir, cc_stats=cc_stats))
+
+
+def _curated_corpus(sf_dir: str, clusters_ds):
     """End-to-end training-data curation: quality gate (word count +
     uniq-word ratio) ∧ language gate (known predicted language) ∧ near-dup
     gate (cluster-canonical only) → curated corpus rows
@@ -685,7 +702,7 @@ def q_curated_corpus(sf_dir: str):
 
     from lightrag_ray.extras.textstats import _WORD_RE, predict_lang
 
-    drop_ref = _collect_drop_set(q_dup_clusters(sf_dir))
+    drop_ref = _collect_drop_set(clusters_ds)
 
     def curate(batch: pa.Table) -> pa.Table:
         import pyarrow as pa  # noqa: F811 — worker-side
@@ -765,7 +782,7 @@ def q_dup_clusters(sf_dir: str):
     ).sort("doc_id")
 
 
-def q_dup_clusters_lsh(sf_dir: str):
+def q_dup_clusters_lsh(sf_dir: str, cc_stats: dict | None = None):
     """Near-dup clustering, production scale path (round-2 VERDICT #4):
     connected components over the BUCKETED MinHash-LSH candidate pair table
     instead of the O(n²) exact-Jaccard graph.  Same output contract as
@@ -777,7 +794,7 @@ def q_dup_clusters_lsh(sf_dir: str):
     import pyarrow as pa
 
     pairs = dedup.minhash_lsh_pairs(sf_dir, threshold=0.8)
-    comp = dedup.connected_components(pairs)
+    comp = dedup.connected_components(pairs, stats=cc_stats)
     return comp.map_batches(
         lambda t: pa.table(
             {"doc_id": t.column("node"), "cluster_id": t.column("label")}

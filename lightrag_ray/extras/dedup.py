@@ -592,6 +592,7 @@ def connected_components(
     col_b: str = "doc_b",
     buckets: int = 64,
     max_iters: int = 50,
+    stats: dict | None = None,
 ):
     """(node, cluster_id) for every node that appears in ``pairs_ds``.
 
@@ -759,7 +760,9 @@ def connected_components(
         )
 
     converged = False
+    n_iters_run = 0
     for _ in range(max_iters):
+        n_iters_run += 1
         # adjacency + current labels, cogrouped per bucket
         def lab_rows(batch: pa.Table) -> pa.Table:
             return pa.table(
@@ -806,6 +809,11 @@ def connected_components(
             converged = True
             break
 
+    if stats is not None:
+        # observability for bench/scale runs: how many propagation rounds the
+        # realistic skew actually needed (bounded O(log diameter) by the
+        # pointer-doubling shortcut)
+        stats["cc_iterations"] = n_iters_run
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} "

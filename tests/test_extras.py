@@ -359,6 +359,18 @@ def test_corpus_dedup_oracle_and_lsh_agreement(ray_session, con):
     assert set(clusters["cluster_id"]) <= survivors
 
 
+def test_curated_corpus_lsh_matches_exact_and_reports_cc(ray_session):
+    """Round-3 VERDICT next #6: the LSH-fed curation arm (the production
+    scale path — the exact pair graph is O(n²) by design) must produce the
+    identical curated corpus on the oracle corpus, and must surface the CC
+    iteration count through cc_stats for the bench legs."""
+    exact = _normalize(C.q_curated_corpus(SF_DIR).to_pandas())
+    cc: dict = {}
+    lsh = _normalize(C.q_curated_corpus_lsh(SF_DIR, cc_stats=cc).to_pandas())
+    pd.testing.assert_frame_equal(exact, lsh, check_dtype=False)
+    assert cc["cc_iterations"] >= 1
+
+
 def test_drop_set_broadcast_guard(ray_session, monkeypatch):
     """An over-guard duplicate set raises the documented error instead of
     OOMing the driver — shared by BOTH corpus-dedup and curated-corpus via
