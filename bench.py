@@ -29,7 +29,8 @@ REPLICATE = int(os.environ.get("BENCH_REPLICATE", "480"))
 WORK = os.environ.get("BENCH_WORK_DIR", "/tmp/lightrag_bench")
 
 TIMED_QUERIES = ["doc_chunk_stats", "kg_nodes_simple", "exact_dedup", "knn_top10",
-                 "simhash", "minhash_lsh_pairs", "embedding_lsh_pairs"]
+                 "simhash", "minhash_lsh_pairs", "embedding_lsh_pairs",
+                 "knn_ivf_top10"]
 
 
 def _pages_dir(k_lo: int = 0, k_hi: int | None = None) -> str:
