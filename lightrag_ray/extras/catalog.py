@@ -629,23 +629,100 @@ def _drop_mask(batch: "pa.Table", drop_ref) -> "pa.Array":
     )
 
 
-def _dedup_corpus(sf_dir: str, clusters_ds):
-    """documents minus non-canonical near-dup cluster members (keep-one
-    policy: the member with ``doc_id == cluster_id`` survives).  The corpus
-    streams through a stateless vectorized filter — no corpus shuffle; only
-    the (guard-bounded) drop set is driver-materialized."""
-    import os
+def _filter_noncanonical(corpus_ds, clusters_ds, buckets: int = 256):
+    """``corpus_ds`` minus the non-canonical near-dup cluster members
+    (keep-one policy: the member with ``doc_id == cluster_id`` survives).
 
-    import ray.data as rd
-
-    drop_ref = _collect_drop_set(clusters_ds)
+    Fast path: the drop set broadcasts (``ray.put`` once, vectorized
+    ``pc.is_in`` mask per batch — no corpus shuffle).  When the drop set
+    exceeds the broadcast guard, falls back to the BUCKETED ANTI-JOIN the
+    guard error documents: hash-bucket both sides on ``doc_id`` and filter
+    inside ``map_groups`` — one corpus shuffle, nothing driver-materialized,
+    so a pathological all-duplicates corpus degrades to shuffle cost instead
+    of raising."""
+    try:
+        drop_ref = _collect_drop_set(clusters_ds)
+    except ValueError:
+        return _anti_join_noncanonical(corpus_ds, clusters_ds, buckets)
 
     def keep(batch: pa.Table) -> pa.Table:
         return batch.filter(_drop_mask(batch, drop_ref))
 
-    return rd.read_parquet(
+    return corpus_ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _anti_join_noncanonical(corpus_ds, clusters_ds, buckets: int = 256):
+    """Over-guard fallback: corpus ANTI-JOIN drop-ids, cogrouped by
+    hash-bucket (the union + groupby(bucket) cogroup pattern the CC loop
+    uses).  Drop rows are null-padded to the corpus schema so one union
+    carries both sides; each group call filters its bucket vectorized."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    schema = corpus_ds.schema()
+    out_schema = pa.schema(list(zip(schema.names, schema.types)))
+    data_cols = [n for n in schema.names if n != "doc_id"]
+
+    def _bkt(ids: pa.Array) -> pa.Array:
+        # cheap deterministic int hash → bucket (doc ids may be sequential;
+        # multiply-shift scatters them across buckets)
+        v = np.asarray(ids, dtype=np.uint64)
+        return pa.array(
+            ((v * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40))
+            % np.uint64(buckets),
+            pa.int32(),
+        )
+
+    def tag_corpus(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks()
+        cols = {"_bkt": _bkt(ids), "_is_drop": pa.array([False] * len(ids)),
+                "doc_id": ids}
+        for n in data_cols:
+            cols[n] = batch.column(n)
+        return pa.table(cols)
+
+    def tag_drops(batch: pa.Table) -> pa.Table:
+        ids = pc.filter(
+            batch.column("doc_id"),
+            pc.not_equal(batch.column("doc_id"), batch.column("cluster_id")),
+        ).combine_chunks()
+        cols = {"_bkt": _bkt(ids), "_is_drop": pa.array([True] * len(ids)),
+                "doc_id": ids.cast(pa.int64())}
+        for n in data_cols:
+            cols[n] = pa.nulls(len(ids), out_schema.field(n).type)
+        return pa.table(cols)
+
+    union = corpus_ds.map_batches(
+        tag_corpus, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        clusters_ds.map_batches(
+            tag_drops, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def anti(group: pd.DataFrame) -> pa.Table:
+        is_drop = group["_is_drop"].to_numpy()
+        keep = group[~is_drop & ~group["doc_id"].isin(group.loc[is_drop, "doc_id"])]
+        return pa.Table.from_pandas(
+            keep[list(out_schema.names)], schema=out_schema, preserve_index=False
+        )
+
+    return union.groupby("_bkt").map_groups(anti, batch_format="pandas")
+
+
+def _dedup_corpus(sf_dir: str, clusters_ds):
+    """documents minus non-canonical near-dup cluster members — see
+    :func:`_filter_noncanonical` for the broadcast/anti-join path choice."""
+    import os
+
+    import ray.data as rd
+
+    corpus = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
-    ).map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return _filter_noncanonical(corpus, clusters_ds)
 
 
 def q_corpus_dedup(sf_dir: str):
@@ -691,26 +768,20 @@ def _curated_corpus(sf_dir: str, clusters_ds):
     (doc_id, lang_pred, n_words).
 
     One streamed pass computes the per-doc gates (langid + quality share the
-    same word split); only the near-dup drop set (pair-graph members —
-    small) is driver-materialized, exactly as in q_corpus_dedup.  Every gate
+    same word split); the near-dup gate runs first via
+    :func:`_filter_noncanonical` (broadcast fast path / bucketed anti-join
+    fallback) so the per-doc text work only runs on survivors.  Every gate
     is individually oracled (langid / text_quality / dup_clusters), and the
     composition has its own spliced-CTE oracle below."""
     import os
 
-    import ray
     import ray.data as rd
 
     from lightrag_ray.extras.textstats import _WORD_RE, predict_lang
 
-    drop_ref = _collect_drop_set(clusters_ds)
-
     def curate(batch: pa.Table) -> pa.Table:
         import pyarrow as pa  # noqa: F811 — worker-side
 
-        # vectorized near-dup gate first: the per-doc text work below only
-        # runs on survivors (the text gates are legitimately per-doc Python;
-        # the membership test is not)
-        batch = batch.filter(_drop_mask(batch, drop_ref))
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
         keep_ids, keep_langs, keep_words = [], [], []
@@ -735,9 +806,12 @@ def _curated_corpus(sf_dir: str, clusters_ds):
             }
         )
 
-    return rd.read_parquet(
+    corpus = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    ).map_batches(curate, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return _filter_noncanonical(corpus, clusters_ds).map_batches(
+        curate, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def _sql_curated_corpus() -> str:

@@ -387,6 +387,20 @@ def test_drop_set_broadcast_guard(ray_session, monkeypatch):
         cat._collect_drop_set(clusters)
 
 
+def test_over_guard_falls_back_to_bucketed_anti_join(ray_session, monkeypatch):
+    """When the drop set exceeds the broadcast guard, the corpus filters no
+    longer raise: they fall back to the documented bucketed anti-join (one
+    corpus shuffle, nothing driver-materialized) and must produce the
+    IDENTICAL output as the broadcast fast path."""
+    base_dedup = _normalize(C.q_corpus_dedup(SF_DIR).to_pandas())
+    base_cur = _normalize(C.q_curated_corpus(SF_DIR).to_pandas())
+    monkeypatch.setattr(C, "MAX_DROP_BROADCAST", 0)
+    fb_dedup = _normalize(C.q_corpus_dedup(SF_DIR).to_pandas())
+    fb_cur = _normalize(C.q_curated_corpus(SF_DIR).to_pandas())
+    pd.testing.assert_frame_equal(base_dedup, fb_dedup, check_dtype=False)
+    pd.testing.assert_frame_equal(base_cur, fb_cur, check_dtype=False)
+
+
 def test_ivf_ann_recall_and_exactness(ray_session):
     """IVF ANN: full-probe equals brute force exactly; recall is monotone in
     nprobe; the quantizer covers all lists and assignments are total."""
