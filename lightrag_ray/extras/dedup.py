@@ -274,9 +274,220 @@ def make_bucket_pairs_groupfn(max_bucket: int = 200, threshold: float = 0.5):
     return pairs
 
 
+# Broadcast-signature LSH (the default path): shipping the 64-perm signature
+# with EVERY band row multiplies the band shuffle by bands × sig bytes —
+# measured ~20 GB through the object store (spilling, ~95% system time) on a
+# 2.4M-doc corpus whose skinny band rows are ~1 GB.  The signature matrix is
+# the SMALL side (num_perm × 4 bytes/doc as uint32 ≈ 256 MB per million
+# docs): compute it in one distributed pass, collect it id-sorted on the
+# driver (streamed, guard-bounded), ship via ray.put, and let the band map
+# and the bucket-pair group fn LOOK UP signatures instead of carrying them.
+# Beyond the guard the sig-carrying shuffle below remains the fallback.
+# uint32 truncation only affects per-perm EQUALITY tests (false equality
+# 2^-32 per comparison — no measurable effect on the Jaccard estimate).
+MAX_SIG_BROADCAST_BYTES = 2 << 30  # ~8M docs at 64 perms
+
+
+class _SigBroadcastOverGuard(Exception):
+    pass
+
+
+def _collect_sig_broadcast(sf_dir: str, num_perm: int = 64, shingle_k: int = 5):
+    """Object-store ref to ``(ids_sorted, uint32 sig matrix)`` for the whole
+    corpus.  Signatures are computed DISTRIBUTED (the byte-kgram hashing is
+    the expensive part); the driver only streams the compact numeric rows,
+    raising :class:`_SigBroadcastOverGuard` past the byte guard."""
+    import ray
+    import ray.data as rd
+
+    def batch_sigs(batch: pa.Table) -> pa.Table:
+        ids, sig_rows = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            hashes = _byte_kgram_hashes(text or "", shingle_k)
+            if not hashes.size:
+                continue
+            ids.append(doc_id)
+            sig_rows.append(_sig_from_hashes(hashes, num_perm))
+        sigs = (
+            (np.stack(sig_rows) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            if sig_rows
+            else np.empty((0, num_perm), np.uint32)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(ids, np.int64), pa.int64()),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.ravel(), pa.uint32()), num_perm
+                ),
+            }
+        )
+
+    sig_ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(batch_sigs, batch_format="pyarrow", zero_copy_batch=True)
+
+    id_chunks, sig_chunks, total = [], [], 0
+    for b in sig_ds.iter_batches(batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        id_chunks.append(np.asarray(b.column("doc_id"), np.int64))
+        flat = np.asarray(b.column("sig").combine_chunks().flatten(), np.uint32)
+        sig_chunks.append(flat.reshape(-1, num_perm))
+        total += sig_chunks[-1].nbytes
+        if total > MAX_SIG_BROADCAST_BYTES:
+            raise _SigBroadcastOverGuard(
+                f"signature matrix exceeds {MAX_SIG_BROADCAST_BYTES} bytes — "
+                "falling back to the sig-carrying band shuffle"
+            )
+    if not id_chunks:
+        ids = np.empty(0, np.int64)
+        mat = np.empty((0, num_perm), np.uint32)
+    else:
+        ids = np.concatenate(id_chunks)
+        mat = np.vstack(sig_chunks)
+        order = np.argsort(ids, kind="stable")
+        ids, mat = ids[order], mat[order]
+    return ray.put((ids, mat))
+
+
+def _make_broadcast_bands_fn(sig_ref, num_perm: int = 64, bands: int = 16):
+    """Skinny band rows (gb, band_id, band_hash, doc_id) — signatures come
+    from the broadcast matrix, never through the shuffle."""
+    rows_per_band = num_perm // bands
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        import ray
+
+        ids_sorted, mat = ray.get(sig_ref)
+        ids = np.asarray(batch.column("doc_id").combine_chunks(), np.int64)
+        pos = np.searchsorted(ids_sorted, ids)
+        pos_c = np.minimum(pos, max(len(ids_sorted) - 1, 0))
+        ok = (
+            (pos < len(ids_sorted)) & (ids_sorted[pos_c] == ids)
+            if len(ids_sorted)
+            else np.zeros(len(ids), bool)
+        )
+        ids, pos = ids[ok], pos[ok]
+        n = len(ids)
+        if not n:
+            return pa.table(
+                {
+                    "gb": pa.array([], pa.int32()),
+                    "band_id": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        banded = mat[pos].reshape(n, bands, rows_per_band).astype(np.uint64)
+        bh = np.zeros((n, bands), np.uint64)
+        for j in range(rows_per_band):
+            bh = bh * _POLY_B + banded[:, :, j]
+        bh = _mix64(bh)
+        band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
+        band_hashes = bh.ravel().view(np.int64)
+        gb = _mix64(
+            (band_ids.view(np.uint64) * _POLY_B) ^ band_hashes.view(np.uint64)
+        ).view(np.int64) % np.int64(_LSH_REDUCE_BUCKETS)
+        return pa.table(
+            {
+                "gb": pa.array(gb, pa.int32()),
+                "band_id": pa.array(band_ids.astype(np.int32), pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+            }
+        )
+
+    return to_bands
+
+
+def make_broadcast_bucket_pairs_groupfn(
+    sig_ref, max_bucket: int = 200, threshold: float = 0.5
+):
+    """Per LSH bucket: candidate pairs with signature-estimated Jaccard,
+    signatures looked up in the broadcast matrix (zero-copy from the object
+    store) instead of carried on the rows."""
+    import pandas as pd
+
+    def one_bucket(group: pd.DataFrame, ids_sorted, mat, out: dict) -> None:
+        group = group.drop_duplicates("doc_id").sort_values("doc_id")
+        truncated = len(group) > max_bucket
+        group = group.head(max_bucket)
+        ids = group["doc_id"].to_numpy(np.int64)
+        m = len(ids)
+        if m < 2:
+            return
+        sigs = mat[np.searchsorted(ids_sorted, ids)]
+        est = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+        ai, bi = np.triu_indices(m, k=1)
+        keep = est[ai, bi] >= threshold
+        out["doc_a"].append(ids[ai[keep]])
+        out["doc_b"].append(ids[bi[keep]])
+        out["est_jaccard"].append(np.round(est[ai, bi][keep], 4))
+        out["truncated"].append(np.full(int(keep.sum()), truncated))
+
+    def pairs(coarse_group: pd.DataFrame) -> pa.Table:
+        import ray
+
+        ids_sorted, mat = ray.get(sig_ref)
+        out = {"doc_a": [], "doc_b": [], "est_jaccard": [], "truncated": []}
+        for _, g in coarse_group.groupby(["band_id", "band_hash"], sort=False):
+            one_bucket(g, ids_sorted, mat, out)
+        cat = {
+            k: (np.concatenate(v) if v else np.empty(0))
+            for k, v in out.items()
+        }
+        return pa.table(
+            {
+                "doc_a": pa.array(cat["doc_a"], pa.int64()),
+                "doc_b": pa.array(cat["doc_b"], pa.int64()),
+                "est_jaccard": pa.array(cat["est_jaccard"], pa.float64()),
+                "truncated": pa.array(
+                    cat["truncated"].astype(bool), pa.bool_()
+                ),
+            }
+        )
+
+    return pairs
+
+
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5):
     """documents → near-duplicate candidate pairs (deduplicated across
-    buckets, signature-estimated Jaccard ≥ threshold)."""
+    buckets, signature-estimated Jaccard ≥ threshold).
+
+    Default path broadcasts the signature matrix (see the block comment
+    above) so the band shuffle carries only skinny rows; beyond the
+    broadcast guard it falls back to the sig-carrying shuffle."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    try:
+        sig_ref = _collect_sig_broadcast(sf_dir)
+    except _SigBroadcastOverGuard:
+        return _minhash_lsh_pairs_shuffled(sf_dir, threshold)
+    bands = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(
+        _make_broadcast_bands_fn(sig_ref),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = bands.groupby("gb").map_groups(
+        make_broadcast_bucket_pairs_groupfn(sig_ref, threshold=threshold),
+        batch_format="pandas",
+    )
+    # a pair can surface from several bands — keep one row per pair
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard"),
+        Min("truncated", alias_name="truncated"),
+    )
+
+
+def _minhash_lsh_pairs_shuffled(sf_dir: str, threshold: float = 0.5):
+    """Over-guard fallback: signatures travel ON the band rows (bands × sig
+    bytes per doc through the shuffle).  Correct at any corpus size — the
+    broadcast path is the same algorithm with the sig transport hoisted."""
     import ray.data as rd
     from ray.data.aggregate import Max, Min
 

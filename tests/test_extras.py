@@ -387,6 +387,24 @@ def test_drop_set_broadcast_guard(ray_session, monkeypatch):
         cat._collect_drop_set(clusters)
 
 
+def test_minhash_broadcast_and_shuffled_paths_agree(ray_session, monkeypatch):
+    """The default broadcast-signature LSH path and the over-guard
+    sig-carrying shuffle fallback must emit the identical pair table (same
+    algorithm, different signature transport)."""
+    from lightrag_ray.extras import dedup as D
+
+    base = _normalize(C.q_minhash_lsh(SF_DIR).to_pandas())
+    monkeypatch.setattr(D, "MAX_SIG_BROADCAST_BYTES", 0)
+    fb = _normalize(C.q_minhash_lsh(SF_DIR).to_pandas())
+    key = ["doc_a", "doc_b"]
+    pd.testing.assert_frame_equal(
+        base.sort_values(key).reset_index(drop=True),
+        fb.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert len(base) > 0
+
+
 def test_over_guard_falls_back_to_bucketed_anti_join(ray_session, monkeypatch):
     """When the drop set exceeds the broadcast guard, the corpus filters no
     longer raise: they fall back to the documented bucketed anti-join (one
