@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from lightrag_ray.extras import dedup, events, multimodal, textstats
+from lightrag_ray.extras import dedup, events, multimodal, textstats, webquality
 
 
 def q_simhash(sf_dir: str):
@@ -482,6 +482,7 @@ def queries() -> dict[str, Callable]:
         "corpus_dedup_lsh": q_corpus_dedup_lsh,  # rows-only (LSH-fed; exact = corpus_dedup)
         "curated_corpus": q_curated_corpus,
         "curated_corpus_lsh": q_curated_corpus_lsh,  # rows-only (LSH arm; exact = curated_corpus)
+        **webquality.queries(),
     }
 
 
@@ -505,6 +506,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_dedup": SQL_CORPUS_DEDUP,
         "curated_corpus": _sql_curated_corpus(),
         "langid": textstats.SQL_LANGID,
+        **webquality.oracle_sql(),
     }
 
 

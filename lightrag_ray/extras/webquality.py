@@ -1,0 +1,401 @@
+"""Webtext curation operators: repetition quality, boilerplate shingles, PII.
+
+Three classic training-data-pipeline gates over the ``documents`` table,
+each a streaming Ray Data pipeline with an exact DuckDB oracle:
+
+* **Repetition stats** (Gopher-style quality signals, Rae et al. 2021
+  "Scaling Language Models: ... Gopher", §A1.1): per-document duplicate-word,
+  top-word and duplicate-bigram counts.  Embarrassingly parallel — one
+  ``map_batches`` pass, no shuffle.
+* **Boilerplate shingles**: word trigrams whose document frequency exceeds a
+  corpus-fraction threshold (the shingle analogue of CCNet/RefinedWeb
+  repeated-line removal — the synthetic corpus has no newlines, so the
+  repeated-unit is the word trigram).  Scale shape mirrors
+  ``catalog.q_term_df_top100``: per-batch distinct-shingle DF combiner →
+  vocab-bounded groupby → threshold filter.  The per-document scorer then
+  broadcasts the (small) boilerplate set once via ``ray.put`` and streams the
+  corpus — the big side never shuffles.
+* **PII scan / redaction**: email / phone / IPv4 regex counts and a redacted
+  text column.  The synthetic corpus carries no PII ([a-z ] only), so the
+  operator runs over a deterministic PII-bearing augmentation derived from
+  ``doc_id`` (stated identically in the SQL oracle — no external data); the
+  regexes themselves are the real operator and are additionally unit-tested
+  on crafted PII-laden strings in tests/test_webquality.py.
+
+Reference intent: LightRAG filters/cleans documents before chunking
+(``lightrag/utils.py`` sanitize + dedup at enqueue); these gates are the
+web-scale curation front-end that feeds that pipeline.
+
+Tokenization is ``[a-z0-9_]+`` over lowercased text on BOTH sides (ASCII
+class — no engine-specific ``\\w`` unicode divergence).  All emitted metrics
+are integer counts, never float ratios, so the driver's value hash cannot
+diverge on FP rounding; callers derive fractions downstream.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import Counter
+from typing import Callable
+
+import pyarrow as pa
+
+_TOKEN_RE = re.compile(r"[a-z0-9_]+")
+
+# Boilerplate threshold: a trigram is boilerplate when it appears in at least
+# ceil(n_docs / DF_DENOM) distinct documents (floor 2).  Integer arithmetic
+# on both sides — (n + DF_DENOM - 1) // DF_DENOM — so the engine and the
+# oracle can never disagree on the cutoff via FP rounding.
+DF_DENOM = 100
+
+# Broadcast guard for the boilerplate set (same pattern as
+# catalog.q_distinctive_terms): boilerplate shingles are DF-thresholded so
+# the set is tiny in practice, but a pathological corpus (one shared page
+# template) could blow it up — raise rather than OOM the driver.
+MAX_BROADCAST_SHINGLES = 5_000_000
+
+
+def _docs(sf_dir: str, columns: list[str]):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+def _min_df(n_docs: int) -> int:
+    return max(2, (n_docs + DF_DENOM - 1) // DF_DENOM)
+
+
+def _n_docs(sf_dir: str) -> int:
+    """Corpus document count from Parquet footer metadata — a metadata-only
+    read (no row groups are touched), so it stays O(#files) at 100 TB."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+
+# ---------------------------------------------------------------------------
+# 1. Gopher-style repetition stats
+
+
+def q_repetition_stats(sf_dir: str):
+    """Per-document repetition quality counts: duplicate words, top-word
+    count, duplicate bigrams.  One stateless ``map_batches`` pass — no
+    shuffle, no driver state; the canonical Gopher repetition filters
+    (duplicate-line/ngram fractions) restated as integer counts over the
+    word stream."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        out = {
+            "doc_id": batch.column("doc_id"),
+            "n_words": [],
+            "n_dup_words": [],
+            "top_word_count": [],
+            "n_2grams": [],
+            "n_dup_2grams": [],
+        }
+        for text in batch.column("text").to_pylist():
+            ws = _TOKEN_RE.findall((text or "").lower())
+            n = len(ws)
+            grams = [f"{ws[i]} {ws[i + 1]}" for i in range(n - 1)]
+            counts = Counter(ws)
+            out["n_words"].append(n)
+            out["n_dup_words"].append(n - len(counts))
+            out["top_word_count"].append(max(counts.values()) if counts else 0)
+            out["n_2grams"].append(len(grams))
+            out["n_dup_2grams"].append(len(grams) - len(set(grams)))
+        return pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "n_words": pa.array(out["n_words"], pa.int64()),
+                "n_dup_words": pa.array(out["n_dup_words"], pa.int64()),
+                "top_word_count": pa.array(out["top_word_count"], pa.int64()),
+                "n_2grams": pa.array(out["n_2grams"], pa.int64()),
+                "n_dup_2grams": pa.array(out["n_dup_2grams"], pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_REPETITION_STATS = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS gs
+  FROM w
+), cnt AS (
+  SELECT doc_id, t, count(*) AS c
+  FROM (SELECT doc_id, unnest(ws) AS t FROM w) GROUP BY doc_id, t
+), top AS (
+  SELECT doc_id, max(c) AS top_word_count FROM cnt GROUP BY doc_id
+)
+SELECT w.doc_id,
+       len(ws) AS n_words,
+       len(ws) - len(list_distinct(ws)) AS n_dup_words,
+       coalesce(top.top_word_count, 0) AS top_word_count,
+       len(gs) AS n_2grams,
+       len(gs) - len(list_distinct(gs)) AS n_dup_2grams
+FROM w
+JOIN grams ON w.doc_id = grams.doc_id
+LEFT JOIN top ON w.doc_id = top.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Boilerplate shingles (corpus-frequent word trigrams)
+
+
+def _partial_shingle_df(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: one (shingle, df) partial per distinct trigram in
+    the batch, so the shuffle carries ~|shingle vocab| rows per block, not
+    one row per trigram occurrence."""
+    df: Counter = Counter()
+    for text in batch.column("text").to_pylist():
+        ws = _TOKEN_RE.findall((text or "").lower())
+        df.update({f"{ws[i]} {ws[i + 1]} {ws[i + 2]}" for i in range(len(ws) - 2)})
+    shingles = sorted(df)
+    return pa.table(
+        {
+            "shingle": pa.array(shingles, pa.string()),
+            "df": pa.array([df[s] for s in shingles], pa.int64()),
+        }
+    )
+
+
+def _boilerplate_ds(sf_dir: str):
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    min_df = _min_df(_n_docs(sf_dir))
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(_partial_shingle_df, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shingle")
+        .aggregate(Sum("df", alias_name="df"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("df"), min_df)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+def q_boilerplate_ngrams(sf_dir: str):
+    """Corpus boilerplate shingles: word trigrams appearing in ≥
+    ``ceil(n_docs / DF_DENOM)`` distinct documents (floor 2).  Combiner →
+    shingle-vocab-bounded groupby → threshold filter; the exchange is bounded
+    by distinct-shingle count × block count, never corpus token count."""
+    return _boilerplate_ds(sf_dir)
+
+
+SQL_BOILERPLATE_NGRAMS = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+  FROM w
+)
+SELECT shingle, count(*) AS df
+FROM g
+GROUP BY shingle
+HAVING count(*) >= greatest(
+    2, ((SELECT count(*) FROM documents) + {DF_DENOM - 1}) // {DF_DENOM})
+"""
+
+
+def q_boilerplate_frac(sf_dir: str):
+    """Per-document boilerplate exposure: how many of a document's trigram
+    positions land in the corpus boilerplate set.  The boilerplate table is
+    DF-thresholded (small); it streams to the driver under a guard and ships
+    once via ``ray.put`` while the corpus streams through a stateless scorer
+    — the broadcast-join scale shape, identical to
+    ``catalog.q_distinctive_terms``."""
+    import ray
+
+    boiler: set[str] = set()
+    for b in _boilerplate_ds(sf_dir).iter_batches(
+        batch_format="pyarrow", batch_size=65536
+    ):
+        boiler.update(b.column("shingle").to_pylist())
+        if len(boiler) > MAX_BROADCAST_SHINGLES:
+            raise ValueError(
+                f"boilerplate set exceeds {MAX_BROADCAST_SHINGLES} shingles — "
+                "corpus is template-dominated; raise DF_DENOM or switch the "
+                "scorer to a hash-partitioned shingle join"
+            )
+    boiler_ref = ray.put(boiler)
+
+    def score(batch: pa.Table) -> pa.Table:
+        bset = ray.get(boiler_ref)
+        n_grams, n_boiler = [], []
+        for text in batch.column("text").to_pylist():
+            ws = _TOKEN_RE.findall((text or "").lower())
+            grams = [
+                f"{ws[i]} {ws[i + 1]} {ws[i + 2]}" for i in range(len(ws) - 2)
+            ]
+            n_grams.append(len(grams))
+            n_boiler.append(sum(1 for g in grams if g in bset))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_3grams": pa.array(n_grams, pa.int64()),
+                "n_boiler_3grams": pa.array(n_boiler, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_BOILERPLATE_FRAC = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+  FROM documents
+), gd AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+  FROM w
+), boiler AS (
+  SELECT shingle FROM gd GROUP BY shingle
+  HAVING count(*) >= greatest(
+      2, ((SELECT count(*) FROM documents) + {DF_DENOM - 1}) // {DF_DENOM})
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+  FROM w
+), hits AS (
+  SELECT g.doc_id, count(*) AS n_boiler_3grams
+  FROM g JOIN boiler USING (shingle) GROUP BY g.doc_id
+)
+SELECT w.doc_id,
+       greatest(len(ws) - 2, 0) AS n_3grams,
+       coalesce(hits.n_boiler_3grams, 0) AS n_boiler_3grams
+FROM w LEFT JOIN hits ON w.doc_id = hits.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. PII scan + redaction
+
+# ASCII-only patterns with identical semantics under Python re and DuckDB's
+# RE2 (no backreferences, no lookaround, \b is the ASCII word boundary in
+# both).  Order of redaction is fixed: email, phone, IPv4.
+PII_EMAIL = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE = r"\b555-[0-9]{4}\b"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+_PII = [
+    (re.compile(PII_EMAIL), "<EMAIL>"),
+    (re.compile(PII_PHONE), "<PHONE>"),
+    (re.compile(PII_IPV4), "<IP>"),
+]
+
+
+def scan_pii(text: str) -> tuple[int, int, int, str]:
+    """Count and redact email / phone / IPv4 matches.  Pure function — the
+    real operator, unit-tested on crafted PII strings independently of the
+    doc_id augmentation below."""
+    counts = []
+    for pat, token in _PII:
+        counts.append(len(pat.findall(text)))
+        text = pat.sub(token, text)
+    return counts[0], counts[1], counts[2], text
+
+
+def _augment(text: str, doc_id: int) -> str:
+    # Deterministic PII fixture: the synthetic corpus is [a-z ]-only, so
+    # derive one email, one phone and one IP per document from doc_id.
+    # Stated identically in SQL_PII_SCAN.
+    return (
+        f"{text} contact user{doc_id}@example.com or call "
+        f"555-{doc_id % 10000:04d} from 10.0.{doc_id % 256}.1"
+    )
+
+
+def q_pii_scan(sf_dir: str):
+    """PII scan over the deterministically augmented corpus: per-document
+    email/phone/IPv4 counts plus the redacted text.  Stateless
+    ``map_batches`` — no shuffle; the regex set compiles once at module
+    import, not per batch."""
+
+    def scan(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        n_em, n_ph, n_ip, red = [], [], [], []
+        for doc_id, text in zip(doc_ids, batch.column("text").to_pylist()):
+            e, p, i, r = scan_pii(_augment(text or "", doc_id))
+            n_em.append(e)
+            n_ph.append(p)
+            n_ip.append(i)
+            red.append(r)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_emails": pa.array(n_em, pa.int64()),
+                "n_phones": pa.array(n_ph, pa.int64()),
+                "n_ips": pa.array(n_ip, pa.int64()),
+                "redacted": pa.array(red, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        scan, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_PII_SCAN = rf"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or call 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(
+           regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+           '{PII_PHONE}')) AS n_phones,
+       len(regexp_extract_all(
+           regexp_replace(regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{PII_PHONE}', '<PHONE>', 'g'),
+           '{PII_IPV4}')) AS n_ips,
+       regexp_replace(
+           regexp_replace(regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{PII_PHONE}', '<PHONE>', 'g'),
+           '{PII_IPV4}', '<IP>', 'g') AS redacted
+FROM aug
+"""
+
+
+def queries() -> dict[str, Callable]:
+    return {
+        "repetition_stats": q_repetition_stats,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "boilerplate_frac": q_boilerplate_frac,
+        "pii_scan": q_pii_scan,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "repetition_stats": SQL_REPETITION_STATS,
+        "boilerplate_ngrams": SQL_BOILERPLATE_NGRAMS,
+        "boilerplate_frac": SQL_BOILERPLATE_FRAC,
+        "pii_scan": SQL_PII_SCAN,
+    }

@@ -1,0 +1,142 @@
+"""Unit tests for the webtext curation operators (extras/webquality.py).
+
+DuckDB parity for all four ops runs automatically via
+tests/test_extras.py's parametrization over catalog.oracle_sql(); here we
+pin the kernels on crafted inputs where the expected values are hand-
+computable — repetition arithmetic, boilerplate thresholding, and the PII
+regex/redaction contract on genuinely PII-laden strings (independent of the
+doc_id augmentation used for the driver oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lightrag_ray.extras import webquality as W
+
+
+def _write_docs(tmp_path, texts):
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmp_path, "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_scan_pii_counts_and_redacts():
+    e, p, i, red = W.scan_pii(
+        "mail a.b_c@sub.example.org now, call 555-0199 or 555-12345, "
+        "host 192.168.0.1 and 999.999.999.999 but not 1.2.3"
+    )
+    assert e == 1
+    # 555-12345 fails the trailing \b? no — \b after 4 digits falls inside
+    # the digit run, so only 555-0199 matches.
+    assert p == 1
+    # the regex is a scanner, not a validator: 999.999.999.999 matches by
+    # design (same RE2 semantics as the oracle); 1.2.3 has 3 octets — no.
+    assert i == 2
+    assert "<EMAIL>" in red and "<PHONE>" in red and red.count("<IP>") == 2
+    assert "a.b_c@sub.example.org" not in red
+    assert "555-0199" not in red
+
+
+def test_scan_pii_order_email_before_phone():
+    # counts are computed sequentially post-redaction, same as the oracle.
+    # The email local-part class has no hyphen, so only "0111@mail.com"
+    # matches; the leading "x555-" survives and does NOT count as a phone
+    # (no word boundary between "x" and "5").
+    e, p, i, red = W.scan_pii("x555-0111@mail.com 555-0111")
+    assert e == 1 and p == 1
+    assert red == "x555-<EMAIL> <PHONE>"
+
+
+def test_repetition_stats_hand_computed(ray_session, tmp_path):
+    sf = _write_docs(tmp_path, ["a b a b c", "x x x", "", "solo"])
+    rows = {
+        r["doc_id"]: r
+        for r in W.q_repetition_stats(sf).take_all()
+    }
+    # "a b a b c": 5 words, 3 distinct → 2 dup; top count 2 ("a"/"b");
+    # bigrams: "a b","b a","a b","b c" → 4, distinct 3 → 1 dup
+    assert rows[0] == {
+        "doc_id": 0,
+        "n_words": 5,
+        "n_dup_words": 2,
+        "top_word_count": 2,
+        "n_2grams": 4,
+        "n_dup_2grams": 1,
+    }
+    # "x x x": 3 words 1 distinct → 2 dup; top 3; bigrams "x x","x x" → 1 dup
+    assert rows[1]["n_dup_words"] == 2
+    assert rows[1]["top_word_count"] == 3
+    assert rows[1]["n_2grams"] == 2 and rows[1]["n_dup_2grams"] == 1
+    # empty doc: all zeros
+    assert rows[2]["n_words"] == 0 and rows[2]["top_word_count"] == 0
+    assert rows[3] == {
+        "doc_id": 3,
+        "n_words": 1,
+        "n_dup_words": 0,
+        "top_word_count": 1,
+        "n_2grams": 0,
+        "n_dup_2grams": 0,
+    }
+
+
+def test_boilerplate_threshold_and_frac(ray_session, tmp_path):
+    # 10 docs: "nav home about" is a planted template shingle in 4 of them
+    # (min_df = max(2, ceil(10/100)) = 2); "p q r" appears once — below.
+    texts = ["nav home about body %d" % i for i in range(4)] + [
+        "p%d q%d r%d unique" % (i, i, i) for i in range(6)
+    ]
+    sf = _write_docs(tmp_path, texts)
+    boiler = {
+        r["shingle"]: r["df"] for r in W.q_boilerplate_ngrams(sf).take_all()
+    }
+    assert boiler["nav home about"] == 4
+    assert "p0 q0 r0" not in boiler  # df=1 < 2 (every tail doc differs)
+    assert all(df >= 2 for df in boiler.values())
+
+    frac = {r["doc_id"]: r for r in W.q_boilerplate_frac(sf).take_all()}
+    # "nav home about body 0": 5 words → 3 trigram positions; hits =
+    # positions whose trigram is boilerplate (at least "nav home about";
+    # "home about body" also has df=4 → boiler too; "about body i" differs
+    # per doc → df=1).
+    assert frac[0]["n_3grams"] == 3
+    assert frac[0]["n_boiler_3grams"] == 2
+    assert frac[9]["n_boiler_3grams"] == 0
+
+
+def test_min_df_integer_arithmetic():
+    assert W._min_df(10) == 2  # floor
+    assert W._min_df(100) == 2
+    assert W._min_df(101) == 2  # ceil(101/100)
+    assert W._min_df(201) == 3
+    assert W._min_df(500) == 5
+    assert W._min_df(5000) == 50
+
+
+def test_boilerplate_broadcast_guard(ray_session, tmp_path, monkeypatch):
+    texts = ["one shared template line" for _ in range(5)]
+    sf = _write_docs(tmp_path, texts)
+    monkeypatch.setattr(W, "MAX_BROADCAST_SHINGLES", 0)
+    with pytest.raises(ValueError, match="boilerplate set exceeds"):
+        W.q_boilerplate_frac(sf)
+
+
+def test_pii_scan_augmentation_round_trip(ray_session, tmp_path):
+    sf = _write_docs(tmp_path, ["hello world", ""])
+    rows = {r["doc_id"]: r for r in W.q_pii_scan(sf).take_all()}
+    assert rows[0]["n_emails"] == 1
+    assert rows[0]["n_phones"] == 1
+    assert rows[0]["n_ips"] == 1
+    assert rows[0]["redacted"] == (
+        "hello world contact <EMAIL> or call <PHONE> from <IP>"
+    )
+    assert rows[1]["redacted"].startswith(" contact <EMAIL>")
