@@ -280,6 +280,28 @@ def run_dedup_legs() -> dict:
     return out
 
 
+def run_webquality_legs() -> dict:
+    """Webtext curation gates at bench scale: repetition stats, the
+    boilerplate scorer (DF combiner → vocab-bounded groupby → guarded
+    broadcast) and PII redaction over the replicated documents corpus.
+    Consumed with count() so the corpus-sized outputs stream through the
+    executor instead of landing on the driver."""
+    from lightrag_ray.extras import webquality as WQ
+
+    sf_like = synth_replicated_documents()
+    out = {}
+    for name, fn in (
+        ("repetition_stats", WQ.q_repetition_stats),
+        ("boilerplate_frac", WQ.q_boilerplate_frac),
+        ("pii_scan", WQ.q_pii_scan),
+    ):
+        t0 = time.perf_counter()
+        n = fn(sf_like).count()
+        out[name] = round(time.perf_counter() - t0, 3)
+        out[f"{name}_rows"] = n
+    return out
+
+
 def run_queries() -> dict:
     from lightrag_ray.extras import catalog as X
     from lightrag_ray.pipelines import queries as Q
@@ -322,6 +344,7 @@ def main() -> None:
     )
     qtimes = {} if headline_only else run_queries()
     dedup_legs = {} if headline_only else run_dedup_legs()
+    webq_legs = {} if headline_only else run_webquality_legs()
     ray.shutdown()
 
     print(
@@ -339,8 +362,14 @@ def main() -> None:
                         for k, v in dedup_legs.items()
                         if not k.endswith(("_rows", "_cc_iters"))
                     },
+                    **{
+                        k: v
+                        for k, v in webq_legs.items()
+                        if not k.endswith("_rows")
+                    },
                 },
                 "dedup_legs": dedup_legs,
+                "webquality_legs": webq_legs,
                 "sf": os.path.basename(os.path.normpath(SF_DIR)),
                 "num_cpus": NUM_CPUS,
                 "effective_cpus": round(eff, 1),

@@ -70,10 +70,19 @@ def _min_df(n_docs: int) -> int:
 
 def _n_docs(sf_dir: str) -> int:
     """Corpus document count from Parquet footer metadata — a metadata-only
-    read (no row groups are touched), so it stays O(#files) at 100 TB."""
+    read (no row groups are touched), so it stays O(#files) at 100 TB.
+    Accepts both a single file and a directory of part files."""
+    import glob
+
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    path = os.path.join(sf_dir, "documents.parquet")
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
 # ---------------------------------------------------------------------------
