@@ -5,7 +5,14 @@ from __future__ import annotations
 
 from typing import Callable
 
-from lightrag_ray.extras import dedup, events, multimodal, textstats, webquality
+from lightrag_ray.extras import (
+    dedup,
+    events,
+    multimodal,
+    textstats,
+    webcrawl,
+    webquality,
+)
 
 
 def q_simhash(sf_dir: str):
@@ -483,6 +490,7 @@ def queries() -> dict[str, Callable]:
         "curated_corpus": q_curated_corpus,
         "curated_corpus_lsh": q_curated_corpus_lsh,  # rows-only (LSH arm; exact = curated_corpus)
         **webquality.queries(),
+        **webcrawl.queries(),
     }
 
 
@@ -507,6 +515,7 @@ def oracle_sql() -> dict[str, str]:
         "curated_corpus": _sql_curated_corpus(),
         "langid": textstats.SQL_LANGID,
         **webquality.oracle_sql(),
+        **webcrawl.oracle_sql(),
     }
 
 

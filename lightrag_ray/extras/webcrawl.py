@@ -1,0 +1,596 @@
+"""Common-Crawl-style web-corpus operators: URL canonicalization + refetch
+dedup, per-host crawl stats, BM25 keyword retrieval, benchmark
+decontamination.
+
+Four webtext-pipeline gates that operate on the page/url shape of the
+north-star input (``url:string, warc_ts:timestamp`` per page), each a
+streaming Ray Data pipeline with an exact DuckDB oracle:
+
+* **URL canonicalization + latest-wins dedup**: Common Crawl refetches the
+  same page across snapshots under cosmetically different URLs (scheme/host
+  case, ``www.`` prefix, tracking query params, fragments).  The
+  canonicalizer is a chain of vectorized Arrow RE2 kernels (both Arrow and
+  DuckDB run RE2, so the two sides are byte-identical by construction);
+  dedup keeps the latest fetch per canonical URL — per-batch combiner, one
+  bounded-bucket shuffle, never a per-key ``map_groups``.
+* **Host stats**: pages / fetches / last-crawl per registered host over the
+  deduped crawl — one aggregate over the dedup output.
+* **BM25 top-k retrieval**: the classic keyword-retrieval scorer
+  (Robertson/Sparck Jones; k1=1.2, b=0.75) for a fixed query-term set.  The
+  corpus is tokenized ONCE into a narrow per-doc term-frequency table
+  (written to Parquet so the stats pass and the scoring pass never re-read
+  the 100-TB text column); global stats are one tiny aggregate; scoring
+  streams with per-batch top-k combiners so the final sort sees only
+  k × blocks survivor rows.  IDFs are computed once on the driver with libm
+  ``math.log`` — DuckDB's ``ln`` is the same libm call, and every remaining
+  per-row operation is IEEE +,-,*,/ stated in identical association order
+  on both sides, so scores match bit-for-bit before the round(4).
+* **Decontamination**: flag training documents sharing any 8-word-gram with
+  a held-out benchmark set (the GPT-3/Pile 13-gram decontamination gate,
+  shortened to 8 for the synthetic corpus's short docs).  The benchmark
+  side of the real operator is always small (eval suites, not corpora), so
+  its distinct-gram set is streamed to the driver under an explicit guard
+  and broadcast once via ``ray.put``; the training corpus streams through a
+  stateless membership scorer and NEVER shuffles.
+
+The synthetic ``documents`` table has no url/timestamp columns, so the page
+identity (url, warc_ts) is a deterministic augmentation derived from
+``doc_id`` — stated identically in the SQL oracles (no external data), same
+precedent as the PII augmentation in extras/webquality.py.  The
+canonicalizer, BM25 scorer and gram-membership kernels are the real
+operators and are additionally unit-tested on crafted inputs in
+tests/test_webcrawl.py.
+
+Reference intent: LightRAG ingests pre-curated documents
+(``lightrag/lightrag.py`` ``ainsert`` path — enqueue dedup, sanitize); these
+gates are the crawl-side curation front-end that produces that corpus, and
+BM25 is the keyword-retrieval analogue of its vector top-k
+(``lightrag/operate.py`` keyword/vector mixed query path).
+
+Tokenization is ``[a-z0-9_]+`` over lowercased text on BOTH sides (ASCII
+class — no engine-specific ``\\w`` unicode divergence).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+from collections import Counter
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+
+_TOKEN_RE = re.compile(r"[a-z0-9_]+")
+
+# ---------------------------------------------------------------------------
+# Synthetic page identity (deterministic doc_id augmentation, mirrored in SQL)
+
+_TS_EPOCH = 1_600_000_000  # warc_ts = epoch + doc_id * 7 (monotone in doc_id)
+
+
+def _synth_urls(ids: np.ndarray) -> np.ndarray:
+    """Deterministic raw URL per doc_id, vectorized (np.char elementwise
+    kernels — no Python loop).  Collisions are built in: doc_ids congruent
+    mod lcm(7, 50) = 350 canonicalize to the same page, differing only in
+    case, ``www.``, tracking params and fragments."""
+    u = ids.astype("U20")
+    prefix = np.where(ids % 2 == 0, "https://WWW.", "https://")
+    site = np.char.add(np.char.add("Site", (ids % 7).astype("U4")), ".Example.com/a/")
+    path = (ids % 50).astype("U4")
+    query = np.where(
+        ids % 3 == 0, np.char.add("?utm_source=feed&sess=", u), ""
+    )
+    frag = np.where(ids % 5 == 0, np.char.add("#sec", (ids % 4).astype("U4")), "")
+    out = np.char.add(prefix, site)
+    out = np.char.add(out, path)
+    out = np.char.add(out, query)
+    return np.char.add(out, frag)
+
+
+SQL_SYNTH_PAGES = """
+  SELECT doc_id,
+         'https://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+           || 'Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.com/a/'
+           || CAST(doc_id % 50 AS VARCHAR)
+           || CASE WHEN doc_id % 3 = 0
+                THEN '?utm_source=feed&sess=' || CAST(doc_id AS VARCHAR)
+                ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                THEN '#sec' || CAST(doc_id % 4 AS VARCHAR)
+                ELSE '' END AS url,
+         1600000000 + doc_id * 7 AS warc_ts
+  FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# 1. URL canonicalization + latest-wins refetch dedup
+
+
+def canonicalize_urls(urls: pa.Array) -> pa.Array:
+    """Canonical form of crawl URLs, fully vectorized (Arrow RE2 kernels):
+    lowercase, strip the fragment, strip trailing tracking query strings
+    (``?utm_...``), strip a ``www.`` host prefix.  DuckDB's regexp_replace
+    is the same RE2 engine, so the oracle restates these four rewrites
+    verbatim and the two sides agree byte-for-byte."""
+    import pyarrow.compute as pc
+
+    x = pc.utf8_lower(urls)
+    x = pc.replace_substring_regex(x, pattern="#.*$", replacement="")
+    x = pc.replace_substring_regex(x, pattern=r"\?utm_[^#]*$", replacement="")
+    return pc.replace_substring_regex(x, pattern=r"://www\.", replacement="://")
+
+
+_SQL_CANON = (
+    r"regexp_replace(regexp_replace(regexp_replace(lower(url), "
+    r"'#.*$', ''), '\?utm_[^#]*$', ''), '://www\.', '://')"
+)
+
+_DEDUP_BUCKETS = 64
+
+
+def _url_bucket(canon: list) -> list:
+    """Deterministic coarse bucket per canonical URL (zlib.crc32 — stable
+    across runs/processes, unlike Python hash()).  Applied only to
+    combiner-shrunken partial rows, never the raw corpus."""
+    import zlib
+
+    return [zlib.crc32(c.encode()) % _DEDUP_BUCKETS for c in canon]
+
+
+def _synth_canon_pages(sf_dir: str):
+    """documents → (doc_id, warc_ts, canonical_url), streaming."""
+    import ray.data as rd
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        urls = pa.array(_synth_urls(ids), pa.string())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "warc_ts": pa.array(_TS_EPOCH + ids * 7, pa.int64()),
+                "canonical_url": canonicalize_urls(urls),
+            }
+        )
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(to_pages, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_url_dedup(sf_dir: str):
+    """Latest-wins page dedup over the canonicalized crawl: one surviving
+    row per canonical URL — the fetch with the greatest (warc_ts, doc_id) —
+    plus the refetch count.
+
+    Scale shape: a per-batch combiner collapses each batch to one partial
+    row per canonical URL (lexicographic max + count, vectorized pandas
+    sort/tail), then ONE bounded-bucket shuffle (``_DEDUP_BUCKETS`` groups,
+    never per-key ``map_groups``) finishes the argmax — the same bucketed
+    reduce shape as stages/merge.py.  The exchange carries combiner
+    partials, not raw fetches."""
+    import pandas as pd
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        last = (
+            df.sort_values(["canonical_url", "warc_ts", "doc_id"])
+            .groupby("canonical_url", sort=False)
+            .tail(1)
+        )
+        cnt = (
+            df.groupby("canonical_url", sort=False, as_index=False)
+            .agg(n_fetches=("n_fetches", "sum"))
+            if "n_fetches" in df.columns
+            else df.groupby("canonical_url", sort=False, as_index=False)
+            .agg(n_fetches=("doc_id", "size"))
+        )
+        out = last.merge(cnt, on="canonical_url", suffixes=("_drop", ""))
+        if "n_fetches_drop" in out.columns:
+            out = out.drop(columns=["n_fetches_drop"])
+        return out[["canonical_url", "doc_id", "warc_ts", "n_fetches"]]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = combine(batch.to_pandas())
+        out["bucket"] = _url_bucket(out["canonical_url"].tolist())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def finalize(group: pd.DataFrame) -> pa.Table:
+        out = combine(group)
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema(
+                [
+                    ("canonical_url", pa.string()),
+                    ("doc_id", pa.int64()),
+                    ("warc_ts", pa.int64()),
+                    ("n_fetches", pa.int64()),
+                ]
+            ),
+            preserve_index=False,
+        )
+
+    return (
+        _synth_canon_pages(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+SQL_URL_DEDUP = f"""
+WITH pages AS ({SQL_SYNTH_PAGES}),
+canon AS (
+  SELECT doc_id, warc_ts, {_SQL_CANON} AS canonical_url FROM pages
+)
+SELECT canonical_url,
+       max(doc_id)  AS doc_id,
+       max(warc_ts) AS warc_ts,
+       count(*)     AS n_fetches
+FROM canon GROUP BY canonical_url
+"""
+
+
+def q_host_stats(sf_dir: str):
+    """Per-host crawl summary over the deduped pages: distinct pages,
+    total fetches, last crawl timestamp.  Host extraction is one RE2
+    backreference rewrite (identical kernel in DuckDB); the aggregate runs
+    over the (already combiner-shrunken) dedup output — hosts are few, the
+    groupby exchange is tiny."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        host = pc.replace_substring_regex(
+            batch.column("canonical_url"),
+            pattern=r"^https://([^/]*).*$",
+            replacement=r"\1",
+        )
+        return pa.table(
+            {
+                "host": host,
+                "n_fetches": batch.column("n_fetches"),
+                "warc_ts": batch.column("warc_ts"),
+                "one": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        q_url_dedup(sf_dir)
+        .map_batches(add_host, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("host")
+        .aggregate(
+            Sum("n_fetches", alias_name="n_fetches"),
+            Max("warc_ts", alias_name="last_ts"),
+            Sum("one", alias_name="n_pages"),
+        )
+    )
+
+
+SQL_HOST_STATS = f"""
+WITH pages AS ({SQL_SYNTH_PAGES}),
+canon AS (
+  SELECT doc_id, warc_ts, {_SQL_CANON} AS canonical_url FROM pages
+),
+dedup AS (
+  SELECT canonical_url, max(warc_ts) AS warc_ts, count(*) AS n_fetches
+  FROM canon GROUP BY canonical_url
+)
+SELECT regexp_replace(canonical_url, '^https://([^/]*).*$', '\\1') AS host,
+       sum(n_fetches) AS n_fetches,
+       max(warc_ts)   AS last_ts,
+       count(*)       AS n_pages
+FROM dedup GROUP BY host
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. BM25 top-k keyword retrieval
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ("key", "merge", "table", "window")
+
+
+def _bm25_tf_dir(sf_dir: str, terms: tuple) -> str:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + "|" + ",".join(terms)).encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "lightrag_ray_bm25", tag)
+
+
+def _bm25_build_tf(sf_dir: str, terms: tuple) -> str:
+    """Tokenize the corpus ONCE into the narrow per-doc table
+    (doc_id, dl, tf_0..tf_{n-1}) and persist it as Parquet — the stats pass
+    and the scoring pass read the few-ints-per-doc table instead of
+    re-scanning the 100-TB text column.  Idempotent via a marker file, same
+    contract as dedup.ivf_build_index."""
+    import json
+    import shutil
+
+    import ray.data as rd
+
+    out_dir = _bm25_tf_dir(sf_dir, terms)
+    marker = os.path.join(out_dir, "_BM25_TF.json")
+    if os.path.exists(marker):
+        return out_dir
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+
+    def tf_batch(batch: pa.Table) -> pa.Table:
+        cols: dict = {"doc_id": batch.column("doc_id")}
+        dl, tfs = [], [[] for _ in terms]
+        for text in batch.column("text").to_pylist():
+            toks = _TOKEN_RE.findall((text or "").lower())
+            c = Counter(toks)
+            dl.append(len(toks))
+            for i, t in enumerate(terms):
+                tfs[i].append(c.get(t, 0))
+        cols["dl"] = pa.array(dl, pa.int64())
+        for i in range(len(terms)):
+            cols[f"tf_{i}"] = pa.array(tfs[i], pa.int64())
+        return pa.table(cols)
+
+    rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(
+        tf_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(out_dir)
+    with open(marker, "w") as f:
+        json.dump({"sf_dir": sf_dir, "terms": list(terms)}, f)
+    return out_dir
+
+
+def q_bm25_topk(sf_dir: str, k: int = 10, terms: tuple = BM25_QUERY_TERMS):
+    """BM25 top-``k`` documents for the fixed query-term set.
+
+    Three cheap passes over the NARROW tf table (built once): (1) one
+    aggregate for N, Σdl and per-term document frequencies; (2) a driver
+    scalar per term — ``idf = ln((N - df + .5)/(df + .5) + 1)`` via libm
+    ``math.log`` (DuckDB ``ln`` is the same libm); (3) a streamed scorer
+    whose per-row math is pure IEEE +,-,*,/ written in the identical
+    association order as the oracle, with a per-batch local top-k combiner
+    so the global sort sees k × blocks rows, not the corpus."""
+    import ray.data as rd
+
+    tf_dir = _bm25_build_tf(sf_dir, terms)
+    glob_files = sorted(
+        os.path.join(tf_dir, f)
+        for f in os.listdir(tf_dir)
+        if f.endswith(".parquet")
+    )
+    tf_ds = rd.read_parquet(glob_files)
+
+    nt = len(terms)
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        cols = {"dl": batch.column("dl")}
+        for i in range(nt):
+            cols[f"nz_{i}"] = pa.array(
+                (np.asarray(batch.column(f"tf_{i}"), np.int64) > 0).astype(
+                    np.int64
+                ),
+                pa.int64(),
+            )
+        return pa.table(cols)
+
+    n_docs = tf_ds.count()
+    sums = tf_ds.map_batches(
+        indicators, batch_format="pyarrow", zero_copy_batch=True
+    ).sum(on=["dl"] + [f"nz_{i}" for i in range(nt)])
+    avgdl = sums["sum(dl)"] / n_docs
+    idf = [
+        math.log((n_docs - sums[f"sum(nz_{i})"] + 0.5) / (sums[f"sum(nz_{i})"] + 0.5) + 1.0)
+        for i in range(nt)
+    ]
+
+    def score(batch: pa.Table) -> pa.Table:
+        dl = np.asarray(batch.column("dl"), np.float64)
+        denom_norm = 1.0 - BM25_B + BM25_B * (dl / avgdl)
+        s = np.zeros(len(dl), np.float64)
+        for i in range(nt):
+            tf = np.asarray(batch.column(f"tf_{i}"), np.float64)
+            s = s + idf[i] * (tf * (BM25_K1 + 1.0)) / (tf + BM25_K1 * denom_norm)
+        out = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "score": pa.array(np.round(s, 4), pa.float64()),
+            }
+        )
+        # local top-k combiner: only k rows per batch reach the global sort
+        order = np.lexsort(
+            (np.asarray(out.column("doc_id"), np.int64), -np.asarray(out.column("score"), np.float64))
+        )[:k]
+        return out.take(pa.array(np.sort(order), pa.int64()))
+
+    return (
+        tf_ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def _sql_bm25(k: int = 10, terms: tuple = BM25_QUERY_TERMS) -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(ts, t -> t = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln((n - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * (tf_{i} * {BM25_K1 + 1.0}) "
+        f"/ (tf_{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * (dl / avgdl)))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, len(ts) AS dl,
+         {tf_cols}
+  FROM toks
+),
+stats AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         {df_cols}
+  FROM tf
+)
+SELECT doc_id, round({score}, 4) AS score
+FROM tf, stats
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Benchmark decontamination (8-word-gram overlap vs a held-out eval set)
+
+DECONTAM_N = 8
+EVAL_MOD = 20  # doc is in the benchmark set iff md5(doc_id) % EVAL_MOD == 0
+MAX_BROADCAST_GRAMS = 5_000_000  # eval suites are small; a benchmark whose
+# distinct-gram set exceeds this is a mis-specified input — raise, don't OOM.
+
+
+def _is_eval_mask(ids: list) -> pa.Array:
+    import hashlib
+
+    return pa.array(
+        [
+            int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % EVAL_MOD == 0
+            for d in ids
+        ]
+    )
+
+
+def _doc_grams(text: str) -> set:
+    ws = _TOKEN_RE.findall((text or "").lower())
+    return {
+        " ".join(ws[i : i + DECONTAM_N])
+        for i in range(len(ws) - DECONTAM_N + 1)
+    }
+
+
+def q_decontam(sf_dir: str):
+    """Per-training-doc contamination flags vs the held-out benchmark set:
+    ``n_eval_grams`` = distinct 8-grams of the doc that appear anywhere in
+    the eval set, ``contaminated`` = 1 iff any overlap.
+
+    Scale shape: the eval side (1/{EVAL_MOD} of docs here; real eval suites
+    are tiny) streams its per-batch DISTINCT grams to the driver under
+    ``MAX_BROADCAST_GRAMS`` (raise, never OOM), broadcast once via
+    ``ray.put``; the training corpus then streams through a stateless
+    membership scorer — the big side never shuffles and is read exactly
+    once."""
+    import ray
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keep = _is_eval_mask(ids)
+        grams: set = set()
+        for text in batch.filter(keep).column("text").to_pylist():
+            grams |= _doc_grams(text)
+        return pa.table({"gram": pa.array(sorted(grams), pa.string())})
+
+    gram_set: set = set()
+    for b in docs.map_batches(
+        eval_grams, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow", batch_size=65536):
+        gram_set.update(b.column("gram").to_pylist())
+        if len(gram_set) > MAX_BROADCAST_GRAMS:
+            raise ValueError(
+                f"benchmark gram set exceeds {MAX_BROADCAST_GRAMS} — "
+                "not a held-out eval set; refusing to broadcast"
+            )
+    gram_ref = ray.put(gram_set)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        grams = ray.get(gram_ref)
+        ids = batch.column("doc_id").to_pylist()
+        keep = _is_eval_mask(ids)
+        train = batch.filter(pc.invert(keep))
+        n_hits = [
+            sum(1 for g in _doc_grams(text) if g in grams)
+            for text in train.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": train.column("doc_id"),
+                "n_eval_grams": pa.array(n_hits, pa.int64()),
+                "contaminated": pa.array(
+                    [1 if h > 0 else 0 for h in n_hits], pa.int64()
+                ),
+            }
+        )
+
+    return docs.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_DECONTAM = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+           % {EVAL_MOD} = 0 AS is_eval
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, is_eval,
+         array_to_string(ts[i:i + {DECONTAM_N - 1}], ' ') AS gram
+  FROM toks,
+       UNNEST(range(1, greatest(len(ts) - {DECONTAM_N - 2}, 1))) AS u(i)
+),
+eval_grams AS (SELECT DISTINCT gram FROM grams WHERE is_eval),
+hits AS (
+  SELECT g.doc_id, count(DISTINCT g.gram) AS n_eval_grams
+  FROM (SELECT DISTINCT doc_id, gram FROM grams WHERE NOT is_eval) g
+  JOIN eval_grams e USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+       coalesce(h.n_eval_grams, 0) AS n_eval_grams,
+       CASE WHEN coalesce(h.n_eval_grams, 0) > 0 THEN 1 ELSE 0 END
+         AS contaminated
+FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
+WHERE NOT t.is_eval
+"""
+
+
+# ---------------------------------------------------------------------------
+# registration
+
+
+def q_bm25_top10(sf_dir: str):
+    return q_bm25_topk(sf_dir, k=10)
+
+
+def queries() -> dict[str, Callable]:
+    return {
+        "url_dedup": q_url_dedup,
+        "host_stats": q_host_stats,
+        "bm25_top10": q_bm25_top10,
+        "decontam": q_decontam,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "url_dedup": SQL_URL_DEDUP,
+        "host_stats": SQL_HOST_STATS,
+        "bm25_top10": _sql_bm25(),
+        "decontam": SQL_DECONTAM,
+    }
