@@ -289,6 +289,63 @@ SELECT doc_id, lang FROM (
 """
 
 
+def q_balanced_lang_sample(sf_dir: str):
+    """Domain-mix resampling: downsample every language stratum to the
+    minority stratum's EXPECTED share via deterministic hash acceptance —
+    the training-data mixing primitive (rebalance a skewed crawl toward a
+    target distribution; here the target is uniform).
+
+    A doc survives iff ``md5_u32(doc_id) × count(lang) < min_count × 2³²``
+    — acceptance probability min_count/count(lang) per stratum, decided by
+    PURE INTEGER cross-multiplication (Python arbitrary-precision ints vs
+    HUGEINT in the oracle), so the two sides can never disagree on a
+    boundary the way a float threshold could.  Scale shape: the per-lang
+    counts come from one tiny groupby (strata are few), broadcast in the
+    task closure; the corpus itself streams through a stateless filter —
+    no shuffle, read exactly once.  Unlike ``q_stratified_sample`` (exact
+    first-K, needs a per-stratum ordering) this is one pass, sizes strata
+    in expectation, and composes with resume (selection depends only on
+    doc_id)."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    cnt_rows = docs.groupby("lang").count().take_all()
+    counts = {r["lang"]: int(r["count()"]) for r in cnt_rows}
+    min_count = min(counts.values())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        mask = pa.array(
+            [
+                int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+                * counts[l]
+                < min_count << 32
+                for d, l in zip(ids, langs)
+            ]
+        )
+        return batch.filter(mask)
+
+    return docs.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_BALANCED_LANG_SAMPLE = """
+WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+mn AS (SELECT min(c) AS m FROM cnt)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN cnt USING (lang), mn
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+           AS HUGEINT) * cnt.c
+      < CAST(mn.m AS HUGEINT) * 4294967296
+"""
+
+
 def q_term_df_top100(sf_dir: str, k: int = 100):
     """Corpus term statistics: top-``k`` terms by document frequency.
 
@@ -474,6 +531,7 @@ def queries() -> dict[str, Callable]:
         "binary_extract": q_binary_extract,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
+        "balanced_lang_sample": q_balanced_lang_sample,
         "term_df_top100": q_term_df_top100,
         "distinctive_terms": q_distinctive_terms,
         "minhash_lsh_pairs": q_minhash_lsh,  # rows-only (LSH is approximate)
@@ -508,6 +566,7 @@ def oracle_sql() -> dict[str, str]:
         "binary_extract": SQL_BINARY_EXTRACT,
         "hash_sample": SQL_HASH_SAMPLE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "balanced_lang_sample": SQL_BALANCED_LANG_SAMPLE,
         "term_df_top100": SQL_TERM_DF_TOP100,
         "distinctive_terms": SQL_DISTINCTIVE_TERMS,
         "dup_clusters": SQL_DUP_CLUSTERS,
