@@ -302,6 +302,27 @@ def run_webquality_legs() -> dict:
     return out
 
 
+def run_webcrawl_legs() -> dict:
+    """Crawl-side operators at bench scale: URL canonicalization dedup
+    (bounded-bucket argmax reduce), BM25 scoring (narrow TF table build +
+    score), and 8-gram decontamination (guarded eval-gram broadcast into an
+    actor-pool scorer) over the replicated documents corpus."""
+    from lightrag_ray.extras import webcrawl as WC
+
+    sf_like = synth_replicated_documents()
+    out = {}
+    for name, fn in (
+        ("url_dedup", WC.q_url_dedup),
+        ("bm25_top10", WC.q_bm25_top10),
+        ("decontam", WC.q_decontam),
+    ):
+        t0 = time.perf_counter()
+        n = fn(sf_like).count()
+        out[name] = round(time.perf_counter() - t0, 3)
+        out[f"{name}_rows"] = n
+    return out
+
+
 def run_queries() -> dict:
     from lightrag_ray.extras import catalog as X
     from lightrag_ray.pipelines import queries as Q
@@ -345,6 +366,7 @@ def main() -> None:
     qtimes = {} if headline_only else run_queries()
     dedup_legs = {} if headline_only else run_dedup_legs()
     webq_legs = {} if headline_only else run_webquality_legs()
+    webcrawl_legs = {} if headline_only else run_webcrawl_legs()
     ray.shutdown()
 
     print(
@@ -367,9 +389,15 @@ def main() -> None:
                         for k, v in webq_legs.items()
                         if not k.endswith("_rows")
                     },
+                    **{
+                        k: v
+                        for k, v in webcrawl_legs.items()
+                        if not k.endswith("_rows")
+                    },
                 },
                 "dedup_legs": dedup_legs,
                 "webquality_legs": webq_legs,
+                "webcrawl_legs": webcrawl_legs,
                 "sf": os.path.basename(os.path.normpath(SF_DIR)),
                 "num_cpus": NUM_CPUS,
                 "effective_cpus": round(eff, 1),

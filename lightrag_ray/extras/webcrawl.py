@@ -517,15 +517,35 @@ def q_decontam(sf_dir: str):
             )
     gram_ref = ray.put(gram_set)
 
-    def flag(batch: pa.Table) -> pa.Table:
+    # Actor pool, not a task fn: the gram set can be hundreds of MB, and a
+    # plain function would re-deserialize it from the object store on every
+    # batch — the class fetches it ONCE per actor in __init__.
+    return docs.map_batches(
+        _GramScorer,
+        fn_constructor_args=(gram_ref,),
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+class _GramScorer:
+    """Stateless-per-batch contamination scorer holding the broadcast
+    eval-gram set (fetched once per actor)."""
+
+    def __init__(self, gram_ref):
+        import ray
+
+        self.grams = ray.get(gram_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        grams = ray.get(gram_ref)
         ids = batch.column("doc_id").to_pylist()
         keep = _is_eval_mask(ids)
         train = batch.filter(pc.invert(keep))
         n_hits = [
-            sum(1 for g in _doc_grams(text) if g in grams)
+            sum(1 for g in _doc_grams(text) if g in self.grams)
             for text in train.column("text").to_pylist()
         ]
         return pa.table(
@@ -537,8 +557,6 @@ def q_decontam(sf_dir: str):
                 ),
             }
         )
-
-    return docs.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
 
 
 SQL_DECONTAM = f"""
