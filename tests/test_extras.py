@@ -515,3 +515,34 @@ def test_asof_join_bucket_invariant(ray_session):
         b.sort_values(key).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_balanced_lang_sample_rebalances(ray_session, tmp_path):
+    """Skewed strata are downsampled toward the minority share in
+    expectation, selection is deterministic, and the minority stratum is
+    kept (nearly) whole."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_en, n_de = 400, 40
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(n_en + n_de), pa.int64()),
+            "lang": pa.array(["en"] * n_en + ["de"] * n_de, pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmp_path, "documents.parquet"))
+
+    a = C.q_balanced_lang_sample(str(tmp_path)).to_pandas()
+    b = C.q_balanced_lang_sample(str(tmp_path)).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+    counts = a.groupby("lang").size()
+    # en accepted at p = 40/400 = 0.1 → expect ~40; allow broad hash noise
+    assert 15 <= counts.get("en", 0) <= 75
+    # de accepted at p = 1.0 → kept whole
+    assert counts.get("de", 0) == n_de
