@@ -233,41 +233,28 @@ def make_bucket_pairs_groupfn(max_bucket: int = 200, threshold: float = 0.5):
     be quadratic."""
     import pandas as pd
 
-    def one_bucket(group: pd.DataFrame, out: dict) -> None:
-        group = group.drop_duplicates("doc_id").sort_values("doc_id")
-        truncated = len(group) > max_bucket
-        group = group.head(max_bucket)
-        ids = np.asarray(group["doc_id"].tolist(), np.int64)
-        m = len(ids)
-        if m < 2:
-            return
-        sigs = np.stack([np.asarray(s) for s in group["sig"]])
-        # (m, m) estimated-Jaccard matrix in one broadcast comparison
-        est = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
-        ai, bi = np.triu_indices(m, k=1)
-        keep = est[ai, bi] >= threshold
-        out["doc_a"].append(ids[ai[keep]])
-        out["doc_b"].append(ids[bi[keep]])
-        out["est_jaccard"].append(np.round(est[ai, bi][keep], 4))
-        out["truncated"].append(np.full(int(keep.sum()), truncated))
-
     def pairs(coarse_group: pd.DataFrame) -> pa.Table:
-        # one call per gb bucket; sub-group into real LSH buckets here
-        out = {"doc_a": [], "doc_b": [], "est_jaccard": [], "truncated": []}
-        for _, g in coarse_group.groupby(["band_id", "band_hash"], sort=False):
-            one_bucket(g, out)
-        cat = {
-            k: (np.concatenate(v) if v else np.empty(0))
-            for k, v in out.items()
-        }
+        # same vectorized shape as the broadcast variant; signatures come
+        # from the carried "sig" column (stacked once per group) instead of
+        # the broadcast matrix
+        _ord, d, IA, IB, TR = _enumerate_bucket_pairs(
+            coarse_group["band_id"].to_numpy(np.int32),
+            coarse_group["band_hash"].to_numpy(np.int64),
+            coarse_group["doc_id"].to_numpy(np.int64),
+            max_bucket,
+        )
+        if not len(IA):
+            return _EMPTY_PAIRS
+        sig_rows = np.stack(
+            [np.asarray(s) for s in coarse_group["sig"].to_numpy()[_ord]]
+        )
+        a, b, e, t = _pairs_from_est(d, IA, IB, TR, sig_rows, threshold)
         return pa.table(
             {
-                "doc_a": pa.array(cat["doc_a"], pa.int64()),
-                "doc_b": pa.array(cat["doc_b"], pa.int64()),
-                "est_jaccard": pa.array(cat["est_jaccard"], pa.float64()),
-                "truncated": pa.array(
-                    cat["truncated"].astype(bool), pa.bool_()
-                ),
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "est_jaccard": pa.array(e, pa.float64()),
+                "truncated": pa.array(t, pa.bool_()),
             }
         )
 
@@ -402,54 +389,206 @@ def _make_broadcast_bands_fn(sig_ref, num_perm: int = 64, bands: int = 16):
     return to_bands
 
 
+# NOTE on a rejected optimization (kept as a warning to future editors):
+# emitting each pair only from the FIRST band whose signature slice fully
+# matches (to spare the downstream pair-dedup Aggregate the bands× duplicate
+# volume) is UNSOUND under ``max_bucket`` truncation.  On a word-soup corpus
+# unrelated docs collide on 4-perm band slices at rate ≈ J⁴, so hot buckets
+# hold thousands of members and are truncated to ``max_bucket``; a genuine
+# near-dup pair can be truncated OUT of its first fully-matching band's
+# bucket and would then be suppressed in every later band where it IS
+# evaluated (measured: half the true pairs lost at 600k docs).  Cross-band
+# duplicates are therefore deduplicated ONLY by the (doc_a, doc_b)
+# Aggregate, which is truncation-oblivious and exact.
+
+
+_EMPTY_PAIRS = pa.table(
+    {
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "est_jaccard": pa.array([], pa.float64()),
+        "truncated": pa.array([], pa.bool_()),
+    }
+)
+
+_EST_CHUNK = 262144  # pair rows per est slab: npairs × num_perm stays ~64 MB
+
+
+def _enumerate_bucket_pairs(
+    band_id: np.ndarray,
+    band_hash: np.ndarray,
+    doc: np.ndarray,
+    max_bucket: int,
+):
+    """(order, d_sorted, IA, IB, truncated): the candidate pair index arrays for
+    every multi-member (band, hash) bucket, built with ONE lexsort and
+    numpy slice arithmetic — no per-bucket pandas objects.  Per-bucket
+    member order is doc_id (the lexsort minor key), so ``head(max_bucket)``
+    truncation keeps the same members as the historical pandas path.
+
+    Fully-pandas bucket iteration cost ~0.5 ms PER BUCKET (drop_duplicates
+    + sort_values + head per group); at millions of buckets that dominated
+    the whole LSH leg.  Doc ids are unique within a bucket by construction
+    (one row per doc per band); a violated assumption surfaces as a
+    self-pair, filtered by the caller."""
+    order = np.lexsort((doc, band_hash, band_id))
+    b, h, d = band_id[order], band_hash[order], doc[order]
+    n = len(d)
+    new_bucket = np.empty(n, bool)
+    if n:
+        new_bucket[0] = True
+        new_bucket[1:] = (b[1:] != b[:-1]) | (h[1:] != h[:-1])
+    starts = np.flatnonzero(new_bucket)
+    ends = np.append(starts[1:], n)
+    sizes = ends - starts
+    multi = sizes >= 2
+    ia_parts, ib_parts, tr_parts = [], [], []
+    triu_cache: dict = {}
+    for s, m0 in zip(starts[multi], sizes[multi]):
+        truncated = m0 > max_bucket
+        m = int(min(m0, max_bucket))
+        if m not in triu_cache:
+            triu_cache[m] = np.triu_indices(m, k=1)
+        ai, bi = triu_cache[m]
+        ia_parts.append(s + ai)
+        ib_parts.append(s + bi)
+        tr_parts.append(np.full(len(ai), truncated))
+    if not ia_parts:
+        return (
+            order,
+            d,
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, bool),
+        )
+    return (
+        order,
+        d,
+        np.concatenate(ia_parts),
+        np.concatenate(ib_parts),
+        np.concatenate(tr_parts),
+    )
+
+
+def _pairs_from_est(d, IA, IB, TR, sig_rows: np.ndarray, threshold: float):
+    """Slab-wise estimated-Jaccard for the enumerated pairs (bounded peak
+    memory), then the ≥ threshold filter and self-pair guard."""
+    out_a, out_b, out_e, out_t = [], [], [], []
+    num_perm = sig_rows.shape[1] if sig_rows.ndim == 2 else 1
+    for lo in range(0, len(IA), _EST_CHUNK):
+        ia = IA[lo : lo + _EST_CHUNK]
+        ib = IB[lo : lo + _EST_CHUNK]
+        tr = TR[lo : lo + _EST_CHUNK]
+        est = (sig_rows[ia] == sig_rows[ib]).mean(axis=1)
+        keep = (est >= threshold) & (d[ia] != d[ib])
+        out_a.append(d[ia[keep]])
+        out_b.append(d[ib[keep]])
+        out_e.append(np.round(est[keep], 4))
+        out_t.append(tr[keep])
+    return (
+        np.concatenate(out_a) if out_a else np.empty(0, np.int64),
+        np.concatenate(out_b) if out_b else np.empty(0, np.int64),
+        np.concatenate(out_e) if out_e else np.empty(0, np.float64),
+        np.concatenate(out_t) if out_t else np.empty(0, bool),
+    )
+
+
 def make_broadcast_bucket_pairs_groupfn(
     sig_ref, max_bucket: int = 200, threshold: float = 0.5
 ):
     """Per LSH bucket: candidate pairs with signature-estimated Jaccard,
     signatures looked up in the broadcast matrix (zero-copy from the object
-    store) instead of carried on the rows."""
+    store) instead of carried on the rows.  Bucket enumeration and the est
+    computation are fully vectorized (one lexsort + slab matrix compares);
+    the only Python loop is over multi-member buckets, doing pure index
+    arithmetic."""
     import pandas as pd
-
-    def one_bucket(group: pd.DataFrame, ids_sorted, mat, out: dict) -> None:
-        group = group.drop_duplicates("doc_id").sort_values("doc_id")
-        truncated = len(group) > max_bucket
-        group = group.head(max_bucket)
-        ids = group["doc_id"].to_numpy(np.int64)
-        m = len(ids)
-        if m < 2:
-            return
-        sigs = mat[np.searchsorted(ids_sorted, ids)]
-        est = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
-        ai, bi = np.triu_indices(m, k=1)
-        keep = est[ai, bi] >= threshold
-        out["doc_a"].append(ids[ai[keep]])
-        out["doc_b"].append(ids[bi[keep]])
-        out["est_jaccard"].append(np.round(est[ai, bi][keep], 4))
-        out["truncated"].append(np.full(int(keep.sum()), truncated))
 
     def pairs(coarse_group: pd.DataFrame) -> pa.Table:
         import ray
 
         ids_sorted, mat = ray.get(sig_ref)
-        out = {"doc_a": [], "doc_b": [], "est_jaccard": [], "truncated": []}
-        for _, g in coarse_group.groupby(["band_id", "band_hash"], sort=False):
-            one_bucket(g, ids_sorted, mat, out)
-        cat = {
-            k: (np.concatenate(v) if v else np.empty(0))
-            for k, v in out.items()
-        }
+        _, d, IA, IB, TR = _enumerate_bucket_pairs(
+            coarse_group["band_id"].to_numpy(np.int32),
+            coarse_group["band_hash"].to_numpy(np.int64),
+            coarse_group["doc_id"].to_numpy(np.int64),
+            max_bucket,
+        )
+        if not len(IA):
+            return _EMPTY_PAIRS
+        a, b, e, t = _pairs_from_est(
+            d, IA, IB, TR, mat[np.searchsorted(ids_sorted, d)], threshold
+        )
         return pa.table(
             {
-                "doc_a": pa.array(cat["doc_a"], pa.int64()),
-                "doc_b": pa.array(cat["doc_b"], pa.int64()),
-                "est_jaccard": pa.array(cat["est_jaccard"], pa.float64()),
-                "truncated": pa.array(
-                    cat["truncated"].astype(bool), pa.bool_()
-                ),
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "est_jaccard": pa.array(e, pa.float64()),
+                "truncated": pa.array(t, pa.bool_()),
             }
         )
 
     return pairs
+
+
+_PAIR_DEDUP_BUCKETS = 64
+
+
+def _dedup_pairs(
+    pairs_ds,
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    max_col: str = "est_jaccard",
+    min_col: str | None = "truncated",
+):
+    """One row per (a, b): Max(``max_col``) and, if given, Min(``min_col``)
+    — the cross-band/cross-table pair dedup.  A
+    ``groupby([a, b]).aggregate(...)`` here costs ~125 µs PER PAIR ROW
+    (per-key aggregate machinery over millions of near-singleton groups);
+    this replaces it with one bounded-bucket shuffle and segmented numpy
+    reductions inside each bucket (reduceat) — identical output, two orders
+    of magnitude less reduce CPU."""
+    import pandas as pd
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column(col_a), np.int64).view(np.uint64)
+        b = np.asarray(batch.column(col_b), np.int64).view(np.uint64)
+        part = (
+            _mix64(a * _POLY_B ^ _mix64(b)).view(np.int64)
+            % np.int64(_PAIR_DEDUP_BUCKETS)
+        ).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    def dedup_part(group: pd.DataFrame) -> pa.Table:
+        a = group[col_a].to_numpy(np.int64)
+        b = group[col_b].to_numpy(np.int64)
+        mx = group[max_col].to_numpy(np.float64)
+        order = np.lexsort((b, a))
+        a, b, mx = a[order], b[order], mx[order]
+        n = len(a)
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        idx = np.flatnonzero(new_key)
+        cols = {
+            col_a: pa.array(a[idx], pa.int64()),
+            col_b: pa.array(b[idx], pa.int64()),
+            max_col: pa.array(np.maximum.reduceat(mx, idx), pa.float64()),
+        }
+        if min_col is not None:
+            mn = group[min_col].to_numpy(bool).astype(np.int8)[order]
+            cols[min_col] = pa.array(
+                np.minimum.reduceat(mn, idx).astype(bool), pa.bool_()
+            )
+        return pa.table(cols)
+
+    return (
+        pairs_ds.map_batches(
+            add_part, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("part")
+        .map_groups(dedup_part, batch_format="pandas")
+    )
 
 
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5):
@@ -460,7 +599,6 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5):
     above) so the band shuffle carries only skinny rows; beyond the
     broadcast guard it falls back to the sig-carrying shuffle."""
     import ray.data as rd
-    from ray.data.aggregate import Max, Min
 
     try:
         sig_ref = _collect_sig_broadcast(sf_dir)
@@ -477,11 +615,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5):
         make_broadcast_bucket_pairs_groupfn(sig_ref, threshold=threshold),
         batch_format="pandas",
     )
-    # a pair can surface from several bands — keep one row per pair
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard"),
-        Min("truncated", alias_name="truncated"),
-    )
+    return _dedup_pairs(pairs)
 
 
 def _minhash_lsh_pairs_shuffled(sf_dir: str, threshold: float = 0.5):
@@ -489,7 +623,6 @@ def _minhash_lsh_pairs_shuffled(sf_dir: str, threshold: float = 0.5):
     bytes per doc through the shuffle).  Correct at any corpus size — the
     broadcast path is the same algorithm with the sig transport hoisted."""
     import ray.data as rd
-    from ray.data.aggregate import Max, Min
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
@@ -500,11 +633,7 @@ def _minhash_lsh_pairs_shuffled(sf_dir: str, threshold: float = 0.5):
     pairs = bands.groupby("gb").map_groups(
         make_bucket_pairs_groupfn(threshold=threshold), batch_format="pandas"
     )
-    # a pair can surface from several bands — keep one row per pair
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard"),
-        Min("truncated", alias_name="truncated"),
-    )
+    return _dedup_pairs(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -754,7 +883,6 @@ def embedding_lsh_pairs(
     within-bucket exact cosine (approximate recall; embedding_near_dup_pairs
     is the exact oracle)."""
     import ray.data as rd
-    from ray.data.aggregate import Max
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"),
@@ -768,8 +896,8 @@ def embedding_lsh_pairs(
     pairs = buckets.groupby(["table_id", "bucket"]).map_groups(
         make_lsh_bucket_pairs_groupfn(threshold), batch_format="pandas"
     )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("sim", alias_name="sim")
+    return _dedup_pairs(
+        pairs, col_a="id_a", col_b="id_b", max_col="sim", min_col=None
     )
 
 
@@ -847,67 +975,107 @@ def connected_components(
         to_adj, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    def init_labels(batch: pa.Table) -> pa.Table:
+    def batch_distinct_nodes(batch: pa.Table) -> pa.Table:
+        # per-batch combiner: distinct nodes only, so the dedup groupby
+        # exchanges ≤ |distinct-per-batch| rows instead of 2× edge count
+        uniq = np.unique(np.asarray(batch.column("node"), np.int64))
+        return pa.table({"node": pa.array(uniq, pa.int64())})
+
+    def finalize_labels(batch: pa.Table) -> pa.Table:
+        node = batch.column("node")
         return pa.table(
             {
-                "bucket": batch.column("bucket"),
-                "node": batch.column("node"),
-                "label": batch.column("node"),
+                "bucket": _cc_bucket_of(node, buckets),
+                "node": node,
+                "label": node,
                 "changed": pa.nulls(batch.num_rows, pa.int64()),
             },
             schema=LABELS_SCHEMA,
         )
 
-    # distinct nodes, labeled with themselves
+    # distinct nodes, labeled with themselves — a combiner + one aggregate
+    # groupby (NEVER a per-node map_groups: that is one pandas group call
+    # per node, millions at corpus scale)
+    from ray.data.aggregate import Count as _Count
+
     labels = (
-        adj.map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True)
+        adj.map_batches(
+            batch_distinct_nodes, batch_format="pyarrow", zero_copy_batch=True
+        )
         .groupby("node")
-        .map_groups(
-            lambda g: pa.Table.from_pandas(
-                g.iloc[:1][["bucket", "node", "label", "changed"]],
-                schema=LABELS_SCHEMA, preserve_index=False,
-            ),
-            batch_format="pandas",
+        .aggregate(_Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .map_batches(
+            finalize_labels, batch_format="pyarrow", zero_copy_batch=True
         )
         .materialize()
     )
 
     def send(group: pd.DataFrame) -> pa.Table:
-        # one bucket: label rows (nbr null) + adjacency rows
-        is_label = group["nbr"].isna()
-        lab = dict(zip(group.loc[is_label, "node"], group.loc[is_label, "label"]))
-        edges = group[~is_label]
-        recv = edges["nbr"].astype("int64")
-        cand = edges["node"].map(lab).astype("int64")
-        out = pd.DataFrame(
-            {
-                "node": pd.concat([recv, group.loc[is_label, "node"]]),
-                "label": pd.concat([cand, group.loc[is_label, "label"]]),
-                "is_self": [False] * len(recv) + [True] * int(is_label.sum()),
-            }
+        # one bucket: label rows (nbr null) + adjacency rows.  Fully
+        # vectorized label lookup (sorted label array + searchsorted) — a
+        # per-row dict ``.map`` here cost tens of seconds per CC iteration
+        # at ~10M adjacency rows.
+        is_label = group["nbr"].isna().to_numpy()
+        all_nodes = group["node"].to_numpy(np.int64)
+        lab_nodes = all_nodes[is_label]
+        lab_vals = group["label"].to_numpy()[is_label].astype(np.int64)
+        order = np.argsort(lab_nodes, kind="stable")
+        lab_nodes, lab_vals = lab_nodes[order], lab_vals[order]
+        src = all_nodes[~is_label]
+        recv = group["nbr"].to_numpy()[~is_label].astype(np.int64)
+        pos = np.searchsorted(lab_nodes, src)
+        # every edge endpoint has a label row in its own bucket by
+        # construction; a miss means the bucketing broke — fail loud.
+        if len(src) and not (
+            (pos < len(lab_nodes)).all() and (lab_nodes[pos] == src).all()
+        ):
+            raise RuntimeError("connected_components: edge node missing label")
+        cand = lab_vals[pos] if len(src) else np.empty(0, np.int64)
+        nodes = np.concatenate([recv, lab_nodes])
+        labels_out = np.concatenate([cand, lab_vals])
+        is_self = np.concatenate(
+            [np.zeros(len(recv), bool), np.ones(len(lab_nodes), bool)]
         )
-        rb = _cc_bucket_of(pa.array(out["node"].to_numpy(), pa.int64()), buckets)
+        node_arr = pa.array(nodes, pa.int64())
         return pa.table(
             {
-                "bucket": rb,
-                "node": pa.array(out["node"].to_numpy(), pa.int64()),
-                "label": pa.array(out["label"].to_numpy(), pa.int64()),
-                "is_self": pa.array(out["is_self"].tolist(), pa.bool_()),
+                "bucket": _cc_bucket_of(node_arr, buckets),
+                "node": node_arr,
+                "label": pa.array(labels_out, pa.int64()),
+                "is_self": pa.array(is_self, pa.bool_()),
             },
             schema=CAND_SCHEMA,
         )
 
     def reduce_min(group: pd.DataFrame) -> pa.Table:
-        mins = group.groupby("node")["label"].min()
-        self_rows = group[group["is_self"]]
-        old = dict(zip(self_rows["node"], self_rows["label"]))
-        nodes = list(mins.index)
-        new = [int(min(mins[n], old.get(n, mins[n]))) for n in nodes]
-        changed = [int(new[i] < old.get(n, new[i])) for i, n in enumerate(nodes)]
+        # segmented min over sorted candidates (np.minimum.reduceat) plus a
+        # vectorized old-label comparison — replaces a Python loop over
+        # every node in the bucket.
+        nodes = group["node"].to_numpy(np.int64)
+        labs = group["label"].to_numpy(np.int64)
+        is_self = group["is_self"].to_numpy(bool)
+        order = np.argsort(nodes, kind="stable")
+        nodes_s, labs_s = nodes[order], labs[order]
+        uniq, idx = np.unique(nodes_s, return_index=True)
+        mins = (
+            np.minimum.reduceat(labs_s, idx)
+            if len(uniq)
+            else np.empty(0, np.int64)
+        )
+        int_max = np.iinfo(np.int64).max
+        old = np.full(len(uniq), int_max, np.int64)
+        has_old = np.zeros(len(uniq), bool)
+        pos = np.searchsorted(uniq, nodes[is_self])
+        old[pos] = labs[is_self]
+        has_old[pos] = True
+        new = np.minimum(mins, old)
+        changed = ((new < old) & has_old).astype(np.int64)
+        uniq_arr = pa.array(uniq, pa.int64())
         return pa.table(
             {
-                "bucket": _cc_bucket_of(pa.array(nodes, pa.int64()), buckets),
-                "node": pa.array(nodes, pa.int64()),
+                "bucket": _cc_bucket_of(uniq_arr, buckets),
+                "node": uniq_arr,
                 "label": pa.array(new, pa.int64()),
                 "changed": pa.array(changed, pa.int64()),
             },
@@ -946,16 +1114,24 @@ def connected_components(
         return pa.concat_tables([ent, qry])
 
     def resolve_short(group: pd.DataFrame) -> pa.Table:
-        import numpy as np
-
-        ent = group[group["is_entry"]]
-        lab = dict(zip(ent["node"], ent["label"]))
-        q = group[~group["is_entry"]]
+        # vectorized pointer resolution (sorted entries + searchsorted with
+        # a found-mask; misses keep the pointer) — replaces a per-row dict
+        # ``.get`` over every query row.
+        is_entry = group["is_entry"].to_numpy(bool)
+        e_nodes = group["node"].to_numpy(np.int64)[is_entry]
+        e_labs = group["label"].to_numpy(np.int64)[is_entry]
+        order = np.argsort(e_nodes, kind="stable")
+        e_nodes, e_labs = e_nodes[order], e_labs[order]
+        q = group[~is_entry]
         nodes = q["node"].to_numpy(dtype="int64")
         ptr = q["label"].to_numpy(dtype="int64")
-        resolved = np.fromiter(
-            (lab.get(p, p) for p in ptr), dtype=np.int64, count=len(ptr)
-        )
+        if len(e_nodes):
+            pos = np.searchsorted(e_nodes, ptr)
+            pos_c = np.minimum(pos, len(e_nodes) - 1)
+            found = (pos < len(e_nodes)) & (e_nodes[pos_c] == ptr)
+            resolved = np.where(found, e_labs[pos_c], ptr)
+        else:
+            resolved = ptr
         changed = (
             (resolved < ptr) | (q["changed"].fillna(0).to_numpy() > 0)
         ).astype(np.int64)
