@@ -460,12 +460,13 @@ MAX_BROADCAST_GRAMS = 5_000_000  # eval suites are small; a benchmark whose
 # distinct-gram set exceeds this is a mis-specified input — raise, don't OOM.
 
 
-def _is_eval_mask(ids: list) -> pa.Array:
+def _is_eval_mask(ids: list, eval_mod: int = EVAL_MOD) -> pa.Array:
     import hashlib
 
     return pa.array(
         [
-            int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % EVAL_MOD == 0
+            int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % eval_mod
+            == 0
             for d in ids
         ]
     )
@@ -479,17 +480,18 @@ def _doc_grams(text: str) -> set:
     }
 
 
-def q_decontam(sf_dir: str):
+def q_decontam(sf_dir: str, eval_mod: int = EVAL_MOD):
     """Per-training-doc contamination flags vs the held-out benchmark set:
     ``n_eval_grams`` = distinct 8-grams of the doc that appear anywhere in
     the eval set, ``contaminated`` = 1 iff any overlap.
 
-    Scale shape: the eval side (1/{EVAL_MOD} of docs here; real eval suites
-    are tiny) streams its per-batch DISTINCT grams to the driver under
-    ``MAX_BROADCAST_GRAMS`` (raise, never OOM), broadcast once via
-    ``ray.put``; the training corpus then streams through a stateless
-    membership scorer — the big side never shuffles and is read exactly
-    once."""
+    Scale shape: the eval side (1/``eval_mod`` of docs here; real eval
+    suites are tiny and FIXED-size — callers at corpus scale pass a larger
+    ``eval_mod`` so the slice stays benchmark-sized) streams its per-batch
+    DISTINCT grams to the driver under ``MAX_BROADCAST_GRAMS`` (raise,
+    never OOM), broadcast once via ``ray.put``; the training corpus then
+    streams through a stateless membership scorer — the big side never
+    shuffles and is read exactly once."""
     import ray
     import ray.data as rd
 
@@ -499,7 +501,7 @@ def q_decontam(sf_dir: str):
 
     def eval_grams(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        keep = _is_eval_mask(ids)
+        keep = _is_eval_mask(ids, eval_mod)
         grams: set = set()
         for text in batch.filter(keep).column("text").to_pylist():
             grams |= _doc_grams(text)
@@ -522,7 +524,7 @@ def q_decontam(sf_dir: str):
     # batch — the class fetches it ONCE per actor in __init__.
     return docs.map_batches(
         _GramScorer,
-        fn_constructor_args=(gram_ref,),
+        fn_constructor_args=(gram_ref, eval_mod),
         concurrency=(1, 8),
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -533,16 +535,17 @@ class _GramScorer:
     """Stateless-per-batch contamination scorer holding the broadcast
     eval-gram set (fetched once per actor)."""
 
-    def __init__(self, gram_ref):
+    def __init__(self, gram_ref, eval_mod: int = EVAL_MOD):
         import ray
 
         self.grams = ray.get(gram_ref)
+        self.eval_mod = eval_mod
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         ids = batch.column("doc_id").to_pylist()
-        keep = _is_eval_mask(ids)
+        keep = _is_eval_mask(ids, self.eval_mod)
         train = batch.filter(pc.invert(keep))
         n_hits = [
             sum(1 for g in _doc_grams(text) if g in self.grams)
