@@ -8,6 +8,7 @@ from typing import Callable
 from lightrag_ray.extras import (
     dedup,
     events,
+    linkgraph,
     multimodal,
     textstats,
     webcrawl,
@@ -549,6 +550,7 @@ def queries() -> dict[str, Callable]:
         "curated_corpus_lsh": q_curated_corpus_lsh,  # rows-only (LSH arm; exact = curated_corpus)
         **webquality.queries(),
         **webcrawl.queries(),
+        **linkgraph.queries(),
     }
 
 
@@ -575,6 +577,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": textstats.SQL_LANGID,
         **webquality.oracle_sql(),
         **webcrawl.oracle_sql(),
+        **linkgraph.oracle_sql(),
     }
 
 

@@ -1,0 +1,651 @@
+"""Hyperlink-graph operators: anchor extraction, degree stats, and
+fixed-point PageRank over the crawl's link graph.
+
+The link graph is THE web-native structure a Common-Crawl-style corpus
+carries beyond its text: which page links to which.  Three operators, each
+a streaming Ray Data pipeline with an exact DuckDB oracle:
+
+* **Anchor extraction** (``link_edges``): parse ``<a href=...>`` targets out
+  of the binary ``html`` column with one compiled regex per actor — the
+  crawl-side edge-list builder.  The synthetic ``documents`` table has no
+  hyperlinks, so the page html is a deterministic augmentation derived from
+  ``doc_id`` (same precedent as the url/timestamp augmentation in
+  extras/webcrawl.py and the PII augmentation in extras/webquality.py): the
+  link RULE is stated identically in the SQL oracles, while the Ray side
+  round-trips it through real html synthesis + regex parsing — so the
+  hash-check covers the extraction kernel, not just the arithmetic.
+* **Degree stats** (``link_stats``): in/out-degree per page, top-k by
+  in-degree — one bounded-bucket exchange with segmented ``reduceat``
+  counts (never a per-node ``map_groups``).
+* **PageRank** (``pagerank_top20``): the classic power iteration (Page et
+  al. 1999, damping 85/100, dangling mass redistributed uniformly) run a
+  FIXED number of rounds in exact int64 fixed-point (1.0 ≡ 10^12).  Floats
+  would make the result depend on summation order — different between Ray's
+  block-parallel reduces, a re-run, and the SQL oracle; integer arithmetic
+  is associative, so the output is bit-reproducible and the oracle is the
+  same recurrence unrolled as CTEs.
+
+Scale shape (the part that matters at 10^9+ nodes):
+  - The text/html column never enters the iteration — edges are extracted
+    once into a skinny (src, tgt) table.
+  - Adjacency (src, tgt, outdeg) is built with ONE bounded-bucket exchange
+    and reused by every iteration.
+  - Per iteration: one streaming sum over the materialized rank table (the
+    dangling mass — a scalar), then two bounded-bucket exchanges: ranks
+    co-grouped with adjacency on bucket(src) → per-edge contributions
+    pre-combined per target inside each bucket; contributions co-grouped
+    with the node universe on bucket(node) → new ranks.  All group kernels
+    are lexsort + ``searchsorted`` + ``reduceat`` — no per-row Python, no
+    per-key pandas groups (the CC-kernel idiom from extras/dedup.py).
+  - The rank table is materialized each round (node, rank, dangling ≈ 17
+    B/row — the standard iterative-algorithm state), so iteration i never
+    re-executes iterations 1..i-1.
+
+Reference intent: LightRAG exposes graph-degree analytics over its KG
+(``lightrag/kg/networkx_impl.py`` node_degree/edge_degree, used by the
+query path's edge ranking at ``lightrag/operate.py``); the hyperlink graph
+is the crawl-side analogue, and PageRank is the canonical centrality the
+reference's degree ranking approximates.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from lightrag_ray.extras.dedup import _cc_bucket_of
+
+# --- the deterministic link rule (mirrored verbatim in the SQL oracles) ---
+# page d is DANGLING (no outlinks) iff d % 11 == 0; otherwise it links to
+# 1 + (d % 4) targets t_k = (d*MULT + k*STEP + OFF) % n, k = 1..K, with
+# self-links dropped.  Parallel duplicate edges (possible for some n) are
+# kept — real pages repeat links, and both sides count them identically.
+_MULT = 2654435761  # Knuth multiplicative hash constant
+_STEP = 40503
+_OFF = 12345
+_DANGLE_MOD = 11
+_MAX_K = 4
+
+FP_ONE = 10**12  # fixed-point 1.0
+_DAMP_NUM, _DAMP_DEN = 85, 100
+_PR_ITERS = 5
+_BUCKETS = 64
+
+_HREF_RE = re.compile(rb'<a\s+href="https://w\.example\.org/doc/(\d+)"')
+
+
+def _synth_anchor_html(batch: pa.Table, n: int) -> pa.Table:
+    """documents → (doc_id, html) with deterministic anchor links."""
+    ids = np.asarray(batch.column("doc_id"), np.int64)
+    htmls = []
+    for d in ids:
+        d = int(d)
+        if d % _DANGLE_MOD == 0:
+            body = ""
+        else:
+            body = "".join(
+                f'<li><a href="https://w.example.org/doc/{t:010d}">d{t}</a></li>'
+                for k in range(1, 2 + d % _MAX_K)
+                if (t := (d * _MULT + k * _STEP + _OFF) % n) != d
+            )
+        htmls.append(f"<html><body><ul>{body}</ul></body></html>".encode())
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "html": pa.array(htmls, pa.binary()),
+        }
+    )
+
+
+def extract_links(batch: pa.Table) -> pa.Table:
+    """(doc_id, html) → (src, tgt) anchor edge list — the real parse kernel."""
+    ids = np.asarray(batch.column("doc_id"), np.int64)
+    src_out: list[int] = []
+    tgt_out: list[int] = []
+    for d, h in zip(ids, batch.column("html").to_pylist()):
+        if not h:
+            continue
+        for m in _HREF_RE.findall(h):
+            src_out.append(int(d))
+            tgt_out.append(int(m))
+    return pa.table(
+        {
+            "src": pa.array(src_out, pa.int64()),
+            "tgt": pa.array(tgt_out, pa.int64()),
+        }
+    )
+
+
+def _doc_count(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+
+
+def link_edges_ds(sf_dir: str):
+    """documents → synthesized anchor html → parsed (src, tgt) edges."""
+    import ray.data as rd
+
+    n = _doc_count(sf_dir)
+    return (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        .map_batches(
+            lambda b: _synth_anchor_html(b, n),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .map_batches(extract_links, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def q_link_edges(sf_dir: str):
+    return link_edges_ds(sf_dir)
+
+
+# ---------------------------------------------------------------- degrees
+def link_stats_ds(nodes_ds, edges_ds, k: int = 20, buckets: int = _BUCKETS):
+    """Top-``k`` pages by in-degree with out-degree attached.
+
+    One bounded-bucket exchange: per-edge (src → out tally) and (tgt → in
+    tally) rows union with the node universe; each bucket counts both
+    tallies with one lexsort + ``reduceat``.  The final sort sees one row
+    per node (skinny), not per edge.
+    """
+    import pandas as pd
+
+    UNION = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("node", pa.int64()),
+            ("is_out", pa.int64()),
+            ("is_in", pa.int64()),
+        ]
+    )
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").combine_chunks()
+        tgt = batch.column("tgt").combine_chunks()
+        node = pa.chunked_array([src, tgt]).combine_chunks()
+        m, tot = len(src), len(node)
+        is_out = np.zeros(tot, np.int64)
+        is_out[:m] = 1
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(node, buckets),
+                "node": node,
+                "is_out": pa.array(is_out, pa.int64()),
+                "is_in": pa.array(1 - is_out, pa.int64()),
+            },
+            schema=UNION,
+        )
+
+    def tag_nodes(batch: pa.Table) -> pa.Table:
+        node = batch.column("doc_id").cast(pa.int64()).combine_chunks()
+        z = np.zeros(len(node), np.int64)
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(node, buckets),
+                "node": node,
+                "is_out": pa.array(z, pa.int64()),
+                "is_in": pa.array(z, pa.int64()),
+            },
+            schema=UNION,
+        )
+
+    def count_bucket(group: pd.DataFrame) -> pa.Table:
+        nodes = group["node"].to_numpy(np.int64)
+        outs = group["is_out"].to_numpy(np.int64)
+        ins = group["is_in"].to_numpy(np.int64)
+        order = np.argsort(nodes, kind="stable")
+        nodes, outs, ins = nodes[order], outs[order], ins[order]
+        uniq, idx = np.unique(nodes, return_index=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "in_deg": pa.array(np.add.reduceat(ins, idx), pa.int64())
+                if len(uniq)
+                else pa.array([], pa.int64()),
+                "out_deg": pa.array(np.add.reduceat(outs, idx), pa.int64())
+                if len(uniq)
+                else pa.array([], pa.int64()),
+            }
+        )
+
+    union = edges_ds.map_batches(
+        tag_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        nodes_ds.map_batches(tag_nodes, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    stats = union.groupby("bucket").map_groups(count_bucket, batch_format="pandas")
+    return stats.sort(["in_deg", "doc_id"], descending=[True, False]).limit(k)
+
+
+def q_link_stats(sf_dir: str):
+    import ray.data as rd
+
+    nodes = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return link_stats_ds(nodes, link_edges_ds(sf_dir), k=20)
+
+
+# --------------------------------------------------------------- pagerank
+RANK_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("node", pa.int64()),
+        ("r", pa.int64()),
+        ("dang", pa.bool_()),
+    ]
+)
+
+
+def _build_adjacency(edges_ds, buckets: int):
+    """edges → (bucket(src), src, tgt, od) with outdegree attached — one
+    bounded-bucket exchange, reused by every PageRank iteration."""
+    import pandas as pd
+
+    def tag(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").combine_chunks()
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(src, buckets),
+                "src": src,
+                "tgt": batch.column("tgt"),
+            }
+        )
+
+    def attach_od(group: pd.DataFrame) -> pa.Table:
+        src = group["src"].to_numpy(np.int64)
+        tgt = group["tgt"].to_numpy(np.int64)
+        order = np.argsort(src, kind="stable")
+        src, tgt = src[order], tgt[order]
+        uniq, idx, counts = np.unique(src, return_index=True, return_counts=True)
+        od = np.repeat(counts.astype(np.int64), counts)
+        src_arr = pa.array(src, pa.int64())
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(src_arr, buckets),
+                "src": src_arr,
+                "tgt": pa.array(tgt, pa.int64()),
+                "od": pa.array(od, pa.int64()),
+            }
+        )
+
+    return (
+        edges_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(attach_od, batch_format="pandas")
+        .materialize()
+    )
+
+
+def _init_ranks(nodes_ds, adj, n: int, buckets: int):
+    """(node, r0, dangling) — dangling = node absent from adjacency srcs.
+    One cogroup exchange; adjacency srcs are pre-deduped per batch."""
+    import pandas as pd
+
+    UNION = pa.schema(
+        [("bucket", pa.int32()), ("node", pa.int64()), ("is_node", pa.bool_())]
+    )
+
+    def tag_nodes(batch: pa.Table) -> pa.Table:
+        node = batch.column("doc_id").cast(pa.int64()).combine_chunks()
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(node, buckets),
+                "node": node,
+                "is_node": pa.array(np.ones(len(node), bool)),
+            },
+            schema=UNION,
+        )
+
+    def tag_srcs(batch: pa.Table) -> pa.Table:
+        uniq = np.unique(np.asarray(batch.column("src"), np.int64))
+        node = pa.array(uniq, pa.int64())
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(node, buckets),
+                "node": node,
+                "is_node": pa.array(np.zeros(len(uniq), bool)),
+            },
+            schema=UNION,
+        )
+
+    r0 = FP_ONE // n
+
+    def init_bucket(group: pd.DataFrame) -> pa.Table:
+        nodes = group["node"].to_numpy(np.int64)
+        is_node = group["is_node"].to_numpy(bool)
+        universe = np.unique(nodes[is_node])
+        srcs = np.unique(nodes[~is_node])
+        dang = ~np.isin(universe, srcs)
+        node_arr = pa.array(universe, pa.int64())
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(node_arr, buckets),
+                "node": node_arr,
+                "r": pa.array(np.full(len(universe), r0, np.int64), pa.int64()),
+                "dang": pa.array(dang, pa.bool_()),
+            },
+            schema=RANK_SCHEMA,
+        )
+
+    union = nodes_ds.map_batches(
+        tag_nodes, batch_format="pyarrow", zero_copy_batch=True
+    ).union(adj.map_batches(tag_srcs, batch_format="pyarrow", zero_copy_batch=True))
+    return (
+        union.groupby("bucket")
+        .map_groups(init_bucket, batch_format="pandas")
+        .materialize()
+    )
+
+
+def pagerank_ds(
+    nodes_ds,
+    edges_ds,
+    n: int,
+    iters: int = _PR_ITERS,
+    buckets: int = _BUCKETS,
+):
+    """Fixed-point PageRank over (src, tgt) edges; returns (node, r) ranks.
+
+    Exact int64 recurrence (mirrored in the SQL oracle):
+        r_0(v)  = FP_ONE // n
+        dm_i    = Σ r_{i-1}(v) over dangling v
+        c_i(t)  = Σ_{(s,t)∈E} r_{i-1}(s) // od(s)
+        r_i(v)  = (15·FP_ONE)//(100·n) + (85·(c_i(v) + dm_i//n))//100
+    """
+    import pandas as pd
+
+    adj = _build_adjacency(edges_ds, buckets)
+    ranks = _init_ranks(nodes_ds, adj, n, buckets)
+
+    CONTRIB_UNION = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("node", pa.int64()),
+            ("r", pa.int64()),  # null on adjacency rows
+            ("tgt", pa.int64()),  # null on rank rows
+            ("od", pa.int64()),  # null on rank rows
+        ]
+    )
+    RANK_UNION = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("node", pa.int64()),
+            ("c", pa.int64()),  # null on universe rows
+            ("dang", pa.bool_()),  # null on contrib rows
+        ]
+    )
+
+    def tag_rank_for_send(batch: pa.Table) -> pa.Table:
+        # only non-dangling ranks serve src lookups (dangling nodes have no
+        # adjacency rows by construction)
+        live = batch.filter(pc.invert(batch.column("dang")))
+        m = live.num_rows
+        return pa.table(
+            {
+                "bucket": live.column("bucket"),
+                "node": live.column("node"),
+                "r": live.column("r"),
+                "tgt": pa.nulls(m, pa.int64()),
+                "od": pa.nulls(m, pa.int64()),
+            },
+            schema=CONTRIB_UNION,
+        )
+
+    def tag_adj(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table(
+            {
+                "bucket": batch.column("bucket"),
+                "node": batch.column("src"),
+                "r": pa.nulls(m, pa.int64()),
+                "tgt": batch.column("tgt"),
+                "od": batch.column("od"),
+            },
+            schema=CONTRIB_UNION,
+        )
+
+    def send_contribs(group: pd.DataFrame) -> pa.Table:
+        is_rank = group["tgt"].isna().to_numpy()
+        rank_nodes = group["node"].to_numpy(np.int64)[is_rank]
+        rank_vals = group["r"].to_numpy()[is_rank].astype(np.int64)
+        order = np.argsort(rank_nodes, kind="stable")
+        rank_nodes, rank_vals = rank_nodes[order], rank_vals[order]
+        src = group["node"].to_numpy(np.int64)[~is_rank]
+        tgt = group["tgt"].to_numpy()[~is_rank].astype(np.int64)
+        od = group["od"].to_numpy()[~is_rank].astype(np.int64)
+        if not len(src):
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int32()),
+                    "node": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                    "dang": pa.array([], pa.bool_()),
+                },
+                schema=RANK_UNION,
+            )
+        pos = np.searchsorted(rank_nodes, src)
+        if not ((pos < len(rank_nodes)).all() and (rank_nodes[pos] == src).all()):
+            raise RuntimeError("pagerank: edge src missing rank row in bucket")
+        contrib = rank_vals[pos] // od
+        # pre-combine per target inside the bucket before the exchange
+        t_order = np.argsort(tgt, kind="stable")
+        tgt_s, contrib_s = tgt[t_order], contrib[t_order]
+        uniq, idx = np.unique(tgt_s, return_index=True)
+        sums = np.add.reduceat(contrib_s, idx)
+        node_arr = pa.array(uniq, pa.int64())
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(node_arr, buckets),
+                "node": node_arr,
+                "c": pa.array(sums, pa.int64()),
+                "dang": pa.nulls(len(uniq), pa.bool_()),
+            },
+            schema=RANK_UNION,
+        )
+
+    base = (15 * FP_ONE) // (100 * n)
+
+    def make_reduce_ranks(dang_share: int):
+        def reduce_ranks(group: pd.DataFrame) -> pa.Table:
+            is_univ = group["dang"].notna().to_numpy()
+            universe = group["node"].to_numpy(np.int64)[is_univ]
+            dang = group["dang"].to_numpy()[is_univ].astype(bool)
+            u_order = np.argsort(universe, kind="stable")
+            universe, dang = universe[u_order], dang[u_order]
+            cn = group["node"].to_numpy(np.int64)[~is_univ]
+            cv = group["c"].to_numpy()[~is_univ].astype(np.int64)
+            csum = np.zeros(len(universe), np.int64)
+            if len(cn):
+                c_order = np.argsort(cn, kind="stable")
+                cn_s, cv_s = cn[c_order], cv[c_order]
+                uniq, idx = np.unique(cn_s, return_index=True)
+                sums = np.add.reduceat(cv_s, idx)
+                pos = np.searchsorted(universe, uniq)
+                if not (
+                    (pos < len(universe)).all() and (universe[pos] == uniq).all()
+                ):
+                    raise RuntimeError(
+                        "pagerank: contribution target outside node universe"
+                    )
+                csum[pos] = sums
+            new_r = base + (_DAMP_NUM * (csum + dang_share)) // _DAMP_DEN
+            node_arr = pa.array(universe, pa.int64())
+            return pa.table(
+                {
+                    "bucket": _cc_bucket_of(node_arr, buckets),
+                    "node": node_arr,
+                    "r": pa.array(new_r, pa.int64()),
+                    "dang": pa.array(dang, pa.bool_()),
+                },
+                schema=RANK_SCHEMA,
+            )
+
+        return reduce_ranks
+
+    def dangling_partial(batch: pa.Table) -> pa.Table:
+        mask = np.asarray(batch.column("dang"), bool)
+        vals = np.asarray(batch.column("r"), np.int64)
+        return pa.table({"s": pa.array([int(vals[mask].sum())], pa.int64())})
+
+    for _ in range(iters):
+        dm = ranks.map_batches(
+            dangling_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).sum("s")
+        dang_share = int(dm or 0) // n
+        contribs = (
+            ranks.map_batches(
+                tag_rank_for_send, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .union(
+                adj.map_batches(tag_adj, batch_format="pyarrow", zero_copy_batch=True)
+            )
+            .groupby("bucket")
+            .map_groups(send_contribs, batch_format="pandas")
+        )
+
+        def tag_rank_universe(batch: pa.Table) -> pa.Table:
+            m = batch.num_rows
+            return pa.table(
+                {
+                    "bucket": batch.column("bucket"),
+                    "node": batch.column("node"),
+                    "c": pa.nulls(m, pa.int64()),
+                    "dang": batch.column("dang"),
+                },
+                schema=RANK_UNION,
+            )
+
+        ranks = (
+            contribs.union(
+                ranks.map_batches(
+                    tag_rank_universe, batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+            .groupby("bucket")
+            .map_groups(make_reduce_ranks(dang_share), batch_format="pandas")
+            .materialize()
+        )
+
+    return ranks
+
+
+def q_pagerank_top20(sf_dir: str, k: int = 20):
+    import ray.data as rd
+
+    n = _doc_count(sf_dir)
+    nodes = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    ranks = pagerank_ds(nodes, link_edges_ds(sf_dir), n)
+    out = ranks.select_columns(["node", "r"]).sort(
+        ["r", "node"], descending=[True, False]
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("node"), "rank_fp": batch.column("r")}
+        )
+
+    return out.limit(k).map_batches(
+        rename, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ------------------------------------------------------------------ oracle
+# the link rule as SQL (identical constants; `//` is DuckDB integer division)
+_SQL_EDGES = f"""
+edges AS (
+  SELECT d.doc_id::BIGINT AS src,
+         ((d.doc_id::BIGINT * {_MULT} + k.k * {_STEP} + {_OFF})
+          % (SELECT n FROM nn)) AS tgt
+  FROM documents d, generate_series(1, {_MAX_K}) k(k)
+  WHERE d.doc_id % {_DANGLE_MOD} <> 0
+    AND k.k <= 1 + (d.doc_id % {_MAX_K})
+    AND ((d.doc_id::BIGINT * {_MULT} + k.k * {_STEP} + {_OFF})
+         % (SELECT n FROM nn)) <> d.doc_id::BIGINT
+)"""
+
+SQL_LINK_EDGES = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+{_SQL_EDGES}
+SELECT src, tgt FROM edges
+"""
+
+SQL_LINK_STATS = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+{_SQL_EDGES},
+ind AS (SELECT tgt AS v, count(*)::BIGINT AS in_deg FROM edges GROUP BY tgt),
+outd AS (SELECT src AS v, count(*)::BIGINT AS out_deg FROM edges GROUP BY src)
+SELECT d.doc_id::BIGINT AS doc_id,
+       COALESCE(i.in_deg, 0)::BIGINT AS in_deg,
+       COALESCE(o.out_deg, 0)::BIGINT AS out_deg
+FROM documents d
+LEFT JOIN ind i ON d.doc_id = i.v
+LEFT JOIN outd o ON d.doc_id = o.v
+ORDER BY in_deg DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+def _sql_pagerank(iters: int = _PR_ITERS, k: int = 20) -> str:
+    parts = [
+        f"WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),\n{_SQL_EDGES},",
+        "outdeg AS (SELECT src, count(*)::BIGINT AS od FROM edges GROUP BY src),",
+        f"""r0 AS (
+  SELECT d.doc_id::BIGINT AS v,
+         ({FP_ONE}::BIGINT // (SELECT n FROM nn)) AS r,
+         (o.src IS NULL) AS dang
+  FROM documents d LEFT JOIN outdeg o ON d.doc_id = o.src)""",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",d{i} AS (
+  SELECT COALESCE(SUM(r) FILTER (WHERE dang), 0)::BIGINT AS dm FROM r{p}),
+c{i} AS (
+  SELECT e.tgt AS v, SUM(p.r // o.od)::BIGINT AS c
+  FROM edges e
+  JOIN r{p} p ON e.src = p.v
+  JOIN outdeg o ON e.src = o.src
+  GROUP BY e.tgt),
+r{i} AS (
+  SELECT p.v,
+         (({15 * FP_ONE}::BIGINT // (100 * (SELECT n FROM nn)))
+          + ({_DAMP_NUM} * (COALESCE(c.c, 0)
+                            + (SELECT dm FROM d{i}) // (SELECT n FROM nn)))
+            // {_DAMP_DEN})::BIGINT AS r,
+         p.dang
+  FROM r{p} p LEFT JOIN c{i} c ON p.v = c.v)"""
+        )
+    parts.append(
+        f"\nSELECT v AS doc_id, r AS rank_fp FROM r{iters}"
+        f" ORDER BY r DESC, v ASC LIMIT {k}"
+    )
+    return "\n".join(parts)
+
+
+def queries() -> dict[str, Callable]:
+    return {
+        "link_edges": q_link_edges,
+        "link_stats": q_link_stats,
+        "pagerank_top20": q_pagerank_top20,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "link_edges": SQL_LINK_EDGES,
+        "link_stats": SQL_LINK_STATS,
+        "pagerank_top20": _sql_pagerank(),
+    }

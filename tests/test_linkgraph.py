@@ -1,0 +1,156 @@
+"""Link-graph operator kernels (extras/linkgraph.py).
+
+DuckDB parity for link_edges / link_stats / pagerank_top20 runs via
+tests/test_extras.py's parametrization over catalog.oracle_sql(); here we
+pin the href-extraction regex on crafted html, the fixed-point PageRank
+recurrence against a pure-Python reference on a hand-built graph (exact
+integer equality, including dangling-mass redistribution), and the degree
+kernel on a tiny edge list.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lightrag_ray.extras import linkgraph as L
+
+
+def test_extract_links_kernel():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([7, 8, 9, 10], pa.int64()),
+            "html": pa.array(
+                [
+                    b'<html><body><ul>'
+                    b'<li><a href="https://w.example.org/doc/0000000003">d3</a></li>'
+                    b'<li><a href="https://w.example.org/doc/0000000005">d5</a></li>'
+                    b"</ul></body></html>",
+                    b"<html><body><ul></ul></body></html>",  # no links
+                    # off-site / malformed anchors are not edges
+                    b'<a href="https://other.example.com/doc/0000000001">x</a>'
+                    b'<a href="https://w.example.org/doc/">empty</a>',
+                    None,
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    out = L.extract_links(batch)
+    assert out.column("src").to_pylist() == [7, 7]
+    assert out.column("tgt").to_pylist() == [3, 5]
+
+
+def test_synth_anchor_html_follows_rule():
+    batch = pa.table({"doc_id": pa.array([0, 11, 13], pa.int64())})
+    out = L._synth_anchor_html(batch, n=100)
+    htmls = out.column("html").to_pylist()
+    # 0 and 11 are dangling (d % 11 == 0): no anchors
+    assert b"<a href" not in htmls[0] and b"<a href" not in htmls[1]
+    # 13 → K = 1 + 13 % 4 = 2 targets
+    edges = L.extract_links(out)
+    assert edges.column("src").to_pylist() == [13, 13]
+    expect = [
+        (13 * L._MULT + k * L._STEP + L._OFF) % 100 for k in (1, 2)
+    ]
+    assert edges.column("tgt").to_pylist() == expect
+
+
+def _py_pagerank(n, edges, iters=L._PR_ITERS):
+    """The recurrence from the module docstring, scalar Python ints."""
+    od: dict[int, int] = {}
+    for s, _ in edges:
+        od[s] = od.get(s, 0) + 1
+    r = {v: L.FP_ONE // n for v in range(n)}
+    base = (15 * L.FP_ONE) // (100 * n)
+    for _ in range(iters):
+        dm = sum(r[v] for v in range(n) if v not in od)
+        share = dm // n
+        c: dict[int, int] = {}
+        for s, t in edges:
+            c[t] = c.get(t, 0) + r[s] // od[s]
+        r = {v: base + (85 * (c.get(v, 0) + share)) // 100 for v in range(n)}
+    return r
+
+
+def _ranks_df(nodes, edges, n, **kw):
+    import ray.data as rd
+
+    nodes_ds = rd.from_arrow(pa.table({"doc_id": pa.array(nodes, pa.int64())}))
+    edges_ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "tgt": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    )
+    return (
+        L.pagerank_ds(nodes_ds, edges_ds, n, **kw)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
+def test_pagerank_matches_python_reference(ray_session):
+    # 6 nodes: a hub (0←1,2,3), a 2-cycle (4↔5), node 3 dangling,
+    # a parallel duplicate edge 1→0 ×2 (must count twice in outdeg+contrib)
+    n = 6
+    edges = [(1, 0), (1, 0), (2, 0), (1, 4), (4, 5), (5, 4), (2, 5)]
+    expect = _py_pagerank(n, edges)
+    got = _ranks_df(list(range(n)), edges, n)
+    assert got["node"].tolist() == list(range(n))
+    assert got["r"].tolist() == [expect[v] for v in range(n)]
+    # dangling flags: 0 and 3 have no outlinks
+    assert got["dang"].tolist() == [True, False, False, True, False, False]
+
+
+def test_pagerank_dangling_mass_and_determinism(ray_session):
+    # all-dangling graph: every node keeps the uniform rank each round
+    n = 4
+    edges: list[tuple[int, int]] = []
+    got = _ranks_df(list(range(n)), edges, n)
+    expect = _py_pagerank(n, edges)
+    assert got["r"].tolist() == [expect[v] for v in range(n)]
+    # uniform by symmetry
+    assert len(set(got["r"])) == 1
+    # bit-identical across runs (the point of fixed-point arithmetic)
+    again = _ranks_df(list(range(n)), edges, n)
+    assert got["r"].tolist() == again["r"].tolist()
+
+
+def test_pagerank_more_buckets_than_nodes(ray_session):
+    # bucket count ≫ node count: empty/partial buckets must not break the
+    # cogroup kernels
+    n = 3
+    edges = [(0, 1), (1, 2), (2, 0)]
+    got = _ranks_df(list(range(n)), edges, n, buckets=64)
+    expect = _py_pagerank(n, edges)
+    assert got["r"].tolist() == [expect[v] for v in range(n)]
+    # a pure cycle is symmetric → equal ranks
+    assert len(set(got["r"])) == 1
+
+
+def test_link_stats_degrees(ray_session):
+    import ray.data as rd
+
+    nodes = rd.from_arrow(pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64())}))
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([0, 0, 1, 2, 2], pa.int64()),
+                "tgt": pa.array([1, 2, 2, 1, 1], pa.int64()),
+            }
+        )
+    )
+    got = (
+        L.link_stats_ds(nodes, edges, k=4)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    # in_deg: node1←{0,2,2}=3, node2←{0,1}=2; order (in_deg desc, doc_id)
+    assert got["doc_id"].tolist() == [1, 2, 0, 3]
+    assert got["in_deg"].tolist() == [3, 2, 0, 0]
+    assert got["out_deg"].tolist() == [1, 2, 2, 0]
