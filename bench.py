@@ -340,6 +340,47 @@ def run_webcrawl_legs() -> dict:
     return out
 
 
+def run_linkgraph_leg() -> dict:
+    """Fixed-point PageRank over a link graph at bench scale: the node
+    space is the replicated corpus's doc-id range (2.4M at the default
+    REPLICATE), edges come through the REAL path — anchor-html synthesis →
+    regex href extraction → (src, tgt) — then 5 power-iteration rounds of
+    two bounded-bucket exchanges each over the ~5.4M-edge graph."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lightrag_ray.extras import linkgraph as LG
+
+    n = pq.read_metadata(os.path.join(SF_DIR, "documents.parquet")).num_rows
+    n *= REPLICATE
+
+    def to_doc_ids(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("id"), np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+    out = {}
+    t0 = time.perf_counter()
+    try:
+        nodes = rd.range(n).map_batches(
+            to_doc_ids, batch_format="pyarrow", zero_copy_batch=True
+        )
+        edges = nodes.map_batches(
+            lambda b: LG._synth_anchor_html(b, n),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).map_batches(
+            LG.extract_links, batch_format="pyarrow", zero_copy_batch=True
+        )
+        rows = LG.pagerank_ds(nodes, edges, n).count()
+    except Exception as ex:  # one failing leg must not kill the bench
+        return {"pagerank_error": repr(ex)[:300]}
+    out["pagerank"] = round(time.perf_counter() - t0, 3)
+    out["pagerank_rows"] = rows
+    return out
+
+
 def run_queries() -> dict:
     from lightrag_ray.extras import catalog as X
     from lightrag_ray.pipelines import queries as Q
@@ -384,6 +425,7 @@ def main() -> None:
     dedup_legs = {} if headline_only else run_dedup_legs()
     webq_legs = {} if headline_only else run_webquality_legs()
     webcrawl_legs = {} if headline_only else run_webcrawl_legs()
+    linkgraph_legs = {} if headline_only else run_linkgraph_leg()
     ray.shutdown()
 
     print(
@@ -411,7 +453,13 @@ def main() -> None:
                         for k, v in webcrawl_legs.items()
                         if not k.endswith(("_rows", "_error"))
                     },
+                    **{
+                        k: v
+                        for k, v in linkgraph_legs.items()
+                        if not k.endswith(("_rows", "_error"))
+                    },
                 },
+                "linkgraph_legs": linkgraph_legs,
                 "dedup_legs": dedup_legs,
                 "webquality_legs": webq_legs,
                 "webcrawl_legs": webcrawl_legs,

@@ -40,6 +40,16 @@ Scale shape (the part that matters at 10^9+ nodes):
   - The rank table is materialized each round (node, rank, dangling ≈ 17
     B/row — the standard iterative-algorithm state), so iteration i never
     re-executes iterations 1..i-1.
+  - Block counts are BOUNDED per round: ``map_groups`` emits as many output
+    blocks as its sort-input had, and each round unions the previous round's
+    output twice, so without a bound the block count follows
+    b_{i+1} = 2·b_i + b_adj — geometric in the iteration count, and the
+    sort scheduler's metadata goes quadratic in it (measured: the 5-round
+    bench leg's driver-memory estimate climbed 7 → 27 GB before the fix).
+    Every materialized state table is therefore ``repartition``-ed back to
+    ``buckets`` blocks (there are only ``buckets`` groups, so a wider sort
+    cannot parallelize further anyway), making every round's shuffle an
+    identical bounded exchange.
 
 Reference intent: LightRAG exposes graph-degree analytics over its KG
 (``lightrag/kg/networkx_impl.py`` node_degree/edge_degree, used by the
@@ -283,6 +293,7 @@ def _build_adjacency(edges_ds, buckets: int):
         edges_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(attach_od, batch_format="pandas")
+        .repartition(buckets)
         .materialize()
     )
 
@@ -344,6 +355,7 @@ def _init_ranks(nodes_ds, adj, n: int, buckets: int):
     return (
         union.groupby("bucket")
         .map_groups(init_bucket, batch_format="pandas")
+        .repartition(buckets)
         .materialize()
     )
 
@@ -534,6 +546,10 @@ def pagerank_ds(
             )
             .groupby("bucket")
             .map_groups(make_reduce_ranks(dang_share), batch_format="pandas")
+            # bound the state's block count so the NEXT round's sort shuffle
+            # is the same width as this one (see module docstring: unbounded,
+            # it doubles per round and the sort metadata goes quadratic)
+            .repartition(buckets)
             .materialize()
         )
 
