@@ -289,7 +289,10 @@ def run_webquality_legs() -> dict:
     boilerplate scorer (DF combiner → vocab-bounded groupby → guarded
     broadcast) and PII redaction over the replicated documents corpus.
     Consumed with count() so the corpus-sized outputs stream through the
-    executor instead of landing on the driver."""
+    executor instead of landing on the driver.  passage_dedup_docs is the
+    tumbling-8-gram exact-substring gate: two bounded-bucket exchanges over
+    the fingerprint stream (~n_tokens/8 skinny rows per doc)."""
+    from lightrag_ray.extras import passages as PS
     from lightrag_ray.extras import webquality as WQ
 
     sf_like = synth_replicated_documents()
@@ -298,6 +301,7 @@ def run_webquality_legs() -> dict:
         ("repetition_stats", WQ.q_repetition_stats),
         ("boilerplate_frac", WQ.q_boilerplate_frac),
         ("pii_scan", WQ.q_pii_scan),
+        ("passage_dedup_docs", PS.q_passage_dedup_docs),
     ):
         t0 = time.perf_counter()
         try:

@@ -10,6 +10,7 @@ from lightrag_ray.extras import (
     events,
     linkgraph,
     multimodal,
+    passages,
     textstats,
     webcrawl,
     webquality,
@@ -551,6 +552,7 @@ def queries() -> dict[str, Callable]:
         **webquality.queries(),
         **webcrawl.queries(),
         **linkgraph.queries(),
+        **passages.queries(),
     }
 
 
@@ -578,6 +580,7 @@ def oracle_sql() -> dict[str, str]:
         **webquality.oracle_sql(),
         **webcrawl.oracle_sql(),
         **linkgraph.oracle_sql(),
+        **passages.oracle_sql(),
     }
 
 
