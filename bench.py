@@ -382,6 +382,22 @@ def run_linkgraph_leg() -> dict:
         return {"pagerank_error": repr(ex)[:300]}
     out["pagerank"] = round(time.perf_counter() - t0, 3)
     out["pagerank_rows"] = rows
+
+    t0 = time.perf_counter()
+    try:
+        edges = nodes.map_batches(
+            lambda b: LG._synth_anchor_html(b, n),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).map_batches(
+            LG.extract_links, batch_format="pyarrow", zero_copy_batch=True
+        )
+        rows = LG.kcore_ds(edges).count()
+    except Exception as ex:
+        out["kcore_error"] = repr(ex)[:300]
+        return out
+    out["kcore"] = round(time.perf_counter() - t0, 3)
+    out["kcore_rows"] = rows
     return out
 
 

@@ -1,8 +1,8 @@
-"""Hyperlink-graph operators: anchor extraction, degree stats, and
-fixed-point PageRank over the crawl's link graph.
+"""Hyperlink-graph operators: anchor extraction, degree stats, fixed-point
+PageRank and k-core decomposition over the crawl's link graph.
 
 The link graph is THE web-native structure a Common-Crawl-style corpus
-carries beyond its text: which page links to which.  Three operators, each
+carries beyond its text: which page links to which.  Four operators, each
 a streaming Ray Data pipeline with an exact DuckDB oracle:
 
 * **Anchor extraction** (``link_edges``): parse ``<a href=...>`` targets out
@@ -24,6 +24,11 @@ a streaming Ray Data pipeline with an exact DuckDB oracle:
   block-parallel reduces, a re-run, and the SQL oracle; integer arithmetic
   is associative, so the output is bit-reproducible and the oracle is the
   same recurrence unrolled as CTEs.
+* **K-core decomposition** (``kcore_nodes``): iterative peel of the
+  undirected simple link graph (Seidman 1983) — the dense-core extractor
+  behind link-farm/spam filtering.  Monotone peel with a free count()-based
+  fixpoint check; the oracle unrolls the peel, which is idempotent at the
+  fixpoint.
 
 Scale shape (the part that matters at 10^9+ nodes):
   - The text/html column never enters the iteration — edges are extracted
@@ -578,6 +583,187 @@ def q_pagerank_top20(sf_dir: str, k: int = 20):
     )
 
 
+# ----------------------------------------------------------------- k-core
+# K-core decomposition (Seidman 1983) by iterative peel over the UNDIRECTED
+# simple link graph: drop nodes with degree < K, drop their edges, repeat to
+# the fixpoint.  The surviving core is the densely-interlinked region — the
+# webgraph primitive behind link-farm/spam filtering and crawl
+# prioritization.  The peel is MONOTONE (edges only ever leave), so two
+# states of equal size are identical — convergence is a free count()
+# comparison on the materialized round state, and the loop raises if the
+# fixpoint needs more than ``iters`` rounds (same contract as the CC
+# kernel's non-convergence raise in extras/dedup.py).  The SQL oracle
+# unrolls ``iters`` rounds unconditionally; the peel is idempotent at the
+# fixpoint, so an early-converged Ray run matches it exactly.
+_KCORE_K = 3
+_KCORE_ITERS = 4  # measured fixpoint is 2 rounds at 500..2.4M nodes (2× margin)
+
+HALF_SCHEMA = pa.schema(
+    [("bucket", pa.int32()), ("v", pa.int64()), ("o", pa.int64())]
+)
+_PEEL_UNION = pa.schema(
+    [("bucket", pa.int32()), ("key", pa.int64()), ("v", pa.int64())]
+)
+
+
+def _build_half_edges(edges_ds, buckets: int):
+    """directed (src, tgt) → simple undirected half-edges (bucket(v), v, o):
+    self-loops dropped, parallel + reciprocal duplicates collapsed to ONE
+    undirected edge, then each edge emitted as two half-edges so every
+    node's full degree is visible in its own bucket.  One bounded exchange
+    (every copy of pair (lo, hi) lands in bucket(lo))."""
+    import pandas as pd
+
+    def tag(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("src"), np.int64)
+        tgt = np.asarray(batch.column("tgt"), np.int64)
+        m = src != tgt
+        lo = np.minimum(src[m], tgt[m])
+        hi = np.maximum(src[m], tgt[m])
+        lo_arr = pa.array(lo, pa.int64())
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(lo_arr, buckets),
+                "v": lo_arr,
+                "o": pa.array(hi, pa.int64()),
+            },
+            schema=HALF_SCHEMA,
+        )
+
+    def dedup_emit(group: pd.DataFrame) -> pa.Table:
+        lo = group["v"].to_numpy(np.int64)
+        hi = group["o"].to_numpy(np.int64)
+        order = np.lexsort((hi, lo))  # no packed composite — safe past 2^31
+        lo, hi = lo[order], hi[order]
+        first = np.concatenate(
+            ([True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1]))
+        )
+        lo, hi = lo[first], hi[first]
+        v = np.concatenate([lo, hi])
+        o = np.concatenate([hi, lo])
+        v_arr = pa.array(v, pa.int64())
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(v_arr, buckets),
+                "v": v_arr,
+                "o": pa.array(o, pa.int64()),
+            },
+            schema=HALF_SCHEMA,
+        )
+
+    return (
+        edges_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(dedup_emit, batch_format="pandas")
+        .repartition(buckets)
+        .materialize()
+    )
+
+
+def _peel_round(half, k: int, buckets: int):
+    """One peel round = two bounded-bucket exchanges.
+
+    A (by bucket(v)): each node's full half-edge run is local, so degree is
+    the run length (simple graph); drop runs with degree < k, re-key the
+    survivors' half-edges by their OTHER endpoint and emit kept-node marker
+    rows alongside.  B (by bucket(key)): a half-edge survives iff its other
+    endpoint has a marker in the same bucket — the membership test is a
+    ``searchsorted`` against the bucket's sorted marker set, never a
+    broadcast.  Output is re-keyed by v for the next round."""
+    import pandas as pd
+
+    def degree_filter(group: pd.DataFrame) -> pa.Table:
+        v = group["v"].to_numpy(np.int64)
+        o = group["o"].to_numpy(np.int64)
+        order = np.argsort(v, kind="stable")
+        v, o = v[order], o[order]
+        uniq, counts = np.unique(v, return_counts=True)
+        keep_node = counts >= k
+        keep_edge = np.repeat(keep_node, counts)
+        v_k, o_k = v[keep_edge], o[keep_edge]
+        kept = uniq[keep_node]
+        key = np.concatenate([o_k, kept])
+        vcol = np.concatenate([v_k, np.zeros(len(kept), np.int64)])
+        null_mask = np.concatenate(
+            [np.zeros(len(v_k), bool), np.ones(len(kept), bool)]
+        )
+        key_arr = pa.array(key, pa.int64())
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(key_arr, buckets),
+                "key": key_arr,
+                "v": pa.array(vcol, pa.int64(), mask=null_mask),
+            },
+            schema=_PEEL_UNION,
+        )
+
+    def membership_filter(group: pd.DataFrame) -> pa.Table:
+        is_marker = group["v"].isna().to_numpy()
+        kept = np.unique(group["key"].to_numpy(np.int64)[is_marker])
+        hv = group["v"].to_numpy()[~is_marker].astype(np.int64)
+        ho = group["key"].to_numpy(np.int64)[~is_marker]
+        if len(kept):
+            pos = np.searchsorted(kept, ho)
+            m = (pos < len(kept)) & (
+                kept[np.minimum(pos, len(kept) - 1)] == ho
+            )
+        else:
+            m = np.zeros(len(ho), bool)
+        v_arr = pa.array(hv[m], pa.int64())
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(v_arr, buckets),
+                "v": v_arr,
+                "o": pa.array(ho[m], pa.int64()),
+            },
+            schema=HALF_SCHEMA,
+        )
+
+    return (
+        half.groupby("bucket")
+        .map_groups(degree_filter, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(membership_filter, batch_format="pandas")
+        .repartition(buckets)
+        .materialize()
+    )
+
+
+def kcore_ds(edges_ds, k: int = _KCORE_K, iters: int = _KCORE_ITERS,
+             buckets: int = _BUCKETS):
+    """(src, tgt) edges → (doc_id, degree) of the k-core's nodes, degree
+    measured within the core's own edge set."""
+    import pandas as pd
+
+    half = _build_half_edges(edges_ds, buckets)
+    prev = half.count()
+    for _ in range(iters):
+        half = _peel_round(half, k, buckets)
+        cnt = half.count()
+        if cnt == prev:
+            break  # monotone peel: equal size ⇒ identical state ⇒ fixpoint
+        prev = cnt
+    else:
+        raise RuntimeError(
+            f"kcore: no fixpoint after {iters} rounds — raise iters"
+        )
+
+    def degrees(group: pd.DataFrame) -> pa.Table:
+        uniq, counts = np.unique(group["v"].to_numpy(np.int64), return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "degree": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return half.groupby("bucket").map_groups(degrees, batch_format="pandas")
+
+
+def q_kcore_nodes(sf_dir: str):
+    return kcore_ds(link_edges_ds(sf_dir))
+
+
 # ------------------------------------------------------------------ oracle
 # the link rule as SQL (identical constants; `//` is DuckDB integer division)
 _SQL_EDGES = f"""
@@ -651,11 +837,38 @@ r{i} AS (
     return "\n".join(parts)
 
 
+def _sql_kcore(k: int = _KCORE_K, iters: int = _KCORE_ITERS) -> str:
+    """The peel unrolled: h0 = simple undirected half-edges; round i keeps
+    half-edges whose BOTH endpoints had degree ≥ k in h_{i-1}.  Idempotent
+    at the fixpoint, so fixed unrolling matches an early-converged run."""
+    parts = [
+        f"WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),\n{_SQL_EDGES},",
+        """u0 AS (
+  SELECT DISTINCT least(src, tgt) AS lo, greatest(src, tgt) AS hi
+  FROM edges WHERE src <> tgt),
+h0 AS (SELECT lo AS v, hi AS o FROM u0 UNION ALL SELECT hi, lo FROM u0)""",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",k{i} AS (SELECT v FROM h{p} GROUP BY v HAVING count(*) >= {k}),
+h{i} AS (
+  SELECT h.v, h.o FROM h{p} h
+  WHERE h.v IN (SELECT v FROM k{i}) AND h.o IN (SELECT v FROM k{i}))"""
+        )
+    parts.append(
+        f"\nSELECT v AS doc_id, count(*)::BIGINT AS degree"
+        f" FROM h{iters} GROUP BY v"
+    )
+    return "\n".join(parts)
+
+
 def queries() -> dict[str, Callable]:
     return {
         "link_edges": q_link_edges,
         "link_stats": q_link_stats,
         "pagerank_top20": q_pagerank_top20,
+        "kcore_nodes": q_kcore_nodes,
     }
 
 
@@ -664,4 +877,5 @@ def oracle_sql() -> dict[str, str]:
         "link_edges": SQL_LINK_EDGES,
         "link_stats": SQL_LINK_STATS,
         "pagerank_top20": _sql_pagerank(),
+        "kcore_nodes": _sql_kcore(),
     }

@@ -154,3 +154,71 @@ def test_link_stats_degrees(ray_session):
     assert got["doc_id"].tolist() == [1, 2, 0, 3]
     assert got["in_deg"].tolist() == [3, 2, 0, 0]
     assert got["out_deg"].tolist() == [1, 2, 2, 0]
+
+
+def _edges_tbl(pairs):
+    return pa.table(
+        {
+            "src": pa.array([p[0] for p in pairs], pa.int64()),
+            "tgt": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+
+
+def test_kcore_peel_cascade_and_edge_collapse(ray_session):
+    import ray.data as rd
+
+    # 4-clique {0,1,2,3} (undirected degree 3 each) + tail 3-10-11-12:
+    # the tail peels over THREE rounds (12, then 11, then 10), exercising
+    # the iterated fixpoint; duplicate / reciprocal / self edges collapse.
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    tail = [(3, 10), (10, 11), (11, 12)]
+    noise = [(1, 0), (0, 1), (2, 2)]  # reciprocal dup, parallel dup, self
+    edges = rd.from_arrow(_edges_tbl(clique + tail + noise))
+    res = (
+        L.kcore_ds(edges, k=3, iters=5, buckets=8)
+        .to_pandas()
+        .set_index("doc_id")["degree"]
+        .sort_index()
+    )
+    assert res.index.tolist() == [0, 1, 2, 3]
+    assert res.tolist() == [3, 3, 3, 3]
+
+
+def _layered_edges():
+    # 4-layer cascade: root 500 — a0..a2; each a — 2 b's; each b — 2 leaves.
+    # Round 1 peels the leaves, round 2 the b's, round 3 the a-root edges:
+    # three strictly-shrinking edge sets before the empty fixpoint.
+    edges = [(500, 0), (500, 1), (500, 2)]
+    b = 100
+    for a in (0, 1, 2):
+        for _ in range(2):
+            edges.append((a, b))
+            edges += [(b, b * 10), (b, b * 10 + 1)]
+            b += 1
+    return edges
+
+
+def test_kcore_raises_without_fixpoint(ray_session):
+    import ray.data as rd
+
+    edges = rd.from_arrow(_edges_tbl(_layered_edges()))
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        L.kcore_ds(edges, k=3, iters=3, buckets=8)
+
+
+def test_kcore_peels_to_empty(ray_session):
+    import ray.data as rd
+
+    edges = rd.from_arrow(_edges_tbl(_layered_edges()))
+    assert L.kcore_ds(edges, k=3, iters=5, buckets=8).count() == 0
+
+
+def test_kcore_whole_graph_survives(ray_session):
+    import ray.data as rd
+
+    # triangle with k=2: nothing peels; converges on the first count check
+    edges = rd.from_arrow(_edges_tbl([(0, 1), (1, 2), (2, 0)]))
+    res = L.kcore_ds(edges, k=2, iters=3, buckets=4).to_pandas()
+    assert sorted(res["doc_id"]) == [0, 1, 2]
+    assert res["degree"].tolist() == [2, 2, 2]
