@@ -332,6 +332,7 @@ def run_webcrawl_legs() -> dict:
         ("url_dedup", WC.q_url_dedup),
         ("bm25_top10", WC.q_bm25_top10),
         ("decontam", lambda sf: WC.q_decontam(sf, eval_mod=2000)),
+        ("crawl_cdc", WC.q_crawl_cdc),
     ):
         t0 = time.perf_counter()
         try:

@@ -599,12 +599,124 @@ def q_bm25_top10(sf_dir: str):
     return q_bm25_topk(sf_dir, k=10)
 
 
+# ---------------------------------------------------------------------------
+# 5. Crawl snapshot CDC (change-data-capture)
+
+_CDC_ROWS_PER_BUCKET = 250_000
+
+
+def _synth_content_sig(ids: np.ndarray) -> np.ndarray:
+    """Deterministic per-fetch content signature (the synthetic corpus has
+    one text per doc_id, so refetch content identity is an augmentation —
+    rule stated identically in SQL_CRAWL_CDC, same precedent as the url/ts
+    synthesis above): canonical groups are doc_ids congruent mod 350 with
+    fetch index k = doc_id // 350; groups with (doc_id % 350) % 3 == 0
+    never change content, every other group changes on each refetch — so
+    new / changed / unchanged all occur from 500 docs up."""
+    c = ids % 350
+    k = ids // 350
+    return c * 1000 + np.where(c % 3 == 0, 0, k)
+
+
+def classify_fetch_history(group) -> pa.Table:
+    """(canonical_url, warc_ts, doc_id, sig) rows → per-fetch CDC status.
+    One np.unique factorize + lexsort + shifted compare — no Python loop;
+    every fetch of a canonical URL must be present (the caller's bucketing
+    guarantees it)."""
+    urls = group["canonical_url"].to_numpy(object)
+    ts = group["warc_ts"].to_numpy(np.int64)
+    ids = group["doc_id"].to_numpy(np.int64)
+    sig = group["sig"].to_numpy(np.int64)
+    uniq, codes = np.unique(urls, return_inverse=True)
+    order = np.lexsort((ids, ts, codes))
+    codes_s, ids_s, sig_s, urls_s = (
+        codes[order],
+        ids[order],
+        sig[order],
+        urls[order],
+    )
+    first = np.concatenate(([True], codes_s[1:] != codes_s[:-1]))
+    changed = np.concatenate(([False], sig_s[1:] != sig_s[:-1]))
+    status = np.where(
+        first, "new", np.where(changed, "changed", "unchanged")
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids_s, pa.int64()),
+            "canonical_url": pa.array(urls_s.tolist(), pa.string()),
+            "status": pa.array(status.tolist(), pa.string()),
+        }
+    )
+
+
+def q_crawl_cdc(sf_dir: str):
+    """Classify every fetch of the canonicalized crawl as new / changed /
+    unchanged vs the PREVIOUS fetch of the same canonical URL (ordered by
+    (warc_ts, doc_id)) — the snapshot-to-snapshot change-data-capture a
+    recurrent crawl uses to skip re-processing unchanged pages.
+
+    Scale shape: lag() cannot pre-combine (each fetch needs its
+    predecessor), so the exchange carries the narrow fetch rows (url hash
+    bucket, ts, id, sig) exactly once, bucketed by canonical-URL crc32
+    into a width that SCALES WITH THE CORPUS (≤ ~250k rows per group) —
+    wider than url_dedup's fixed 64 because these are raw fetch rows, not
+    combiner partials."""
+    import zlib
+
+    from lightrag_ray.extras.webquality import _n_docs
+
+    n = _n_docs(sf_dir)
+    buckets = max(_DEDUP_BUCKETS, -(-n // _CDC_ROWS_PER_BUCKET))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        tbl = batch.append_column(
+            "sig", pa.array(_synth_content_sig(ids), pa.int64())
+        )
+        buck = [
+            zlib.crc32(c.encode()) % buckets
+            for c in tbl.column("canonical_url").to_pylist()
+        ]
+        return tbl.append_column("bucket", pa.array(buck, pa.int64()))
+
+    return (
+        _synth_canon_pages(sf_dir)
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(classify_fetch_history, batch_format="pandas")
+    )
+
+
+SQL_CRAWL_CDC = f"""
+WITH pages AS ({SQL_SYNTH_PAGES}),
+canon AS (
+  SELECT doc_id, warc_ts, {_SQL_CANON} AS canonical_url,
+         (doc_id % 350) * 1000
+           + CASE WHEN (doc_id % 350) % 3 = 0 THEN 0
+                  ELSE doc_id // 350 END AS sig
+  FROM pages
+),
+ordered AS (
+  SELECT doc_id, canonical_url, sig,
+         lag(sig) OVER (PARTITION BY canonical_url
+                        ORDER BY warc_ts, doc_id) AS prev_sig
+  FROM canon
+)
+SELECT doc_id, canonical_url,
+       CASE WHEN prev_sig IS NULL THEN 'new'
+            WHEN sig <> prev_sig THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM ordered
+"""
+
+
 def queries() -> dict[str, Callable]:
     return {
         "url_dedup": q_url_dedup,
         "host_stats": q_host_stats,
         "bm25_top10": q_bm25_top10,
         "decontam": q_decontam,
+        "crawl_cdc": q_crawl_cdc,
     }
 
 
@@ -614,4 +726,5 @@ def oracle_sql() -> dict[str, str]:
         "host_stats": SQL_HOST_STATS,
         "bm25_top10": _sql_bm25(),
         "decontam": SQL_DECONTAM,
+        "crawl_cdc": SQL_CRAWL_CDC,
     }

@@ -130,3 +130,46 @@ def test_decontam_broadcast_guard(ray_session, tmp_path, monkeypatch):
     monkeypatch.setattr(W, "MAX_BROADCAST_GRAMS", 5)
     with pytest.raises(ValueError, match="refusing to broadcast"):
         W.q_decontam(sf)
+
+
+def test_cdc_classify_kernel():
+    import pandas as pd
+
+    # two canonical urls: u changes then repeats, v has one fetch
+    df = pd.DataFrame(
+        {
+            "canonical_url": ["u", "u", "u", "v"],
+            "warc_ts": [10, 20, 30, 10],
+            "doc_id": [1, 2, 3, 4],
+            "sig": [5, 6, 6, 9],
+        }
+    )
+    out = (
+        W.classify_fetch_history(df)
+        .to_pandas()
+        .set_index("doc_id")["status"]
+    )
+    assert out.loc[1] == "new"
+    assert out.loc[2] == "changed"
+    assert out.loc[3] == "unchanged"
+    assert out.loc[4] == "new"
+
+
+def test_cdc_ts_tiebreak_by_doc_id():
+    import pandas as pd
+
+    # equal warc_ts: order falls back to doc_id, so doc 2 is the successor
+    df = pd.DataFrame(
+        {
+            "canonical_url": ["u", "u"],
+            "warc_ts": [10, 10],
+            "doc_id": [2, 1],
+            "sig": [7, 7],
+        }
+    )
+    out = (
+        W.classify_fetch_history(df)
+        .to_pandas()
+        .set_index("doc_id")["status"]
+    )
+    assert out.loc[1] == "new" and out.loc[2] == "unchanged"
