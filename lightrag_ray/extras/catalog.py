@@ -348,6 +348,65 @@ WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
 """
 
 
+def q_temperature_lang_sample(sf_dir: str):
+    """Domain-mix resampling at temperature α = 0.5: downsample each
+    language stratum with acceptance probability √(min_count/count(lang))
+    — the standard sqrt-flattening used to rebalance multilingual training
+    mixtures (each stratum's expected size becomes the geometric mean
+    √(min·count), compressing skew instead of erasing it like the α = 0
+    uniform flattening in ``q_balanced_lang_sample``).
+
+    A doc survives iff ``md5_u32(doc_id)² × count(lang) < min_count × 2⁶⁴``
+    — P(h² < m·2⁶⁴/c) = √(m/c) for h uniform on [0, 2³²) — decided by PURE
+    INTEGER cross-multiplication (Python arbitrary-precision ints vs
+    HUGEINT in the oracle), so the irrational √ threshold never exists as
+    a float on either side.  Same scale shape as the balanced sampler: one
+    tiny stratum-count groupby broadcast in the closure, then a stateless
+    one-pass filter — no shuffle."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    cnt_rows = docs.groupby("lang").count().take_all()
+    counts = {r["lang"]: int(r["count()"]) for r in cnt_rows}
+    bound = min(counts.values()) << 64
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+
+        def h(d):
+            return int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+
+        mask = pa.array(
+            [h(d) ** 2 * counts[l] < bound for d, l in zip(ids, langs)]
+        )
+        return batch.filter(mask)
+
+    return docs.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TEMPERATURE_LANG_SAMPLE = """
+WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+mn AS (SELECT min(c) AS m FROM cnt),
+h AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              AS HUGEINT) AS hv
+  FROM documents
+)
+SELECT h.doc_id, h.lang
+FROM h JOIN cnt USING (lang), mn
+WHERE h.hv * h.hv * cnt.c
+      < CAST(mn.m AS HUGEINT) * 18446744073709551616
+"""
+
+
 def q_term_df_top100(sf_dir: str, k: int = 100):
     """Corpus term statistics: top-``k`` terms by document frequency.
 
@@ -534,6 +593,7 @@ def queries() -> dict[str, Callable]:
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "balanced_lang_sample": q_balanced_lang_sample,
+        "temperature_lang_sample": q_temperature_lang_sample,
         "term_df_top100": q_term_df_top100,
         "distinctive_terms": q_distinctive_terms,
         "minhash_lsh_pairs": q_minhash_lsh,  # rows-only (LSH is approximate)
@@ -571,6 +631,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": SQL_HASH_SAMPLE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "balanced_lang_sample": SQL_BALANCED_LANG_SAMPLE,
+        "temperature_lang_sample": SQL_TEMPERATURE_LANG_SAMPLE,
         "term_df_top100": SQL_TERM_DF_TOP100,
         "distinctive_terms": SQL_DISTINCTIVE_TERMS,
         "dup_clusters": SQL_DUP_CLUSTERS,

@@ -546,3 +546,34 @@ def test_balanced_lang_sample_rebalances(ray_session, tmp_path):
     assert 15 <= counts.get("en", 0) <= 75
     # de accepted at p = 1.0 → kept whole
     assert counts.get("de", 0) == n_de
+
+
+def test_temperature_lang_sample_sqrt_flattening(ray_session, tmp_path):
+    """α=0.5 temperature: the majority stratum shrinks toward the geometric
+    mean √(min·count) (NOT all the way to min — skew is compressed, not
+    erased), the minority is kept whole, and selection is deterministic."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_en, n_de = 400, 40
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(n_en + n_de), pa.int64()),
+            "lang": pa.array(["en"] * n_en + ["de"] * n_de, pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmp_path, "documents.parquet"))
+
+    a = C.q_temperature_lang_sample(str(tmp_path)).to_pandas()
+    b = C.q_temperature_lang_sample(str(tmp_path)).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+    counts = a.groupby("lang").size()
+    # en accepted at p = √(40/400) ≈ 0.316 → expect ~126 ≈ √(40·400);
+    # strictly between the α=0 target (40) and the original 400
+    assert 75 <= counts.get("en", 0) <= 190
+    assert counts.get("de", 0) == n_de
