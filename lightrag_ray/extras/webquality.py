@@ -392,12 +392,129 @@ FROM aug
 """
 
 
+# ---------------------------------------------------------------------------
+# 5. Unigram-LM quality score (CCNet-style LM filter, integer-quantized)
+
+# Broadcast guard for the unigram vocabulary (same pattern as
+# catalog.q_distinctive_terms / MAX_BROADCAST_SHINGLES above): the full
+# vocabulary of a web corpus is bounded but can be large — stream it to the
+# driver with an early stop and raise rather than OOM.
+MAX_LM_VOCAB = 5_000_000
+
+
+def q_lm_quality(sf_dir: str):
+    """Per-document unigram-LM quality score (the CCNet LM-filter primitive,
+    Wenzek et al. 2020 "CCNet: Extracting High Quality Monolingual Datasets
+    from Web Crawl Data", §3 — there a KenLM 5-gram; here the corpus-trained
+    unigram analogue whose arithmetic is exact).
+
+    Per-token surprisal is quantized to WHOLE BITS via integer bit length:
+    ``bits(w) = bitlen(T) - bitlen(tf(w))`` where ``T`` is the corpus token
+    count — a monotone integer proxy for ``log2(T / tf(w))`` that both
+    engines compute exactly (Python ``int.bit_length`` ↔ DuckDB
+    ``length(bin(x))``, verified identical), so the driver's value hash
+    cannot diverge on transcendental rounding.  A document's score is the
+    token-sum of surprisals plus the floor-divided centibit average; LOW
+    ``avg_bits_x100`` = commonest language = the "keep" end of the CCNet
+    head/middle/tail split.
+
+    Scale shape: per-batch tf combiner → vocab-bounded groupby (the shuffle
+    carries |vocab|×blocks partial rows, never the token stream) → guarded
+    driver stream → surprisal table broadcast ONCE via ``ray.put`` → the
+    corpus streams through a stateless scorer.  The big side never shuffles.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial_tf(batch: pa.Table) -> pa.Table:
+        tf: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            tf.update(_TOKEN_RE.findall((text or "").lower()))
+        terms = sorted(tf)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array([tf[t] for t in terms], pa.int64()),
+            }
+        )
+
+    tf_lookup: dict = {}
+    for b in (
+        docs.map_batches(partial_tf, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("tf", alias_name="tf"))
+        .iter_batches(batch_format="pyarrow", batch_size=65536)
+    ):
+        tf_lookup.update(zip(b.column("term").to_pylist(), b.column("tf").to_pylist()))
+        if len(tf_lookup) > MAX_LM_VOCAB:
+            raise ValueError(
+                f"vocabulary exceeds {MAX_LM_VOCAB} terms — too large to "
+                "broadcast; shard the LM by term-hash instead"
+            )
+    total = sum(tf_lookup.values())
+    bits_total = int(total).bit_length()
+    surp_ref = ray.put(
+        {t: bits_total - int(c).bit_length() for t, c in tf_lookup.items()}
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        surp = ray.get(surp_ref)
+        n_toks, lm_bits, avg = [], [], []
+        for text in batch.column("text").to_pylist():
+            toks = _TOKEN_RE.findall((text or "").lower())
+            n = len(toks)
+            # trained on this same corpus ⇒ every token is in-vocab; a miss
+            # would mean train/score tokenizer drift, which must raise.
+            bits = sum(surp[w] for w in toks)
+            n_toks.append(n)
+            lm_bits.append(bits)
+            avg.append((100 * bits) // n if n else 0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_toks, pa.int64()),
+                "lm_bits": pa.array(lm_bits, pa.int64()),
+                "avg_bits_x100": pa.array(avg, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_LM_QUALITY = r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+cnt AS (SELECT term, count(*) AS tf FROM w GROUP BY term),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM w),
+per AS (
+  SELECT w.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(length(bin((SELECT t FROM tot))) - length(bin(cnt.tf)))
+              AS BIGINT) AS lm_bits
+  FROM w JOIN cnt USING (term)
+  GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_tokens, 0) AS n_tokens,
+       coalesce(per.lm_bits, 0) AS lm_bits,
+       CASE WHEN coalesce(per.n_tokens, 0) = 0 THEN 0
+            ELSE 100 * per.lm_bits // per.n_tokens END AS avg_bits_x100
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable]:
     return {
         "repetition_stats": q_repetition_stats,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "boilerplate_frac": q_boilerplate_frac,
         "pii_scan": q_pii_scan,
+        "lm_quality": q_lm_quality,
     }
 
 
@@ -407,4 +524,5 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_ngrams": SQL_BOILERPLATE_NGRAMS,
         "boilerplate_frac": SQL_BOILERPLATE_FRAC,
         "pii_scan": SQL_PII_SCAN,
+        "lm_quality": SQL_LM_QUALITY,
     }

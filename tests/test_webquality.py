@@ -140,3 +140,31 @@ def test_pii_scan_augmentation_round_trip(ray_session, tmp_path):
         "hello world contact <EMAIL> or call <PHONE> from <IP>"
     )
     assert rows[1]["redacted"].startswith(" contact <EMAIL>")
+
+
+def test_lm_quality_hand_computed(ray_session, tmp_path):
+    # corpus: "a a b" + "a c" + "" → tf: a=3, b=1, c=1; T=5, bitlen(T)=3.
+    # surprisal bits: a → 3-2=1, b → 3-1=2, c → 3-1=2.
+    sf = _write_docs(tmp_path, ["a a b", "a c", ""])
+    rows = {r["doc_id"]: r for r in W.q_lm_quality(sf).take_all()}
+    assert rows[0] == {
+        "doc_id": 0,
+        "n_tokens": 3,
+        "lm_bits": 1 + 1 + 2,
+        "avg_bits_x100": (100 * 4) // 3,
+    }
+    assert rows[1]["lm_bits"] == 1 + 2 and rows[1]["avg_bits_x100"] == 150
+    # empty document: zero tokens, zero bits, zero average (oracle LEFT JOIN)
+    assert rows[2] == {
+        "doc_id": 2,
+        "n_tokens": 0,
+        "lm_bits": 0,
+        "avg_bits_x100": 0,
+    }
+
+
+def test_lm_quality_vocab_guard(ray_session, tmp_path, monkeypatch):
+    sf = _write_docs(tmp_path, ["alpha beta gamma", "delta"])
+    monkeypatch.setattr(W, "MAX_LM_VOCAB", 1)
+    with pytest.raises(ValueError, match="vocabulary exceeds"):
+        W.q_lm_quality(sf)
