@@ -301,6 +301,7 @@ def run_webquality_legs() -> dict:
         ("repetition_stats", WQ.q_repetition_stats),
         ("boilerplate_frac", WQ.q_boilerplate_frac),
         ("pii_scan", WQ.q_pii_scan),
+        ("lm_quality", WQ.q_lm_quality),
         ("passage_dedup_docs", PS.q_passage_dedup_docs),
     ):
         t0 = time.perf_counter()

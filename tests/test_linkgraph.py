@@ -222,3 +222,53 @@ def test_kcore_whole_graph_survives(ray_session):
     res = L.kcore_ds(edges, k=2, iters=3, buckets=4).to_pandas()
     assert sorted(res["doc_id"]) == [0, 1, 2]
     assert res["degree"].tolist() == [2, 2, 2]
+
+
+def _nodes_ds(ids):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+
+
+def test_triangle_counts_hand_graph(ray_session):
+    import ray.data as rd
+
+    # K4 on {0,1,2,3} → 4 triangles, 3 per node; pendant 3-10 joins no
+    # triangle; 20-21-22-20 is one isolated 3-cycle; node 30 is isolated.
+    # Duplicate / reciprocal / self edges must collapse before counting.
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    extra = [(3, 10), (20, 21), (21, 22), (22, 20)]
+    noise = [(1, 0), (0, 1), (2, 2)]
+    edges = rd.from_arrow(_edges_tbl(k4 + extra + noise))
+    nodes = _nodes_ds([0, 1, 2, 3, 10, 20, 21, 22, 30])
+    res = (
+        L.triangle_counts_ds(nodes, edges, buckets=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert res.index.tolist() == [0, 1, 2, 3, 10, 20, 21, 22, 30]
+    assert res["n_triangles"].tolist() == [3, 3, 3, 3, 0, 1, 1, 1, 0]
+    assert res["degree"].tolist() == [3, 3, 3, 4, 1, 2, 2, 2, 0]
+
+
+def test_triangle_counts_wedge_without_closure(ray_session):
+    import ray.data as rd
+
+    # open wedge 0-1, 1-2 only: no triangle anywhere, degrees still real.
+    edges = rd.from_arrow(_edges_tbl([(0, 1), (1, 2)]))
+    res = (
+        L.triangle_counts_ds(_nodes_ds([0, 1, 2]), edges, buckets=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert res["n_triangles"].tolist() == [0, 0, 0]
+    assert res["degree"].tolist() == [1, 2, 1]
+
+
+def test_segment_local_arange():
+    assert L._segment_local_arange(np.array([3, 2, 0, 1])).tolist() == [
+        0, 1, 2, 0, 1, 0,
+    ]
+    assert L._segment_local_arange(np.array([], dtype=np.int64)).tolist() == []
