@@ -578,6 +578,152 @@ SELECT doc_id, term, score FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (hashed n-gram importance weights)
+
+_DSIR_BUCKETS = 1024
+_DSIR_TARGET_LANG = "en"
+_DSIR_K = 100
+_DSIR_MEMO: dict = {}  # term → bucket, per worker process (vocab-bounded)
+
+
+def _dsir_bucket(term: str) -> int:
+    """md5-folded hashed-n-gram bucket — same fold as ``q_hash_sample`` so
+    the DuckDB side states it identically."""
+    b = _DSIR_MEMO.get(term)
+    if b is None:
+        import hashlib
+
+        b = int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % _DSIR_BUCKETS
+        _DSIR_MEMO[term] = b
+    return b
+
+
+def q_dsir_select(sf_dir: str):
+    """Data selection via importance resampling (DSIR, Xie et al. 2023
+    "Data Selection for Language Models via Importance Resampling"): score
+    every raw document by how target-like its hashed n-gram distribution is,
+    then keep the top-k.  The target domain here is the corpus's ``lang =
+    'en'`` slice; features are unigrams md5-hashed into 1024 buckets (the
+    paper's hashed-ngram estimator; unigram features — the hashing is the
+    structural part).  The importance log-ratio is bit-quantized with
+    add-one smoothing — ``bitlen(c_target(b)+1) − bitlen(c_raw(b)+1)`` per
+    bucket, exact integers on both engines (Python ``int.bit_length`` ↔
+    DuckDB ``length(bin(x))``) — and the paper's Gumbel-noise resampling is
+    replaced by the deterministic top-k with a stated (bits DESC, doc_id
+    ASC) tie-break so the driver hash is reproducible.
+
+    Scale shape: the bucket-count model is ≤2×1024 rows after the per-batch
+    combiner (a fixed-size sketch regardless of corpus size) — it collects
+    on the driver and ships in the scorer's closure; the corpus then streams
+    once through a stateless scorer and only the top-k survives the final
+    (tiny) sort."""
+    import os
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    token_re = re.compile(r"[a-z0-9_]+")
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        raw = np.zeros(_DSIR_BUCKETS, np.int64)
+        tgt = np.zeros(_DSIR_BUCKETS, np.int64)
+        for lang, text in zip(
+            batch.column("lang").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for t in token_re.findall((text or "").lower()):
+                b = _dsir_bucket(t)
+                raw[b] += 1
+                if lang == _DSIR_TARGET_LANG:
+                    tgt[b] += 1
+        nz = np.flatnonzero(raw)
+        return pa.table(
+            {
+                "bkt": pa.array(nz, pa.int64()),
+                "raw_c": pa.array(raw[nz], pa.int64()),
+                "tgt_c": pa.array(tgt[nz], pa.int64()),
+            }
+        )
+
+    wbits = np.zeros(_DSIR_BUCKETS, np.int64)
+    for b in (
+        docs.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .aggregate(Sum("raw_c", alias_name="raw_c"), Sum("tgt_c", alias_name="tgt_c"))
+        .iter_batches(batch_format="pyarrow", batch_size=_DSIR_BUCKETS)
+    ):
+        bkt = np.asarray(b.column("bkt"), np.int64)
+        raw_c = np.asarray(b.column("raw_c"), np.int64)
+        tgt_c = np.asarray(b.column("tgt_c"), np.int64)
+        for i, r, t in zip(bkt, raw_c, tgt_c):
+            wbits[i] = int(t + 1).bit_length() - int(r + 1).bit_length()
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids, n_toks, bits = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = token_re.findall((text or "").lower())
+            if not toks:
+                continue  # the oracle's token join excludes empty docs
+            ids.append(doc_id)
+            n_toks.append(len(toks))
+            bits.append(int(sum(wbits[_dsir_bucket(t)] for t in toks)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n_toks, pa.int64()),
+                "dsir_bits": pa.array(bits, pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["dsir_bits", "doc_id"], descending=[True, False])
+        .limit(_DSIR_K)
+    )
+
+
+SQL_DSIR_SELECT = f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(term), 1, 8))::UBIGINT % {_DSIR_BUCKETS} AS bkt
+  FROM w
+),
+raw AS (SELECT bkt, count(*) AS c FROM b GROUP BY bkt),
+tgt AS (
+  SELECT bkt, count(*) AS c FROM b
+  WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY bkt
+),
+wt AS (
+  SELECT raw.bkt,
+         length(bin(coalesce(tgt.c, 0) + 1)) - length(bin(raw.c + 1)) AS wbits
+  FROM raw LEFT JOIN tgt USING (bkt)
+),
+per AS (
+  SELECT b.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(wt.wbits) AS BIGINT) AS dsir_bits
+  FROM b JOIN wt USING (bkt)
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n_tokens, dsir_bits FROM per
+ORDER BY dsir_bits DESC, doc_id ASC LIMIT {_DSIR_K}
+"""
+
+
 def queries() -> dict[str, Callable]:
     return {
         "simhash": q_simhash,
@@ -609,6 +755,7 @@ def queries() -> dict[str, Callable]:
         "corpus_dedup_lsh": q_corpus_dedup_lsh,  # rows-only (LSH-fed; exact = corpus_dedup)
         "curated_corpus": q_curated_corpus,
         "curated_corpus_lsh": q_curated_corpus_lsh,  # rows-only (LSH arm; exact = curated_corpus)
+        "dsir_select": q_dsir_select,
         **webquality.queries(),
         **webcrawl.queries(),
         **linkgraph.queries(),
@@ -637,6 +784,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": SQL_DUP_CLUSTERS,
         "corpus_dedup": SQL_CORPUS_DEDUP,
         "curated_corpus": _sql_curated_corpus(),
+        "dsir_select": SQL_DSIR_SELECT,
         "langid": textstats.SQL_LANGID,
         **webquality.oracle_sql(),
         **webcrawl.oracle_sql(),

@@ -577,3 +577,44 @@ def test_temperature_lang_sample_sqrt_flattening(ray_session, tmp_path):
     # strictly between the α=0 target (40) and the original 400
     assert 75 <= counts.get("en", 0) <= 190
     assert counts.get("de", 0) == n_de
+
+
+def test_dsir_select_prefers_target_vocabulary(ray_session, tmp_path):
+    """DSIR selection must rank docs written in the target slice's
+    vocabulary above docs from a disjoint vocabulary, and break ties by
+    doc_id — exercised on a corpus where the signal is unambiguous."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lightrag_ray.extras import catalog as C
+
+    # target slice (lang=en) speaks {alpha beta}; the others speak {zeta}.
+    texts, langs = [], []
+    for i in range(30):
+        if i % 3 == 0:
+            texts.append("alpha beta alpha beta")
+            langs.append("en")
+        elif i % 3 == 1:
+            texts.append("zeta zeta zeta zeta")
+            langs.append("fr")
+        else:  # non-en doc that still uses the target vocabulary
+            texts.append("alpha beta alpha beta")
+            langs.append("de")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(30), pa.int64()),
+            "lang": pa.array(langs, pa.string()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "documents.parquet"))
+    out = C.q_dsir_select(str(tmp_path)).to_pandas()
+    assert len(out) == 30  # top-k larger than corpus → everything, ranked
+    top20 = set(out.head(20)["doc_id"])
+    # every alpha-beta doc (en AND de) outranks every zeta doc
+    assert top20 == {i for i in range(30) if i % 3 != 1}
+    # ties inside a vocabulary class break by ascending doc_id
+    alpha_rows = out[out["doc_id"] % 3 != 1]["doc_id"].tolist()
+    assert alpha_rows == sorted(alpha_rows)
