@@ -292,6 +292,7 @@ def run_webquality_legs() -> dict:
     executor instead of landing on the driver.  passage_dedup_docs is the
     tumbling-8-gram exact-substring gate: two bounded-bucket exchanges over
     the fingerprint stream (~n_tokens/8 skinny rows per doc)."""
+    from lightrag_ray.extras import catalog as X
     from lightrag_ray.extras import passages as PS
     from lightrag_ray.extras import webquality as WQ
 
@@ -302,6 +303,7 @@ def run_webquality_legs() -> dict:
         ("boilerplate_frac", WQ.q_boilerplate_frac),
         ("pii_scan", WQ.q_pii_scan),
         ("lm_quality", WQ.q_lm_quality),
+        ("dsir_select", X.q_dsir_select),
         ("passage_dedup_docs", PS.q_passage_dedup_docs),
     ):
         t0 = time.perf_counter()
@@ -400,6 +402,27 @@ def run_linkgraph_leg() -> dict:
         return out
     out["kcore"] = round(time.perf_counter() - t0, 3)
     out["kcore_rows"] = rows
+
+    t0 = time.perf_counter()
+    try:
+        edges = nodes.map_batches(
+            lambda b: LG._synth_anchor_html(b, n),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).map_batches(
+            LG.extract_links, batch_format="pyarrow", zero_copy_batch=True
+        )
+        triads = nodes.map_batches(
+            lambda b: LG._triad_edges(b, n),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        rows = LG.triangle_counts_ds(nodes, edges.union(triads)).count()
+    except Exception as ex:
+        out["triangles_error"] = repr(ex)[:300]
+        return out
+    out["triangles"] = round(time.perf_counter() - t0, 3)
+    out["triangles_rows"] = rows
     return out
 
 
