@@ -10,6 +10,7 @@ from lightrag_ray.extras import (
     events,
     linkgraph,
     multimodal,
+    packing,
     passages,
     textstats,
     webcrawl,
@@ -760,6 +761,7 @@ def queries() -> dict[str, Callable]:
         **webcrawl.queries(),
         **linkgraph.queries(),
         **passages.queries(),
+        **packing.queries(),
     }
 
 
@@ -790,6 +792,7 @@ def oracle_sql() -> dict[str, str]:
         **webcrawl.oracle_sql(),
         **linkgraph.oracle_sql(),
         **passages.oracle_sql(),
+        **packing.oracle_sql(),
     }
 
 

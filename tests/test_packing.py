@@ -1,0 +1,87 @@
+"""Sequence-packing kernels (extras/packing.py).
+
+DuckDB parity for seq_pack runs via tests/test_extras.py's parametrization
+over catalog.oracle_sql(); here we pin the distributed prefix scan on
+hand-computed corpora — including a sequence that spans a bucket boundary,
+which must be merged (not duplicated) by the final seq_id groupby — and the
+zero-token-document edge."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lightrag_ray.extras import packing as P
+
+
+def _write_docs(tmp_path, rows):
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmp_path, "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_seq_pack_hand_computed(ray_session, tmp_path, monkeypatch):
+    monkeypatch.setattr(P, "SEQ_LEN", 5)
+    # tokens per doc: 3, 4, 1, 2 → exclusive offsets 0, 3, 7, 8
+    # seq 0: docs 0 (off 0) and 1 (off 3); seq 1: docs 2 (off 7), 3 (off 8)
+    sf = _write_docs(
+        tmp_path,
+        [(0, "a b c"), (1, "d e f g"), (2, "h"), (3, "i j")],
+    )
+    out = (
+        P.q_seq_pack(sf)
+        .to_pandas()
+        .sort_values("seq_id")
+        .reset_index(drop=True)
+    )
+    assert out["seq_id"].tolist() == [0, 1]
+    assert out["n_docs"].tolist() == [2, 2]
+    assert out["n_tokens"].tolist() == [7, 3]
+    assert out["first_doc"].tolist() == [0, 2]
+    assert out["last_doc"].tolist() == [1, 3]
+
+
+def test_seq_pack_zero_token_doc_takes_no_space(ray_session, tmp_path, monkeypatch):
+    monkeypatch.setattr(P, "SEQ_LEN", 4)
+    # doc 1 is empty: it is COUNTED in the sequence at its offset but
+    # advances nothing — docs 0 (off 0), 1 (off 3), 2 (off 3) share seq 0.
+    sf = _write_docs(tmp_path, [(0, "a b c"), (1, ""), (2, "d e")])
+    out = P.q_seq_pack(sf).to_pandas().sort_values("seq_id").reset_index(drop=True)
+    # no document STARTS in window 1 (doc 2's second token merely spills
+    # into it), so exactly one sequence row exists.
+    assert out["seq_id"].tolist() == [0]
+    assert out.iloc[0]["n_docs"] == 3
+    assert out.iloc[0]["n_tokens"] == 5
+    assert out.iloc[0]["first_doc"] == 0 and out.iloc[0]["last_doc"] == 2
+
+
+def test_seq_pack_merges_bucket_boundary_sequences(ray_session, tmp_path, monkeypatch):
+    # 128 docs × 3 tokens with SEQ_LEN=7: sequences constantly straddle the
+    # 64-way range-bucket boundaries; every sequence must appear exactly
+    # once with doc/token conservation.
+    monkeypatch.setattr(P, "SEQ_LEN", 7)
+    sf = _write_docs(tmp_path, [(i, "t u v") for i in range(128)])
+    out = P.q_seq_pack(sf).to_pandas().sort_values("seq_id").reset_index(drop=True)
+    assert out["seq_id"].is_unique
+    assert int(out["n_docs"].sum()) == 128
+    assert int(out["n_tokens"].sum()) == 384
+    assert out["seq_id"].tolist() == list(range(int(np.ceil(384 / 7))))
+    # doc spans are contiguous and ordered across sequences
+    assert (out["first_doc"] <= out["last_doc"]).all()
+    assert (out["first_doc"].iloc[1:].to_numpy()
+            > out["last_doc"].iloc[:-1].to_numpy() - 1).all()
+
+
+def test_range_bucket_is_monotone():
+    ids = np.array([0, 1, 5, 99, 100, 101], np.int64)
+    b = P._range_bucket(ids, 101)
+    assert (np.diff(b) >= 0).all()
+    assert b.min() >= 0 and b.max() < P._BUCKETS
