@@ -749,6 +749,7 @@ def queries() -> dict[str, Callable]:
         "knn_ivf_top10": q_knn_ivf,  # rows-only (IVF ANN; exact = knn_top10)
         "ivf_assignments": q_ivf_assignments,  # rows-only (k-means quantizer)
         "langid": q_langid,
+        "length_quantiles": textstats.length_quantiles,
         "pchunk_stats": q_pchunk_stats,  # rows-only (P-chunk merge arithmetic; parity-tested)
         "dup_clusters": q_dup_clusters,
         "dup_clusters_lsh": q_dup_clusters_lsh,  # rows-only (LSH-fed scale path; exact = dup_clusters)
@@ -788,6 +789,7 @@ def oracle_sql() -> dict[str, str]:
         "curated_corpus": _sql_curated_corpus(),
         "dsir_select": SQL_DSIR_SELECT,
         "langid": textstats.SQL_LANGID,
+        "length_quantiles": textstats.SQL_LENGTH_QUANTILES,
         **webquality.oracle_sql(),
         **webcrawl.oracle_sql(),
         **linkgraph.oracle_sql(),

@@ -119,3 +119,93 @@ SQL_LANGID = (
     "WITH " + SQL_LANGID_CTES
     + "\nSELECT doc_id, lang_pred, lang_score FROM langpred"
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles (per-language corpus length percentiles)
+
+_QUANTILE_PCTS = (50, 90, 99)
+
+
+def length_quantiles(sf_dir: str):
+    """Exact p50/p90/p99 of ``n_chars`` per language — the distributed
+    exact-quantile primitive.  The rank rule is stated explicitly so both
+    engines agree without trusting a builtin's interpolation mode: the
+    p-th percentile is the value at 1-indexed rank ``1 + (n-1)*p // 100``
+    of the ascending sort (lower discrete quantile) — pure integer
+    arithmetic.
+
+    Scale shape: lengths are integers from a bounded domain, so each batch
+    combines to a (lang, n_chars, count) HISTOGRAM partial; the shuffle
+    carries histogram rows (|langs| × |distinct lengths| per block), never
+    documents.  The per-language finalizer walks the merged histogram's
+    cumulative counts — O(distinct values), driver never involved."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
+    )
+
+    def histogram(batch: pa.Table) -> pa.Table:
+        df = (
+            batch.select(["lang", "n_chars"])
+            .to_pandas()
+            .groupby(["lang", "n_chars"], sort=True)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"], pa.string()),
+                "n_chars": pa.array(df["n_chars"].astype("int64"), pa.int64()),
+                "c": pa.array(df["c"].astype("int64"), pa.int64()),
+            }
+        )
+
+    hist = (
+        docs.map_batches(histogram, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def finalize(group: "pd.DataFrame") -> pa.Table:
+        g = group.sort_values("n_chars")
+        vals = g["n_chars"].to_numpy(np.int64)
+        counts = g["c"].to_numpy(np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        out = {"lang": [g["lang"].iloc[0]], "n_docs": [n]}
+        for p in _QUANTILE_PCTS:
+            rank = 1 + (n - 1) * p // 100
+            out[f"p{p}"] = [int(vals[np.searchsorted(cum, rank)])]
+        return pa.table(
+            {
+                "lang": pa.array(out["lang"], pa.string()),
+                "n_docs": pa.array(out["n_docs"], pa.int64()),
+                **{
+                    f"p{p}": pa.array(out[f"p{p}"], pa.int64())
+                    for p in _QUANTILE_PCTS
+                },
+            }
+        )
+
+    return hist.groupby("lang").map_groups(finalize, batch_format="pandas")
+
+
+SQL_LENGTH_QUANTILES = """
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang,
+       any_value(n)::BIGINT AS n_docs,
+       max(CASE WHEN rk = 1 + (n - 1) * 50 // 100 THEN n_chars END)::BIGINT AS p50,
+       max(CASE WHEN rk = 1 + (n - 1) * 90 // 100 THEN n_chars END)::BIGINT AS p90,
+       max(CASE WHEN rk = 1 + (n - 1) * 99 // 100 THEN n_chars END)::BIGINT AS p99
+FROM r GROUP BY lang
+"""

@@ -618,3 +618,35 @@ def test_dsir_select_prefers_target_vocabulary(ray_session, tmp_path):
     # ties inside a vocabulary class break by ascending doc_id
     alpha_rows = out[out["doc_id"] % 3 != 1]["doc_id"].tolist()
     assert alpha_rows == sorted(alpha_rows)
+
+
+def test_length_quantiles_rank_rule(ray_session, tmp_path):
+    """Pin the lower-discrete-quantile rank rule 1 + (n-1)*p // 100 on a
+    hand corpus where off-by-one in either direction changes the answer."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lightrag_ray.extras import textstats as T
+
+    # en lengths sorted: [10, 20, 30, 40] (n=4):
+    #   p50 → rank 1+3*50//100 = 2 → 20; p90 → rank 3 → 30; p99 → rank 3
+    # fr lengths: [7] → all percentiles are 7.
+    rows = [(0, "en", 30), (1, "en", 10), (2, "en", 40), (3, "en", 20), (4, "fr", 7)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "documents.parquet"))
+    out = (
+        T.length_quantiles(str(tmp_path))
+        .to_pandas()
+        .set_index("lang")
+        .sort_index()
+    )
+    assert out.loc["en", ["n_docs", "p50", "p90", "p99"]].tolist() == [4, 20, 30, 30]
+    assert out.loc["fr", ["n_docs", "p50", "p90", "p99"]].tolist() == [1, 7, 7, 7]
