@@ -284,6 +284,12 @@ def run_dedup_legs() -> dict:
     return out
 
 
+def _seq_pack_leg(sf_like: str):
+    from lightrag_ray.extras import packing as PK
+
+    return PK.q_seq_pack(sf_like)
+
+
 def run_webquality_legs() -> dict:
     """Webtext curation gates at bench scale: repetition stats, the
     boilerplate scorer (DF combiner → vocab-bounded groupby → guarded
@@ -304,6 +310,7 @@ def run_webquality_legs() -> dict:
         ("pii_scan", WQ.q_pii_scan),
         ("lm_quality", WQ.q_lm_quality),
         ("dsir_select", X.q_dsir_select),
+        ("seq_pack", _seq_pack_leg),
         ("passage_dedup_docs", PS.q_passage_dedup_docs),
     ):
         t0 = time.perf_counter()

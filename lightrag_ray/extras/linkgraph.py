@@ -104,7 +104,8 @@ def _synth_anchor_html(batch: pa.Table, n: int) -> pa.Table:
             body = ""
         else:
             body = "".join(
-                f'<li><a href="https://w.example.org/doc/{t:010d}">d{t}</a></li>'
+                f'<li><a href="https://w.example.org/doc/{t:010d}">'
+                f"doc {t} ref{d % 3}</a></li>"
                 for k in range(1, 2 + d % _MAX_K)
                 if (t := (d * _MULT + k * _STEP + _OFF) % n) != d
             )
@@ -132,6 +133,33 @@ def extract_links(batch: pa.Table) -> pa.Table:
         {
             "src": pa.array(src_out, pa.int64()),
             "tgt": pa.array(tgt_out, pa.int64()),
+        }
+    )
+
+
+_ANCHOR_RE = re.compile(
+    rb'<a\s+href="https://w\.example\.org/doc/(\d+)">([^<]*)</a>'
+)
+
+
+def extract_anchors(batch: pa.Table) -> pa.Table:
+    """(doc_id, html) → (src, tgt, anchor) — href target + INNER TEXT."""
+    ids = np.asarray(batch.column("doc_id"), np.int64)
+    src_out: list[int] = []
+    tgt_out: list[int] = []
+    txt_out: list[str] = []
+    for d, h in zip(ids, batch.column("html").to_pylist()):
+        if not h:
+            continue
+        for m in _ANCHOR_RE.finditer(h):
+            src_out.append(int(d))
+            tgt_out.append(int(m.group(1)))
+            txt_out.append(m.group(2).decode("utf-8", "replace"))
+    return pa.table(
+        {
+            "src": pa.array(src_out, pa.int64()),
+            "tgt": pa.array(tgt_out, pa.int64()),
+            "anchor": pa.array(txt_out, pa.string()),
         }
     )
 
@@ -1018,6 +1046,118 @@ def triangle_counts_ds(nodes_ds, edges_ds, buckets: int = _BUCKETS):
     )
 
 
+# ------------------------------------------------------- anchor text
+def q_anchor_text_top(sf_dir: str, buckets: int = _BUCKETS):
+    """In-link anchor-text aggregation: for every linked-to page, the
+    in-link count and the most common anchor text pointing at it (ties →
+    lexicographically smallest) — the classic web-corpus enrichment that
+    attaches how OTHER pages describe a document (anchor text as document
+    surrogate, Craswell et al. 2001).
+
+    Scale shape: anchors are parsed from the html (the real kernel —
+    ``extract_anchors``), a per-batch combiner collapses the stream to
+    (tgt, anchor, count) partials, and ONE bounded-bucket exchange keyed by
+    ``bucket(tgt)`` co-locates each target's partials; the per-bucket
+    argmax is lexsort + ``reduceat``.  Anchor TEXT travels only as the
+    combiner's distinct (tgt, anchor) pairs, never per occurrence."""
+    import pandas as pd
+    from collections import Counter
+
+    import ray.data as rd
+
+    n = _doc_count(sf_dir)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        anchors = extract_anchors(batch)
+        c: Counter = Counter(
+            zip(
+                np.asarray(anchors.column("tgt"), np.int64),
+                anchors.column("anchor").to_pylist(),
+            )
+        )
+        keys = sorted(c)
+        tgt_arr = pa.array([k[0] for k in keys], pa.int64())
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(tgt_arr, buckets),
+                "tgt": tgt_arr,
+                "anchor": pa.array([k[1] for k in keys], pa.string()),
+                "c": pa.array([c[k] for k in keys], pa.int64()),
+            }
+        )
+
+    def top_per_target(group: pd.DataFrame) -> pa.Table:
+        tgt = group["tgt"].to_numpy(np.int64)
+        anchor = group["anchor"].to_numpy(object)
+        c = group["c"].to_numpy(np.int64)
+        # merge combiner partials per (tgt, anchor)
+        order = np.lexsort((anchor, tgt))
+        tgt, anchor, c = tgt[order], anchor[order], c[order]
+        starts = np.concatenate(
+            ([True], (tgt[1:] != tgt[:-1]) | (anchor[1:] != anchor[:-1]))
+        )
+        pos = np.flatnonzero(starts)
+        tgt, anchor = tgt[pos], anchor[pos]
+        c = np.add.reduceat(c, pos)
+        # per-target argmax by (count desc, anchor asc): within each target
+        # run (already anchor-ascending), take the first row of max count
+        t_starts = np.concatenate(([True], tgt[1:] != tgt[:-1]))
+        t_pos = np.flatnonzero(t_starts)
+        n_in = np.add.reduceat(c, t_pos)
+        seg = np.cumsum(t_starts) - 1
+        maxc = np.maximum.reduceat(c, t_pos)
+        is_max = c == maxc[seg]
+        first_max = np.zeros(len(c), bool)
+        # first anchor-ascending max per segment: mark positions where
+        # is_max AND no earlier is_max in the same segment
+        idx = np.arange(len(c))
+        earlier = np.minimum.reduceat(np.where(is_max, idx, len(c)), t_pos)
+        first_max[earlier[earlier < len(c)]] = True
+        return pa.table(
+            {
+                "doc_id": pa.array(tgt[t_starts], pa.int64()),
+                "n_inlinks": pa.array(n_in, pa.int64()),
+                "top_anchor": pa.array(list(anchor[first_max]), pa.string()),
+                "top_count": pa.array(c[first_max], pa.int64()),
+            }
+        )
+
+    pages = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        .map_batches(
+            lambda b: _synth_anchor_html(b, n),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return pages.groupby("bucket").map_groups(
+        top_per_target, batch_format="pandas"
+    )
+
+
+SQL_ANCHOR_TEXT_TOP_TEMPLATE = """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+{edges},
+a AS (
+  SELECT tgt, 'doc ' || tgt::VARCHAR || ' ref' || (src % 3)::VARCHAR AS anchor
+  FROM edges
+),
+cnt AS (SELECT tgt, anchor, count(*)::BIGINT AS c FROM a GROUP BY tgt, anchor),
+ranked AS (
+  SELECT tgt, anchor, c,
+         sum(c) OVER (PARTITION BY tgt) AS n_inlinks,
+         row_number() OVER (PARTITION BY tgt ORDER BY c DESC, anchor) AS rk
+  FROM cnt
+)
+SELECT tgt AS doc_id, n_inlinks::BIGINT AS n_inlinks,
+       anchor AS top_anchor, c AS top_count
+FROM ranked WHERE rk = 1
+"""
+
+
 # The multiplicative-hash link rule is triangle-free at every test scale
 # (verified 500 → 240k docs), which would leave the wedge-closing kernel
 # vacuously green — so the triangle query unions a deterministic TRIAD rule
@@ -1203,6 +1343,7 @@ def queries() -> dict[str, Callable]:
         "pagerank_top20": q_pagerank_top20,
         "kcore_nodes": q_kcore_nodes,
         "triangle_counts": q_triangle_counts,
+        "anchor_text_top": q_anchor_text_top,
     }
 
 
@@ -1213,4 +1354,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_top20": _sql_pagerank(),
         "kcore_nodes": _sql_kcore(),
         "triangle_counts": SQL_TRIANGLE_COUNTS,
+        "anchor_text_top": SQL_ANCHOR_TEXT_TOP_TEMPLATE.format(
+            edges=_SQL_EDGES.lstrip(",\n")
+        ),
     }

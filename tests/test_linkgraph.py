@@ -272,3 +272,59 @@ def test_segment_local_arange():
         0, 1, 2, 0, 1, 0,
     ]
     assert L._segment_local_arange(np.array([], dtype=np.int64)).tolist() == []
+
+
+def test_anchor_text_top_mode_and_tiebreak(ray_session, tmp_path):
+    """Pin the per-target argmax through the full query on a corpus small
+    enough to recompute in pure Python: mode wins, count ties break to the
+    lexicographically smallest anchor, and combiner partials merge before
+    the argmax."""
+    import collections
+    import os
+
+    import pyarrow.parquet as pq
+
+    n = 12
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "documents.parquet"))
+    res = L.q_anchor_text_top(str(tmp_path)).to_pandas()
+
+    truth: dict[int, collections.Counter] = {}
+    for d in range(n):
+        if d % L._DANGLE_MOD == 0:
+            continue
+        for k in range(1, 2 + d % L._MAX_K):
+            t = (d * L._MULT + k * L._STEP + L._OFF) % n
+            if t == d:
+                continue
+            truth.setdefault(t, collections.Counter())[f"doc {t} ref{d % 3}"] += 1
+    assert len(res) == len(truth)
+    for _, row in res.iterrows():
+        c = truth[row["doc_id"]]
+        assert row["n_inlinks"] == sum(c.values())
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (row["top_anchor"], row["top_count"]) == best
+
+
+def test_extract_anchors_inner_text():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([5], pa.int64()),
+            "html": pa.array(
+                [
+                    b'<a href="https://w.example.org/doc/0000000003">doc 3 ref2</a>'
+                    b'<a href="https://w.example.org/doc/0000000004"></a>'
+                    b'<a href="https://other.org/doc/0000000009">off-site</a>'
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    out = L.extract_anchors(batch)
+    assert out.column("tgt").to_pylist() == [3, 4]
+    assert out.column("anchor").to_pylist() == ["doc 3 ref2", ""]
