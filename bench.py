@@ -430,6 +430,20 @@ def run_linkgraph_leg() -> dict:
         return out
     out["triangles"] = round(time.perf_counter() - t0, 3)
     out["triangles_rows"] = rows
+
+    t0 = time.perf_counter()
+    try:
+        pages = nodes.map_batches(
+            lambda b: LG._synth_anchor_html(b, n),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        rows = LG.anchor_text_top_ds(pages).count()
+    except Exception as ex:
+        out["anchor_text_top_error"] = repr(ex)[:300]
+        return out
+    out["anchor_text_top"] = round(time.perf_counter() - t0, 3)
+    out["anchor_text_top_rows"] = rows
     return out
 
 

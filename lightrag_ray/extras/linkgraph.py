@@ -1047,7 +1047,7 @@ def triangle_counts_ds(nodes_ds, edges_ds, buckets: int = _BUCKETS):
 
 
 # ------------------------------------------------------- anchor text
-def q_anchor_text_top(sf_dir: str, buckets: int = _BUCKETS):
+def anchor_text_top_ds(pages_ds, buckets: int = _BUCKETS):
     """In-link anchor-text aggregation: for every linked-to page, the
     in-link count and the most common anchor text pointing at it (ties →
     lexicographically smallest) — the classic web-corpus enrichment that
@@ -1062,10 +1062,6 @@ def q_anchor_text_top(sf_dir: str, buckets: int = _BUCKETS):
     combiner's distinct (tgt, anchor) pairs, never per occurrence."""
     import pandas as pd
     from collections import Counter
-
-    import ray.data as rd
-
-    n = _doc_count(sf_dir)
 
     def partials(batch: pa.Table) -> pa.Table:
         anchors = extract_anchors(batch)
@@ -1122,20 +1118,25 @@ def q_anchor_text_top(sf_dir: str, buckets: int = _BUCKETS):
             }
         )
 
-    pages = (
-        rd.read_parquet(
-            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
-        )
-        .map_batches(
-            lambda b: _synth_anchor_html(b, n),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        pages_ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(top_per_target, batch_format="pandas")
     )
-    return pages.groupby("bucket").map_groups(
-        top_per_target, batch_format="pandas"
+
+
+def q_anchor_text_top(sf_dir: str):
+    import ray.data as rd
+
+    n = _doc_count(sf_dir)
+    pages = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(
+        lambda b: _synth_anchor_html(b, n),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
+    return anchor_text_top_ds(pages)
 
 
 SQL_ANCHOR_TEXT_TOP_TEMPLATE = """
