@@ -750,6 +750,7 @@ def queries() -> dict[str, Callable]:
         "ivf_assignments": q_ivf_assignments,  # rows-only (k-means quantizer)
         "langid": q_langid,
         "length_quantiles": textstats.length_quantiles,
+        "heavy_hitters": textstats.heavy_hitters,
         "pchunk_stats": q_pchunk_stats,  # rows-only (P-chunk merge arithmetic; parity-tested)
         "dup_clusters": q_dup_clusters,
         "dup_clusters_lsh": q_dup_clusters_lsh,  # rows-only (LSH-fed scale path; exact = dup_clusters)
@@ -790,6 +791,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": SQL_DSIR_SELECT,
         "langid": textstats.SQL_LANGID,
         "length_quantiles": textstats.SQL_LENGTH_QUANTILES,
+        "heavy_hitters": textstats.SQL_HEAVY_HITTERS,
         **webquality.oracle_sql(),
         **webcrawl.oracle_sql(),
         **linkgraph.oracle_sql(),

@@ -209,3 +209,122 @@ SELECT lang,
        max(CASE WHEN rk = 1 + (n - 1) * 99 // 100 THEN n_chars END)::BIGINT AS p99
 FROM r GROUP BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries sketch + exact recount (two-pass, exact output)
+
+_MG_K = 256  # sketch size → guaranteed candidate superset for freq > N/(K+1)
+_TOKEN_RE = re.compile(r"[a-z0-9_]+")
+
+
+def _mg_trim(counts: dict, k: int) -> dict:
+    """Misra-Gries reduction: keep ≤ k counters by subtracting the
+    (k+1)-th largest count from everything (the mergeable-summaries merge
+    step, Agarwal et al. 2013) — each surviving counter underestimates the
+    true frequency by at most the stream mass decremented so far."""
+    if len(counts) <= k:
+        return counts
+    kth = sorted(counts.values(), reverse=True)[k]
+    return {t: c - kth for t, c in counts.items() if c > kth}
+
+
+def heavy_hitters(sf_dir: str, k: int = _MG_K):
+    """EXACT corpus heavy hitters (terms with frequency > N/(k+1)) via the
+    classic sketch-then-verify two-pass:
+
+    pass 1 — each batch emits its ≤k-entry Misra-Gries summary (per-batch
+    exact counts, MG-trimmed); the driver merges summaries sequentially
+    with the same MG reduction (mergeable summaries: the merged sketch's
+    keys are a GUARANTEED superset of every term with true frequency >
+    N/(k+1), whatever the merge order).  The shuffle-free pass streams
+    ≤k rows per block to the driver — no vocabulary-sized state anywhere.
+
+    pass 2 — the ≤k candidates broadcast in the recount closure; one more
+    streamed pass counts them EXACTLY (per-batch combiner → k-row groupby),
+    and the integer threshold ``tf * (k+1) > N`` keeps the true heavy
+    hitters.  Output is exact, so the DuckDB oracle is a plain GROUP BY —
+    the sketch is an optimization the oracle can't distinguish."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def batch_sketch(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        n = 0
+        for text in batch.column("text").to_pylist():
+            toks = _TOKEN_RE.findall((text or "").lower())
+            n += len(toks)
+            c.update(toks)
+        keep = _mg_trim(dict(c), k)
+        terms = sorted(keep)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "c": pa.array([keep[t] for t in terms], pa.int64()),
+                "n": pa.array([n] + [0] * (len(terms) - 1), pa.int64())
+                if terms
+                else pa.array([], pa.int64()),
+            }
+        )
+
+    # driver merge: ≤ k entries retained at any time, N accumulated exactly
+    merged: dict = {}
+    total = 0
+    for b in docs.map_batches(
+        batch_sketch, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow", batch_size=4 * k):
+        total += int(np.asarray(b.column("n"), np.int64).sum())
+        for t, c in zip(b.column("term").to_pylist(), b.column("c").to_pylist()):
+            merged[t] = merged.get(t, 0) + c
+        merged = _mg_trim(merged, k)
+    candidates = frozenset(merged)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            c.update(
+                t
+                for t in _TOKEN_RE.findall((text or "").lower())
+                if t in candidates
+            )
+        terms = sorted(c)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array([c[t] for t in terms], pa.int64()),
+            }
+        )
+
+    exact = (
+        docs.map_batches(recount, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("tf", alias_name="tf"))
+    )
+    thresh_n, thresh_d = total, k + 1  # keep tf iff tf * (k+1) > N
+
+    def gate(batch: pa.Table) -> pa.Table:
+        tf = np.asarray(batch.column("tf"), np.int64)
+        return batch.filter(pa.array(tf * thresh_d > thresh_n))
+
+    return exact.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+n AS (SELECT count(*)::BIGINT AS total FROM w)
+SELECT term, count(*)::BIGINT AS tf
+FROM w GROUP BY term
+HAVING count(*) * {_MG_K + 1} > (SELECT total FROM n)
+"""

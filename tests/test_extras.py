@@ -650,3 +650,40 @@ def test_length_quantiles_rank_rule(ray_session, tmp_path):
     )
     assert out.loc["en", ["n_docs", "p50", "p90", "p99"]].tolist() == [4, 20, 30, 30]
     assert out.loc["fr", ["n_docs", "p50", "p90", "p99"]].tolist() == [1, 7, 7, 7]
+
+
+def test_mg_trim_superset_guarantee():
+    """Fuzz the Misra-Gries merge guarantee: after any sequence of batch
+    sketches + trims, the surviving keys are a superset of every term whose
+    TRUE frequency exceeds N/(k+1) — the property the recount pass relies
+    on for exactness."""
+    import random
+    from collections import Counter
+
+    from lightrag_ray.extras import textstats as T
+
+    rng = random.Random(7)
+    for trial in range(30):
+        k = rng.choice([2, 3, 5, 8])
+        # skewed stream: few hot terms + a heavy tail
+        vocab = [f"t{i}" for i in range(rng.randint(5, 60))]
+        weights = [rng.choice([1, 1, 1, 2, 10, 50]) for _ in vocab]
+        stream = [
+            rng.choices(vocab, weights)[0] for _ in range(rng.randint(50, 800))
+        ]
+        truth = Counter(stream)
+        n = len(stream)
+        # batch the stream arbitrarily, sketch each batch, merge with trim
+        merged: dict = {}
+        i = 0
+        while i < n:
+            j = min(n, i + rng.randint(1, 97))
+            batch = Counter(stream[i:j])
+            merged_batch = T._mg_trim(dict(batch), k)
+            for t, c in merged_batch.items():
+                merged[t] = merged.get(t, 0) + c
+            merged = T._mg_trim(merged, k)
+            i = j
+        assert len(merged) <= k
+        required = {t for t, c in truth.items() if c * (k + 1) > n}
+        assert required <= set(merged), (trial, required - set(merged))
