@@ -751,6 +751,7 @@ def queries() -> dict[str, Callable]:
         "langid": q_langid,
         "length_quantiles": textstats.length_quantiles,
         "heavy_hitters": textstats.heavy_hitters,
+        "hll_registers": textstats.hll_registers,
         "pchunk_stats": q_pchunk_stats,  # rows-only (P-chunk merge arithmetic; parity-tested)
         "dup_clusters": q_dup_clusters,
         "dup_clusters_lsh": q_dup_clusters_lsh,  # rows-only (LSH-fed scale path; exact = dup_clusters)
@@ -792,6 +793,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": textstats.SQL_LANGID,
         "length_quantiles": textstats.SQL_LENGTH_QUANTILES,
         "heavy_hitters": textstats.SQL_HEAVY_HITTERS,
+        "hll_registers": textstats.SQL_HLL_REGISTERS,
         **webquality.oracle_sql(),
         **webcrawl.oracle_sql(),
         **linkgraph.oracle_sql(),

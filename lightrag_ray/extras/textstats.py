@@ -328,3 +328,106 @@ SELECT term, count(*)::BIGINT AS tf
 FROM w GROUP BY term
 HAVING count(*) * {_MG_K + 1} > (SELECT total FROM n)
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers: distributed distinct-count sketch, hash-exact
+
+_HLL_P = 8  # 2^8 = 256 registers → ~6.5 % standard error
+_HLL_REG = 1 << _HLL_P
+_HLL_REM_BITS = 64 - _HLL_P
+
+
+def _hll_parts(term: str) -> tuple[int, int]:
+    """term → (register, rho): top p bits of the 64-bit md5 prefix index the
+    register; rho = 1 + leading zeros of the remaining 56 bits (position of
+    the first set bit), the classic Flajolet rank."""
+    import hashlib
+
+    h = int(hashlib.md5(term.encode()).hexdigest()[:16], 16)
+    idx = h >> _HLL_REM_BITS
+    rem = h & ((1 << _HLL_REM_BITS) - 1)
+    rho = _HLL_REM_BITS - rem.bit_length() + 1
+    return idx, rho
+
+
+def hll_registers(sf_dir: str):
+    """HyperLogLog register table over the corpus vocabulary (Flajolet et
+    al. 2007) — the mergeable distinct-count sketch, kept hash-checkable by
+    emitting the REGISTERS (exact integers: register max of the Flajolet
+    rank) rather than the float estimate; callers derive the harmonic-mean
+    estimate downstream (``hll_estimate`` below, accuracy pinned in tests).
+
+    Scale shape: register state is a fixed 256-slot array; each batch
+    combines its distinct terms locally and emits ≤256 (register, rho)
+    partials, the groupby merges with MAX — the shuffle carries sketch
+    rows, never vocabulary.  Registers depend only on the SET of term
+    hashes, so merge order, batch boundaries and duplicate terms cannot
+    change the result — the same reason the DuckDB oracle can state it
+    from DISTINCT terms."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def batch_registers(batch: pa.Table) -> pa.Table:
+        regs = np.zeros(_HLL_REG, np.int64)
+        seen: set = set()
+        for text in batch.column("text").to_pylist():
+            seen.update(_TOKEN_RE.findall((text or "").lower()))
+        for t in seen:
+            idx, rho = _hll_parts(t)
+            if rho > regs[idx]:
+                regs[idx] = rho
+        nz = np.flatnonzero(regs)
+        return pa.table(
+            {
+                "register": pa.array(nz, pa.int64()),
+                "rho": pa.array(regs[nz], pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(batch_registers, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("register")
+        .aggregate(Max("rho", alias_name="rho"))
+    )
+
+
+def hll_estimate(registers: dict[int, int]) -> float:
+    """Flajolet harmonic-mean estimate (with the small-range linear
+    counting correction) from a {register: rho} dict — driver-side, float,
+    deliberately OUTSIDE the hash-checked query."""
+    import math
+
+    m = _HLL_REG
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -registers.get(i, 0) for i in range(m))
+    e = alpha * m * m / s
+    zeros = sum(1 for i in range(m) if registers.get(i, 0) == 0)
+    if e <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return e
+
+
+SQL_HLL_REGISTERS = f"""
+WITH t AS (
+  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+h AS (
+  SELECT ('0x' || substr(md5(term), 1, 16))::UBIGINT AS hv FROM t
+),
+parts AS (
+  SELECT (hv >> {_HLL_REM_BITS})::BIGINT AS register,
+         hv & {(1 << _HLL_REM_BITS) - 1} AS rem
+  FROM h
+)
+SELECT register,
+       max(CASE WHEN rem = 0 THEN {_HLL_REM_BITS + 1}
+                ELSE {_HLL_REM_BITS} - length(bin(rem)) + 1 END)::BIGINT AS rho
+FROM parts GROUP BY register
+"""

@@ -687,3 +687,41 @@ def test_mg_trim_superset_guarantee():
         assert len(merged) <= k
         required = {t for t, c in truth.items() if c * (k + 1) > n}
         assert required <= set(merged), (trial, required - set(merged))
+
+
+def test_hll_estimate_accuracy(ray_session):
+    """The registers emitted by the hash-checked query must yield a
+    distinct-count estimate within HLL's expected error (~6.5 % at 256
+    registers; assert 15 %) of the true vocabulary size."""
+    import duckdb
+
+    from lightrag_ray.extras import textstats as T
+
+    sf = "/root/testdata/sf0.001"
+    regs = {
+        int(r["register"]): int(r["rho"])
+        for r in T.hll_registers(sf).take_all()
+    }
+    est = T.hll_estimate(regs)
+    truth = duckdb.connect().execute(
+        "SELECT count(DISTINCT t) FROM (SELECT "
+        "unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t "
+        f"FROM read_parquet('{sf}/documents.parquet'))"
+    ).fetchone()[0]
+    assert abs(est - truth) / truth < 0.15, (est, truth)
+
+
+def test_hll_parts_rank_rule():
+    from lightrag_ray.extras import textstats as T
+
+    # rho is 1 + leading zeros of the 56-bit remainder: a remainder with
+    # its top bit set gives rho 1; remainder 0 gives the sentinel 57.
+    idx, rho = T._hll_parts("the")
+    assert 0 <= idx < T._HLL_REG and 1 <= rho <= T._HLL_REM_BITS + 1
+    # cross-check one value against a hand md5
+    import hashlib
+
+    h = int(hashlib.md5(b"the").hexdigest()[:16], 16)
+    assert idx == h >> T._HLL_REM_BITS
+    rem = h & ((1 << T._HLL_REM_BITS) - 1)
+    assert rho == T._HLL_REM_BITS - rem.bit_length() + 1
