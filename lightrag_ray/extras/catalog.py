@@ -231,6 +231,54 @@ WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 10 = 0
 """
 
 
+def q_bottomk_sample(sf_dir: str, k: int = 50):
+    """Fixed-SIZE deterministic uniform sample: the k documents with the
+    smallest md5(doc_id) — bottom-k sampling, the mergeable reservoir
+    (Cohen & Kaplan 2007 bottom-k sketches).  Unlike ``q_hash_sample``
+    (fixed RATE, size scales with N), the output is exactly k rows at any
+    corpus size, and the sample is coordinated: any two runs, workers or
+    table subsets agree on membership, and the union's bottom-k is the
+    merge of per-shard bottom-ks — which is precisely the scale shape: a
+    per-batch LOCAL bottom-k combiner, then a k-row merge; the corpus
+    never shuffles and the driver sees ≤ k rows per block."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    def local_bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        rows = sorted(
+            (hashlib.md5(str(d).encode()).hexdigest(), d, lang)
+            for d, lang in zip(ids, langs)
+        )[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "h": pa.array([r[0] for r in rows], pa.string()),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+        )
+        .map_batches(local_bottomk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("h")
+        .limit(k)
+        .drop_columns(["h"])
+    )
+
+
+SQL_BOTTOMK_SAMPLE = """
+SELECT doc_id, lang FROM documents
+ORDER BY md5(doc_id::VARCHAR) LIMIT 50
+"""
+
+
 def q_stratified_sample(sf_dir: str, per_stratum: int = 20):
     """First-K-per-stratum deterministic sample (rank by doc_id within
     lang).
@@ -738,6 +786,7 @@ def queries() -> dict[str, Callable]:
         "event_asof_join": events.asof_join,
         "binary_extract": q_binary_extract,
         "hash_sample": q_hash_sample,
+        "bottomk_sample": q_bottomk_sample,
         "stratified_sample": q_stratified_sample,
         "balanced_lang_sample": q_balanced_lang_sample,
         "temperature_lang_sample": q_temperature_lang_sample,
@@ -781,6 +830,7 @@ def oracle_sql() -> dict[str, str]:
         "event_asof_join": events.SQL_ASOF_JOIN,
         "binary_extract": SQL_BINARY_EXTRACT,
         "hash_sample": SQL_HASH_SAMPLE,
+        "bottomk_sample": SQL_BOTTOMK_SAMPLE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "balanced_lang_sample": SQL_BALANCED_LANG_SAMPLE,
         "temperature_lang_sample": SQL_TEMPERATURE_LANG_SAMPLE,
