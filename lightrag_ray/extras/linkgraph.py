@@ -1345,6 +1345,7 @@ def queries() -> dict[str, Callable]:
         "kcore_nodes": q_kcore_nodes,
         "triangle_counts": q_triangle_counts,
         "anchor_text_top": q_anchor_text_top,
+        "hits_top20": q_hits_top20,
     }
 
 
@@ -1358,4 +1359,320 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_top": SQL_ANCHOR_TEXT_TOP_TEMPLATE.format(
             edges=_SQL_EDGES.lstrip(",\n")
         ),
+        "hits_top20": _sql_hits(),
     }
+
+
+# ------------------------------------------------------------------ HITS
+# Hubs & authorities (Kleinberg 1999) in exact integer fixed-point.  The
+# classic L2 normalization is replaced by an integer-exact one — divide by
+# D = (Σ raw) // FP + 1, which rescales every round's mass to ≈ FP without
+# a float ever existing — so Ray's block-parallel sums, a re-run and the
+# unrolled-CTE oracle are bit-identical.  Two cogrouped bounded-bucket
+# exchanges per half-step (hub-push then auth-push), adjacency built once
+# per direction and reused, state repartitioned to the bucket count each
+# round (same block-growth bound as pagerank_ds).
+
+_HITS_FP = 10**6
+_HITS_ITERS = 3
+
+_HITS_SCORE = pa.schema(
+    [("bucket", pa.int32()), ("node", pa.int64()), ("val", pa.int64())]
+)
+_HITS_ADJ = pa.schema(
+    [("bucket", pa.int32()), ("key", pa.int64()), ("other", pa.int64())]
+)
+_HITS_UNION = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("node", pa.int64()),
+        ("val", pa.int64()),  # null on adjacency rows
+        ("other", pa.int64()),  # null on score rows
+    ]
+)
+
+
+def _hits_adj(edges_ds, key: str, other: str, buckets: int):
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch.column(key)
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(k, buckets),
+                "key": k.combine_chunks() if hasattr(k, "combine_chunks") else k,
+                "other": batch.column(other).combine_chunks()
+                if hasattr(batch.column(other), "combine_chunks")
+                else batch.column(other),
+            },
+            schema=_HITS_ADJ,
+        )
+
+    return (
+        edges_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(buckets)
+        .materialize()
+    )
+
+
+def hits_ds(nodes_ds, edges_ds, iters: int = _HITS_ITERS, buckets: int = _BUCKETS):
+    """(src, tgt) edges + node universe → (node, auth, hub) fixed-point
+    scores after ``iters`` rounds of the integer-normalized recurrence:
+
+        h_0(v)     = FP
+        ar_i(t)    = Σ_{(s,t)∈E} h_{i-1}(s);  a_i = ar_i // (Σar_i // FP + 1)
+        hr_i(s)    = Σ_{(s,t)∈E} a_i(t);      h_i = hr_i // (Σhr_i // FP + 1)
+
+    (nodes missing from a sum have score 0 — exactly the JOIN semantics the
+    oracle states)."""
+    import pandas as pd
+
+    adj_fwd = _hits_adj(edges_ds, "src", "tgt", buckets)  # push hub → auth
+    adj_rev = _hits_adj(edges_ds, "tgt", "src", buckets)  # push auth → hub
+
+    def universe(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(ids, buckets),
+                "node": ids.combine_chunks()
+                if hasattr(ids, "combine_chunks")
+                else ids,
+                "val": pa.array(
+                    np.full(len(ids), _HITS_FP, np.int64), pa.int64()
+                ),
+            },
+            schema=_HITS_SCORE,
+        )
+
+    uni = (
+        nodes_ds.map_batches(universe, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(buckets)
+        .materialize()
+    )
+    hub = uni
+
+    def tag_scores(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table(
+            {
+                "bucket": batch.column("bucket"),
+                "node": batch.column("node"),
+                "val": batch.column("val"),
+                "other": pa.nulls(m, pa.int64()),
+            },
+            schema=_HITS_UNION,
+        )
+
+    def tag_adj(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table(
+            {
+                "bucket": batch.column("bucket"),
+                "node": batch.column("key"),
+                "val": pa.nulls(m, pa.int64()),
+                "other": batch.column("other"),
+            },
+            schema=_HITS_UNION,
+        )
+
+    def push(group: pd.DataFrame) -> pa.Table:
+        is_score = group["other"].isna().to_numpy()
+        s_nodes = group["node"].to_numpy(np.int64)[is_score]
+        s_vals = group["val"].to_numpy()[is_score].astype(np.int64)
+        order = np.argsort(s_nodes, kind="stable")
+        s_nodes, s_vals = s_nodes[order], s_vals[order]
+        key = group["node"].to_numpy(np.int64)[~is_score]
+        other = group["other"].to_numpy()[~is_score].astype(np.int64)
+        if not len(key):
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int32()),
+                    "node": pa.array([], pa.int64()),
+                    "val": pa.array([], pa.int64()),
+                },
+                schema=_HITS_SCORE,
+            )
+        pos = np.searchsorted(s_nodes, key)
+        if not ((pos < len(s_nodes)).all() and (s_nodes[pos] == key).all()):
+            raise RuntimeError("hits: edge endpoint missing score row")
+        contrib = s_vals[pos]
+        o_order = np.argsort(other, kind="stable")
+        other_s, contrib_s = other[o_order], contrib[o_order]
+        uniq, idx = np.unique(other_s, return_index=True)
+        sums = np.add.reduceat(contrib_s, idx)
+        node_arr = pa.array(uniq, pa.int64())
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(node_arr, buckets),
+                "node": node_arr,
+                "val": pa.array(sums, pa.int64()),
+            },
+            schema=_HITS_SCORE,
+        )
+
+    def half_step(scores, adj):
+        """scores pushed along adj → raw sums joined back onto the node
+        universe (zeros elsewhere), integer-normalized."""
+        raw = (
+            scores.map_batches(
+                tag_scores, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .union(
+                adj.map_batches(tag_adj, batch_format="pyarrow", zero_copy_batch=True)
+            )
+            .groupby("bucket")
+            .map_groups(push, batch_format="pandas")
+            .repartition(buckets)
+            .materialize()
+        )
+        total = int(raw.sum("val") or 0)
+        div = total // _HITS_FP + 1
+
+        def tag_uni_zero(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "bucket": batch.column("bucket"),
+                    "node": batch.column("node"),
+                    "val": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+                },
+                schema=_HITS_SCORE,
+            )
+
+        def norm_join(group: pd.DataFrame) -> pa.Table:
+            node = group["node"].to_numpy(np.int64)
+            val = group["val"].to_numpy(np.int64)
+            order = np.argsort(node, kind="stable")
+            node, val = node[order], val[order]
+            starts = np.concatenate(([True], node[1:] != node[:-1]))
+            pos = np.flatnonzero(starts)
+            node_u = node[pos]
+            summed = np.add.reduceat(val, pos)
+            node_arr = pa.array(node_u, pa.int64())
+            return pa.table(
+                {
+                    "bucket": _cc_bucket_of(node_arr, buckets),
+                    "node": node_arr,
+                    "val": pa.array(summed // div, pa.int64()),
+                },
+                schema=_HITS_SCORE,
+            )
+
+        return (
+            raw.union(
+                uni.map_batches(
+                    tag_uni_zero, batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+            .groupby("bucket")
+            .map_groups(norm_join, batch_format="pandas")
+            .repartition(buckets)
+            .materialize()
+        )
+
+    auth = None
+    for _ in range(iters):
+        auth = half_step(hub, adj_fwd)
+        hub = half_step(auth, adj_rev)
+
+    def tag_auth(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": batch.column("bucket"),
+                "node": batch.column("node"),
+                "auth": batch.column("val"),
+                "hub": pa.nulls(batch.num_rows, pa.int64()),
+            }
+        )
+
+    def tag_hub(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": batch.column("bucket"),
+                "node": batch.column("node"),
+                "auth": pa.nulls(batch.num_rows, pa.int64()),
+                "hub": batch.column("val"),
+            }
+        )
+
+    import pandas as pd
+
+    def zip_scores(group: pd.DataFrame) -> pa.Table:
+        node = group["node"].to_numpy(np.int64)
+        a = group["auth"].to_numpy()
+        h = group["hub"].to_numpy()
+        order = np.argsort(node, kind="stable")
+        node, a, h = node[order], a[order], h[order]
+        # exactly two rows per node (auth row + hub row over the universe)
+        return pa.table(
+            {
+                "node": pa.array(node[0::2], pa.int64()),
+                "auth": pa.array(
+                    np.where(pd.isna(a[0::2]), a[1::2], a[0::2]).astype(np.int64),
+                    pa.int64(),
+                ),
+                "hub": pa.array(
+                    np.where(pd.isna(h[0::2]), h[1::2], h[0::2]).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        auth.map_batches(tag_auth, batch_format="pyarrow", zero_copy_batch=True)
+        .union(hub.map_batches(tag_hub, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("bucket")
+        .map_groups(zip_scores, batch_format="pandas")
+    )
+
+
+def q_hits_top20(sf_dir: str, k: int = 20):
+    import ray.data as rd
+
+    nodes = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    scores = hits_ds(nodes, link_edges_ds(sf_dir))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_id", "auth_fp", "hub_fp"])
+
+    return (
+        scores.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["auth_fp", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def _sql_hits(iters: int = _HITS_ITERS, k: int = 20) -> str:
+    """The integer-normalized recurrence unrolled: h0 = FP everywhere;
+    each half-step is a JOIN-push, a HUGEINT-safe total, and the exact
+    divisor (total // FP + 1)."""
+    fp = _HITS_FP
+    parts = [
+        f"WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),\n{_SQL_EDGES},",
+        f"h0 AS (SELECT doc_id::BIGINT AS v, {fp}::BIGINT AS s FROM documents)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",ar{i} AS (
+  SELECT e.tgt AS v, CAST(sum(h.s) AS BIGINT) AS raw
+  FROM edges e JOIN h{p} h ON e.src = h.v GROUP BY e.tgt),
+da{i} AS (SELECT CAST(sum(raw) AS BIGINT) // {fp} + 1 AS d FROM ar{i}),
+a{i} AS (SELECT v, raw // (SELECT d FROM da{i}) AS s FROM ar{i}),
+hr{i} AS (
+  SELECT e.src AS v, CAST(sum(a.s) AS BIGINT) AS raw
+  FROM edges e JOIN a{i} a ON e.tgt = a.v GROUP BY e.src),
+dh{i} AS (SELECT CAST(sum(raw) AS BIGINT) // {fp} + 1 AS d FROM hr{i}),
+h{i} AS (SELECT v, raw // (SELECT d FROM dh{i}) AS s FROM hr{i})"""
+        )
+    parts.append(
+        f"""
+SELECT d.doc_id::BIGINT AS doc_id,
+       COALESCE(a.s, 0)::BIGINT AS auth_fp,
+       COALESCE(h.s, 0)::BIGINT AS hub_fp
+FROM documents d
+LEFT JOIN a{iters} a ON d.doc_id = a.v
+LEFT JOIN h{iters} h ON d.doc_id = h.v
+ORDER BY auth_fp DESC, doc_id ASC LIMIT {k}"""
+    )
+    return "\n".join(parts)

@@ -328,3 +328,30 @@ def test_extract_anchors_inner_text():
     out = L.extract_anchors(batch)
     assert out.column("tgt").to_pylist() == [3, 4]
     assert out.column("anchor").to_pylist() == ["doc 3 ref2", ""]
+
+
+def test_hits_star_graph(ray_session):
+    import ray.data as rd
+
+    # star: node 0 links to 1..4; no other edges.  After any round the sole
+    # hub is 0 and the four authorities tie; the integer normalizer spreads
+    # FP across the mass sums: a_i(t) = FP//4-ish each, h_i(0) ≈ FP.
+    edges = rd.from_arrow(_edges_tbl([(0, t) for t in (1, 2, 3, 4)]))
+    res = (
+        L.hits_ds(_nodes_ds([0, 1, 2, 3, 4]), edges, iters=2, buckets=4)
+        .to_pandas()
+        .set_index("node")
+        .sort_index()
+    )
+    # hub mass concentrates on 0; authority mass on the leaves, equally
+    assert res.loc[0, "hub"] > 0 and res.loc[0, "auth"] == 0
+    leaves = res.loc[[1, 2, 3, 4]]
+    assert (leaves["hub"] == 0).all()
+    assert leaves["auth"].nunique() == 1 and (leaves["auth"] > 0).all()
+    # integer recurrence, hand-checked: ar_1 = FP per leaf (from h0=FP),
+    # sum=4FP → d=5 → a1 = FP//5; hr_1(0)=4*(FP//5), d=(4*FP//5)//FP+1=1
+    # → h1 = 4*(FP//5); round 2: ar_2 = h1 per leaf, sum=4*h1,
+    # d = 4*h1//FP + 1 = 4, a2 = h1//4 = FP//5 (exactly)
+    FP = L._HITS_FP
+    assert leaves["auth"].iloc[0] == FP // 5
+    assert res.loc[0, "hub"] == 4 * (FP // 5)
