@@ -784,6 +784,7 @@ def queries() -> dict[str, Callable]:
         "event_sessions": events.session_windows,
         "event_type_rates": events.event_type_rates,
         "event_asof_join": events.asof_join,
+        "event_range_join": events.range_join_campaigns,
         "binary_extract": q_binary_extract,
         "hash_sample": q_hash_sample,
         "bottomk_sample": q_bottomk_sample,
@@ -828,6 +829,7 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": events.SQL_SESSION_WINDOWS,
         "event_type_rates": events.SQL_EVENT_TYPE_RATES,
         "event_asof_join": events.SQL_ASOF_JOIN,
+        "event_range_join": events.SQL_RANGE_JOIN,
         "binary_extract": SQL_BINARY_EXTRACT,
         "hash_sample": SQL_HASH_SAMPLE,
         "bottomk_sample": SQL_BOTTOMK_SAMPLE,

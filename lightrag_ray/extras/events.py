@@ -343,3 +343,94 @@ j AS (
 SELECT event_id, user_id, t_us, right_event_id, right_t_us, right_value
 FROM j WHERE rk = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join
+
+_RJ_CAMPAIGNS = 32
+_RJ_SPAN_DIV = 64  # campaign c starts at t0 + c·span/64 …
+_RJ_LEN_DIV = 16  # … and lasts span/16 — consecutive campaigns OVERLAP
+
+
+def range_join_campaigns(sf_dir: str):
+    """Range (interval) join: count events falling inside each of 32
+    OVERLAPPING campaign windows — the inequality-predicate join Ray Data
+    has no native operator for.  The campaign table is synthesized
+    deterministically from the event time domain (``t0 + c·span//64`` for
+    ``span//16`` µs, so every event can match up to four campaigns — a
+    genuine one-to-many range join, stated identically in the SQL oracle's
+    ``BETWEEN`` join).
+
+    Scale shape: the interval side is SMALL (32 rows), so this is the
+    broadcast arm of a range join — bounds ship in the combiner's closure,
+    each batch emits per-campaign partial counts (≤32 rows), and one tiny
+    groupby finishes.  A large interval side would instead bucket BOTH
+    sides by coarse time range and sweep per bucket — the ``asof_join``
+    pattern above; the broadcast arm is the right tool whenever the
+    interval table fits a closure, which for campaign/session/maintenance
+    windows it does."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["ts", "event_type"])
+    t0 = int(pc.cast(pa.scalar(ds.min("ts")), pa.int64()).as_py())
+    t1 = int(pc.cast(pa.scalar(ds.max("ts")), pa.int64()).as_py())
+    span = t1 - t0
+    starts = np.array(
+        [t0 + c * span // _RJ_SPAN_DIV for c in range(_RJ_CAMPAIGNS)], np.int64
+    )
+    ends = starts + span // _RJ_LEN_DIV
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(pc.cast(batch.column("ts"), pa.int64()), np.int64)
+        is_p = np.asarray(
+            pc.equal(batch.column("event_type"), "purchase"), bool
+        )
+        cid, n_ev, n_pur = [], [], []
+        for c in range(_RJ_CAMPAIGNS):
+            m = (ts >= starts[c]) & (ts <= ends[c])
+            k = int(m.sum())
+            if k:
+                cid.append(c)
+                n_ev.append(k)
+                n_pur.append(int(is_p[m].sum()))
+        return pa.table(
+            {
+                "campaign_id": pa.array(cid, pa.int64()),
+                "n_events": pa.array(n_ev, pa.int64()),
+                "n_purchases": pa.array(n_pur, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("campaign_id")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_purchases", alias_name="n_purchases"),
+        )
+    )
+
+
+SQL_RANGE_JOIN = f"""
+WITH b AS (
+  SELECT epoch_us(min(ts))::BIGINT AS t0,
+         epoch_us(max(ts))::BIGINT - epoch_us(min(ts))::BIGINT AS span
+  FROM events
+),
+c AS (
+  SELECT g.g::BIGINT AS campaign_id,
+         (SELECT t0 FROM b) + g.g * (SELECT span FROM b) // {_RJ_SPAN_DIV} AS s,
+         (SELECT t0 FROM b) + g.g * (SELECT span FROM b) // {_RJ_SPAN_DIV}
+           + (SELECT span FROM b) // {_RJ_LEN_DIV} AS e
+  FROM generate_series(0, {_RJ_CAMPAIGNS - 1}) g(g)
+)
+SELECT c.campaign_id,
+       count(*)::BIGINT AS n_events,
+       sum(CASE WHEN ev.event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+           AS n_purchases
+FROM c JOIN events ev
+  ON epoch_us(ev.ts) BETWEEN c.s AND c.e
+GROUP BY c.campaign_id
+"""
