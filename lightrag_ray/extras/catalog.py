@@ -785,6 +785,7 @@ def queries() -> dict[str, Callable]:
         "event_type_rates": events.event_type_rates,
         "event_asof_join": events.asof_join,
         "event_range_join": events.range_join_campaigns,
+        "event_props_stats": events.event_props_stats,
         "binary_extract": q_binary_extract,
         "hash_sample": q_hash_sample,
         "bottomk_sample": q_bottomk_sample,
@@ -830,6 +831,7 @@ def oracle_sql() -> dict[str, str]:
         "event_type_rates": events.SQL_EVENT_TYPE_RATES,
         "event_asof_join": events.SQL_ASOF_JOIN,
         "event_range_join": events.SQL_RANGE_JOIN,
+        "event_props_stats": events.SQL_EVENT_PROPS_STATS,
         "binary_extract": SQL_BINARY_EXTRACT,
         "hash_sample": SQL_HASH_SAMPLE,
         "bottomk_sample": SQL_BOTTOMK_SAMPLE,

@@ -434,3 +434,75 @@ FROM c JOIN events ev
   ON epoch_us(ev.ts) BETWEEN c.s AND c.e
 GROUP BY c.campaign_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured JSON property extraction
+
+
+def event_props_stats(sf_dir: str):
+    """Semi-structured extraction: parse the ``props`` JSON column, pull
+    the ``k`` field, aggregate (count, sum, max) per event type — the
+    ubiquitous log-pipeline step of lifting a JSON payload into columns.
+    Per-batch parse + combiner (one output row per event type per batch);
+    the groupby merges |types|×blocks partials, the JSON text itself never
+    shuffles.  Malformed / missing payloads count in ``n_bad`` instead of
+    aborting the pipeline — the oracle states the same TRY_CAST rule."""
+    import json
+
+    import numpy as np
+    from ray.data.aggregate import Max, Sum
+
+    ds = _events(sf_dir, ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type").to_pylist()
+        props = batch.column("props").to_pylist()
+        agg: dict = {}
+        for t, p in zip(types, props):
+            row = agg.setdefault(t, [0, 0, None, 0])  # n, sum, max, bad
+            try:
+                k = json.loads(p)["k"]
+                if not isinstance(k, int) or isinstance(k, bool):
+                    raise ValueError
+            except (TypeError, ValueError, KeyError, json.JSONDecodeError):
+                row[3] += 1
+                continue
+            row[0] += 1
+            row[1] += k
+            row[2] = k if row[2] is None else max(row[2], k)
+        keys = sorted(agg)
+        return pa.table(
+            {
+                "event_type": pa.array(keys, pa.string()),
+                "n_events": pa.array([agg[t][0] for t in keys], pa.int64()),
+                "sum_k": pa.array([agg[t][1] for t in keys], pa.int64()),
+                "max_k": pa.array([agg[t][2] for t in keys], pa.int64()),
+                "n_bad": pa.array([agg[t][3] for t in keys], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_k", alias_name="sum_k"),
+            Max("max_k", alias_name="max_k"),
+            Sum("n_bad", alias_name="n_bad"),
+        )
+    )
+
+
+SQL_EVENT_PROPS_STATS = """
+WITH p AS (
+  SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       count(k)::BIGINT AS n_events,
+       coalesce(sum(k), 0)::BIGINT AS sum_k,
+       max(k)::BIGINT AS max_k,
+       (count(*) - count(k))::BIGINT AS n_bad
+FROM p GROUP BY event_type
+"""

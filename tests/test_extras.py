@@ -725,3 +725,42 @@ def test_hll_parts_rank_rule():
     assert idx == h >> T._HLL_REM_BITS
     rem = h & ((1 << T._HLL_REM_BITS) - 1)
     assert rho == T._HLL_REM_BITS - rem.bit_length() + 1
+
+
+def test_event_props_stats_bad_payloads(ray_session, tmp_path):
+    """Malformed / missing / non-integer JSON payloads must count in n_bad
+    with the valid rows still aggregated — same TRY_CAST semantics as the
+    oracle."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lightrag_ray.extras import events as E
+
+    rows = [
+        ("click", '{"k": 3}'),
+        ("click", '{"k": 7}'),
+        ("click", "not json"),
+        ("click", '{"other": 1}'),
+        ("view", '{"k": true}'),  # bool is not an int payload
+        ("view", None),
+        ("view", '{"k": -2}'),
+    ]
+    tbl = pa.table(
+        {
+            "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "props": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "events.parquet"))
+    out = {
+        r["event_type"]: r
+        for r in E.event_props_stats(str(tmp_path)).take_all()
+    }
+    assert out["click"]["n_events"] == 2
+    assert out["click"]["sum_k"] == 10 and out["click"]["max_k"] == 7
+    assert out["click"]["n_bad"] == 2
+    assert out["view"]["n_events"] == 1 and out["view"]["sum_k"] == -2
+    assert out["view"]["n_bad"] == 2
