@@ -17,6 +17,7 @@ import os
 import re
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 _CJK_RE = re.compile(r"[一-龥]")
@@ -264,13 +265,22 @@ def heavy_hitters(sf_dir: str, k: int = _MG_K):
             c.update(toks)
         keep = _mg_trim(dict(c), k)
         terms = sorted(keep)
+        if not terms:
+            # an adversarial batch (> k equally-frequent terms) trims to an
+            # EMPTY sketch — its token mass must still reach the total, so
+            # emit one null-term carrier row instead of dropping n.
+            return pa.table(
+                {
+                    "term": pa.array([None], pa.string()),
+                    "c": pa.array([0], pa.int64()),
+                    "n": pa.array([n], pa.int64()),
+                }
+            )
         return pa.table(
             {
                 "term": pa.array(terms, pa.string()),
                 "c": pa.array([keep[t] for t in terms], pa.int64()),
-                "n": pa.array([n] + [0] * (len(terms) - 1), pa.int64())
-                if terms
-                else pa.array([], pa.int64()),
+                "n": pa.array([n] + [0] * (len(terms) - 1), pa.int64()),
             }
         )
 
@@ -280,9 +290,10 @@ def heavy_hitters(sf_dir: str, k: int = _MG_K):
     for b in docs.map_batches(
         batch_sketch, batch_format="pyarrow", zero_copy_batch=True
     ).iter_batches(batch_format="pyarrow", batch_size=4 * k):
-        total += int(np.asarray(b.column("n"), np.int64).sum())
+        total += int(np.asarray(pc.fill_null(b.column("n"), 0), np.int64).sum())
         for t, c in zip(b.column("term").to_pylist(), b.column("c").to_pylist()):
-            merged[t] = merged.get(t, 0) + c
+            if t is not None:  # null-term rows only carry token mass
+                merged[t] = merged.get(t, 0) + c
         merged = _mg_trim(merged, k)
     candidates = frozenset(merged)
 

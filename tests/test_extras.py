@@ -764,3 +764,33 @@ def test_event_props_stats_bad_payloads(ray_session, tmp_path):
     assert out["click"]["n_bad"] == 2
     assert out["view"]["n_events"] == 1 and out["view"]["sum_k"] == -2
     assert out["view"]["n_bad"] == 2
+
+
+def test_heavy_hitters_adversarial_trim_keeps_token_mass(ray_session, tmp_path, monkeypatch):
+    """A batch with > k equally-frequent terms trims to an EMPTY sketch;
+    its token mass must still count toward N or the final threshold is
+    wrong.  With k=2 the 5-term uniform doc sketches to nothing, yet the
+    hot term's exactness gate must use the FULL corpus N."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lightrag_ray.extras import textstats as T
+
+    docs = [
+        "a b c d e",  # 5 distinct, count 1 each → MG(k=2) trims to empty
+        " ".join(["hot"] * 10),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "documents.parquet"))
+    out = {r["term"]: r["tf"] for r in T.heavy_hitters(str(tmp_path), k=2).take_all()}
+    # N = 15 tokens; threshold tf*3 > 15 → only "hot" (10) qualifies —
+    # and it must NOT be reported if N had collapsed to 10 (then a,b,..
+    # would misreport); exact expected output:
+    assert out == {"hot": 10}
