@@ -779,6 +779,7 @@ def queries() -> dict[str, Callable]:
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
         "media_feature_norms": q_media_feature_norms,
+        "frame_sample_means": multimodal.frame_sample_means,
         "event_windows": events.tumbling_window_user_stats,
         "event_sliding_windows": events.sliding_window_user_stats,
         "event_sessions": events.session_windows,
@@ -825,6 +826,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "media_feature_norms": SQL_MEDIA_FEATURE_NORMS,
+        "frame_sample_means": multimodal.SQL_FRAME_SAMPLE,
         "event_windows": events.SQL_TUMBLING_WINDOW,
         "event_sliding_windows": events.SQL_SLIDING_WINDOW,
         "event_sessions": events.SQL_SESSION_WINDOWS,

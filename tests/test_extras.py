@@ -794,3 +794,37 @@ def test_heavy_hitters_adversarial_trim_keeps_token_mass(ray_session, tmp_path, 
     # and it must NOT be reported if N had collapsed to 10 (then a,b,..
     # would misreport); exact expected output:
     assert out == {"hot": 10}
+
+
+def test_split_ppm_stream_and_resize():
+    from lightrag_ray.extras import multimodal as M
+
+    s = M.synth_frame_stream(7)  # 2 + 7%4 = 5 frames
+    frames = M.split_ppm_stream(s)
+    assert len(frames) == 5
+    assert all(f.startswith(b"P6\n2 2\n255\n") for f in frames)
+    # hand 4x4 → 2x2 nearest-neighbour: src index = i*4//2 = 0,2
+    import numpy as np
+
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    payload = b"P6\n4 4\n255\n" + px.tobytes()
+    out = M.resize_ppm(payload, 2, 2)
+    assert out.startswith(b"P6\n2 2\n255\n")
+    got = np.frombuffer(out[len(b"P6\n2 2\n255\n"):], np.uint8).reshape(2, 2, 3)
+    assert (got == px[[0, 2]][:, [0, 2]]).all()
+    # resize is idempotent at the same size and decodable by the real path
+    again = M.resize_ppm(out, 2, 2)
+    assert again == out
+    feats = M.RealDecoder().features(out, "image")
+    assert feats[0] == 2.0 and feats[1] == 2.0
+
+
+def test_split_ppm_stream_rejects_garbage():
+    import pytest as _pytest
+
+    from lightrag_ray.extras import multimodal as M
+
+    with _pytest.raises(ValueError, match="not a P6 frame"):
+        M.split_ppm_stream(b"JUNK")
+    with _pytest.raises(ValueError, match="truncated"):
+        M.split_ppm_stream(b"P6\n2 2\n255\n\x00\x01")
