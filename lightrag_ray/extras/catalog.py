@@ -279,6 +279,31 @@ ORDER BY md5(doc_id::VARCHAR) LIMIT 50
 """
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """WARC round trip: documents → real WARC/1.0 segments on disk → the
+    Content-Length-driven parser back to rows.  The oracle restates the
+    deterministic URI/date rules and the identity text transform, so the
+    record writer AND parser are hash-checked (a framing bug in either side
+    breaks the match).  One task per segment — the WARC parallel unit."""
+    import tempfile
+
+    from lightrag_ray.sources import warc as W
+
+    work = tempfile.mkdtemp(prefix="lightrag_warc_")
+    paths = W.write_warc_files(sf_dir, work, num_files=4)
+    return W.read_warc(paths)
+
+
+SQL_WARC_ROUNDTRIP = """
+SELECT 'https://w.example.org/doc/' || lpad(doc_id::VARCHAR, 10, '0') AS url,
+       '2024-01-' || lpad((doc_id // 1440 + 1)::VARCHAR, 2, '0') || 'T' ||
+       lpad(((doc_id % 1440) // 60)::VARCHAR, 2, '0') || ':' ||
+       lpad((doc_id % 60)::VARCHAR, 2, '0') || ':00Z' AS warc_date,
+       text
+FROM documents
+"""
+
+
 def q_stratified_sample(sf_dir: str, per_stratum: int = 20):
     """First-K-per-stratum deterministic sample (rank by doc_id within
     lang).
@@ -788,6 +813,7 @@ def queries() -> dict[str, Callable]:
         "event_range_join": events.range_join_campaigns,
         "event_props_stats": events.event_props_stats,
         "binary_extract": q_binary_extract,
+        "warc_roundtrip": q_warc_roundtrip,
         "hash_sample": q_hash_sample,
         "bottomk_sample": q_bottomk_sample,
         "stratified_sample": q_stratified_sample,
@@ -835,6 +861,7 @@ def oracle_sql() -> dict[str, str]:
         "event_range_join": events.SQL_RANGE_JOIN,
         "event_props_stats": events.SQL_EVENT_PROPS_STATS,
         "binary_extract": SQL_BINARY_EXTRACT,
+        "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "hash_sample": SQL_HASH_SAMPLE,
         "bottomk_sample": SQL_BOTTOMK_SAMPLE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,

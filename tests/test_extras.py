@@ -828,3 +828,39 @@ def test_split_ppm_stream_rejects_garbage():
         M.split_ppm_stream(b"JUNK")
     with _pytest.raises(ValueError, match="truncated"):
         M.split_ppm_stream(b"P6\n2 2\n255\n\x00\x01")
+
+
+def test_warc_parser_honors_content_length():
+    """A payload that CONTAINS record markers must not confuse the parser —
+    extents come from Content-Length, never from scanning."""
+    from lightrag_ray.sources import warc as W
+
+    tricky = 'prefix WARC/1.0\r\n\r\n embedded marker'
+    blob = W.make_warc_record(3, tricky) + W.make_warc_record(4, "plain")
+    out = W.parse_warc(blob)
+    assert out.column("text").to_pylist() == [tricky, "plain"]
+    assert out.column("url").to_pylist() == [
+        "https://w.example.org/doc/0000000003",
+        "https://w.example.org/doc/0000000004",
+    ]
+    assert out.column("warc_date").to_pylist()[0] == "2024-01-01T00:03:00Z"
+
+
+def test_warc_parser_rejects_bad_framing():
+    import pytest as _pytest
+
+    from lightrag_ray.sources import warc as W
+
+    with _pytest.raises(ValueError, match="not a WARC/1.0 record"):
+        W.parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+    rec = W.make_warc_record(1, "x")
+    with _pytest.raises(ValueError, match="missing record trailer"):
+        W.parse_warc(rec[:-2])
+
+
+def test_warc_date_rolls_days():
+    from lightrag_ray.sources import warc as W
+
+    assert W._warc_date(0) == "2024-01-01T00:00:00Z"
+    assert W._warc_date(1439) == "2024-01-01T23:59:00Z"
+    assert W._warc_date(1440) == "2024-01-02T00:00:00Z"
