@@ -91,26 +91,59 @@ def parse_warc(blob: bytes) -> pa.Table:
 
 def write_warc_files(sf_dir: str, out_dir: str, num_files: int = 4) -> list[str]:
     """documents.parquet → ``num_files`` WARC segments (doc_id % num_files
-    per segment, ascending doc_id inside — deterministic layout)."""
-    import pyarrow.parquet as pq
+    per segment, ascending doc_id inside — deterministic layout).
+
+    The corpus never touches the driver: documents are tagged with their
+    segment, ONE bounded exchange co-locates each segment's rows, and each
+    group task serializes + writes its own segment file (the resumable
+    per-partition sink pattern — a re-run overwrites whole segments, never
+    appends).  The driver sees only the ``num_files`` path strings."""
+    import pandas as pd
+    import ray.data as rd
 
     os.makedirs(out_dir, exist_ok=True)
-    tbl = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        return pa.table(
+            {
+                "seg": pa.array(ids % num_files, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": batch.column("text").combine_chunks()
+                if hasattr(batch.column("text"), "combine_chunks")
+                else batch.column("text"),
+            }
+        )
+
+    def write_segment(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values("doc_id")
+        seg = int(g["seg"].iloc[0])
+        path = os.path.join(out_dir, f"segment-{seg:05d}.warc")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            for d, t in zip(g["doc_id"], g["text"]):
+                f.write(make_warc_record(int(d), t))
+        os.replace(tmp, path)  # atomic publish per segment
+        return pa.table({"path": pa.array([path], pa.string())})
+
+    written = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("seg")
+        .map_groups(write_segment, batch_format="pandas")
     )
-    ids = tbl.column("doc_id").to_pylist()
-    texts = tbl.column("text").to_pylist()
-    buckets: dict[int, list[tuple[int, str]]] = {}
-    for d, t in zip(ids, texts):
-        buckets.setdefault(d % num_files, []).append((d, t))
-    paths = []
+    paths = sorted(r["path"] for r in written.take_all())
+    # empty segments (no doc_id ≡ k) still need a file for the reader
     for k in range(num_files):
         path = os.path.join(out_dir, f"segment-{k:05d}.warc")
-        with open(path, "wb") as f:
-            for d, t in sorted(buckets.get(k, [])):
-                f.write(make_warc_record(d, t))
-        paths.append(path)
-    return paths
+        if path not in paths:
+            open(path, "wb").close()
+            paths.append(path)
+    return sorted(paths)
 
 
 def read_warc(paths: list[str]):
