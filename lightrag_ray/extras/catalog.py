@@ -816,6 +816,8 @@ def queries() -> dict[str, Callable]:
         "warc_roundtrip": q_warc_roundtrip,
         "hash_sample": q_hash_sample,
         "bottomk_sample": q_bottomk_sample,
+        "postings_top": q_postings_top,
+        "top_docs_per_lang": q_top_docs_per_lang,
         "stratified_sample": q_stratified_sample,
         "balanced_lang_sample": q_balanced_lang_sample,
         "temperature_lang_sample": q_temperature_lang_sample,
@@ -864,6 +866,8 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "hash_sample": SQL_HASH_SAMPLE,
         "bottomk_sample": SQL_BOTTOMK_SAMPLE,
+        "postings_top": SQL_POSTINGS_TOP,
+        "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "balanced_lang_sample": SQL_BALANCED_LANG_SAMPLE,
         "temperature_lang_sample": SQL_TEMPERATURE_LANG_SAMPLE,
@@ -1294,4 +1298,169 @@ SQL_CORPUS_DEDUP = "WITH RECURSIVE " + _SQL_CC_CTES + r"""
 SELECT d.doc_id, d.lang
 FROM documents d LEFT JOIN clusters c USING (doc_id)
 WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index postings + windowed top-k per group
+
+
+def q_postings_top(sf_dir: str, n_terms: int = 100, k_postings: int = 20):
+    """Inverted-index construction for the ``n_terms`` highest-df terms:
+    (term, df, first ``k_postings`` doc ids ascending, comma-joined) — the
+    search-engine core the BM25 scorer (extras/webcrawl.py) sits on, here
+    materialized as an explicit postings table.
+
+    Scale shape: per-batch DISTINCT (term, doc) combiner → ONE bounded
+    exchange keyed bucket(term) (rows = document-frequency table size, never
+    the token stream) → per-bucket lexsort/run-length kernel computing df +
+    the first-k posting string per term → vocab-bounded sort for the top
+    selection.  Postings are emitted as strings so the driver hash has no
+    list-column ambiguity."""
+    import os
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lightrag_ray.extras.dedup import _cc_bucket_of
+
+    token_re = re.compile(r"[a-z0-9_]+")
+    buckets = 64
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        terms_out, docs_out = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for t in set(token_re.findall((text or "").lower())):
+                terms_out.append(t)
+                docs_out.append(doc_id)
+        tbl = pa.table(
+            {
+                "term": pa.array(terms_out, pa.string()),
+                "doc_id": pa.array(docs_out, pa.int64()),
+            }
+        )
+        # bucket by term hash (string → stable md5-fold, not Python hash)
+        import hashlib
+
+        bkt = [
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % buckets
+            for t in terms_out
+        ]
+        return tbl.append_column("bucket", pa.array(bkt, pa.int32()))
+
+    def per_bucket(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["term", "doc_id"])
+        terms = g["term"].to_numpy(object)
+        docs = g["doc_id"].to_numpy(np.int64)
+        starts = np.concatenate(([True], terms[1:] != terms[:-1]))
+        pos = np.flatnonzero(starts)
+        ends = np.concatenate((pos[1:], [len(terms)]))
+        out_t, out_df, out_p = [], [], []
+        for s, e in zip(pos, ends):
+            out_t.append(terms[s])
+            out_df.append(int(e - s))
+            out_p.append(",".join(map(str, docs[s : s + k_postings])))
+        return pa.table(
+            {
+                "term": pa.array(out_t, pa.string()),
+                "df": pa.array(out_df, pa.int64()),
+                "postings": pa.array(out_p, pa.string()),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort(["df", "term"], descending=[True, False])
+        .limit(n_terms)
+    )
+
+
+SQL_POSTINGS_TOP = """
+WITH w AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+p AS (
+  SELECT term, count(*)::BIGINT AS df,
+         array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
+  FROM w GROUP BY term
+)
+SELECT term, df, postings FROM p
+ORDER BY df DESC, term ASC LIMIT 100
+"""
+
+
+def q_top_docs_per_lang(sf_dir: str, k: int = 3):
+    """Windowed top-k per group: the ``k`` longest documents per language
+    (n_chars desc, doc_id asc) with their in-group rank — row_number()
+    semantics.  First-k-by-key is associative, so a per-batch LOCAL top-k
+    combiner runs inside ``map_batches`` and the groupby merges ≤ k rows
+    per (lang, block) — the corpus never shuffles (same pattern as
+    q_stratified_sample)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.select(["lang", "doc_id", "n_chars"]).to_pandas()
+        df = df.sort_values(
+            ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        df = df.groupby("lang", sort=False).head(k)
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"], pa.string()),
+                "doc_id": pa.array(df["doc_id"].astype("int64"), pa.int64()),
+                "n_chars": pa.array(df["n_chars"].astype("int64"), pa.int64()),
+            }
+        )
+
+    def final_topk(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).head(k)
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "doc_id": pa.array(g["doc_id"].astype("int64"), pa.int64()),
+                "n_chars": pa.array(g["n_chars"].astype("int64"), pa.int64()),
+                "rk": pa.array(
+                    np.arange(1, len(g) + 1, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["lang", "doc_id", "n_chars"],
+        )
+        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+SQL_TOP_DOCS_PER_LANG = """
+SELECT lang, doc_id, n_chars, rk FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+         ) AS rk
+  FROM documents
+) WHERE rk <= 3
 """
