@@ -818,6 +818,8 @@ def queries() -> dict[str, Callable]:
         "bottomk_sample": q_bottomk_sample,
         "postings_top": q_postings_top,
         "top_docs_per_lang": q_top_docs_per_lang,
+        "dataset_split": q_dataset_split,
+        "length_band_filter": q_length_band_filter,
         "stratified_sample": q_stratified_sample,
         "balanced_lang_sample": q_balanced_lang_sample,
         "temperature_lang_sample": q_temperature_lang_sample,
@@ -868,6 +870,8 @@ def oracle_sql() -> dict[str, str]:
         "bottomk_sample": SQL_BOTTOMK_SAMPLE,
         "postings_top": SQL_POSTINGS_TOP,
         "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
+        "dataset_split": SQL_DATASET_SPLIT,
+        "length_band_filter": SQL_LENGTH_BAND_FILTER,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "balanced_lang_sample": SQL_BALANCED_LANG_SAMPLE,
         "temperature_lang_sample": SQL_TEMPERATURE_LANG_SAMPLE,
@@ -1463,4 +1467,137 @@ SELECT lang, doc_id, n_chars, rk FROM (
          ) AS rk
   FROM documents
 ) WHERE rk <= 3
+"""
+
+
+def q_dataset_split(sf_dir: str):
+    """Deterministic train/val/test assignment (98/1/1 by md5(doc_id) —
+    the split every training pipeline needs): content-independent, stable
+    across runs/workers/clusters, and disjoint by construction.  Stateless
+    ``map_batches``; no shuffle."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        splits = []
+        for d in ids:
+            h = int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 100
+            splits.append("test" if h == 0 else "val" if h == 1 else "train")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "split": pa.array(splits, pa.string()),
+            }
+        )
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_DATASET_SPLIT = """
+SELECT doc_id,
+       CASE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100
+         WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def q_length_band_filter(sf_dir: str):
+    """Per-language outlier trim: keep documents whose ``n_chars`` lies in
+    the [p10, p90] band of THEIR language — the standard too-short /
+    too-long curation gate, with the same explicit ``1 + (n-1)p // 100``
+    rank rule as ``length_quantiles`` (exact integers on both engines).
+
+    Scale shape: the band table is |langs| rows, computed by the
+    histogram-combiner quantile pipeline (shuffle carries histogram
+    partials, never documents) and shipped in the filter's closure; the
+    corpus then streams through one stateless mask pass."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+
+    def histogram(batch: pa.Table) -> pa.Table:
+        df = (
+            batch.select(["lang", "n_chars"])
+            .to_pandas()
+            .groupby(["lang", "n_chars"], sort=True)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"], pa.string()),
+                "n_chars": pa.array(df["n_chars"].astype("int64"), pa.int64()),
+                "c": pa.array(df["c"].astype("int64"), pa.int64()),
+            }
+        )
+
+    def band(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values("n_chars")
+        vals = g["n_chars"].to_numpy(np.int64)
+        cum = np.cumsum(g["c"].to_numpy(np.int64))
+        n = int(cum[-1])
+        lo = int(vals[np.searchsorted(cum, 1 + (n - 1) * 10 // 100)])
+        hi = int(vals[np.searchsorted(cum, 1 + (n - 1) * 90 // 100)])
+        return pa.table(
+            {
+                "lang": pa.array([g["lang"].iloc[0]], pa.string()),
+                "lo": pa.array([lo], pa.int64()),
+                "hi": pa.array([hi], pa.int64()),
+            }
+        )
+
+    bands = {
+        r["lang"]: (r["lo"], r["hi"])
+        for r in (
+            docs.map_batches(histogram, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["lang", "n_chars"])
+            .aggregate(Sum("c", alias_name="c"))
+            .groupby("lang")
+            .map_groups(band, batch_format="pandas")
+            .take_all()
+        )
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        n_chars = batch.column("n_chars").to_pylist()
+        mask = pa.array(
+            [bands[lg][0] <= nc <= bands[lg][1] for lg, nc in zip(langs, n_chars)]
+        )
+        return batch.filter(mask)
+
+    return docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_LENGTH_BAND_FILTER = """
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+b AS (
+  SELECT lang,
+         max(CASE WHEN rk = 1 + (n - 1) * 10 // 100 THEN n_chars END) AS lo,
+         max(CASE WHEN rk = 1 + (n - 1) * 90 // 100 THEN n_chars END) AS hi
+  FROM r GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN b ON d.lang = b.lang
+WHERE d.n_chars BETWEEN b.lo AND b.hi
 """
