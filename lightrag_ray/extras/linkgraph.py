@@ -1346,6 +1346,7 @@ def queries() -> dict[str, Callable]:
         "triangle_counts": q_triangle_counts,
         "anchor_text_top": q_anchor_text_top,
         "hits_top20": q_hits_top20,
+        "host_graph": q_host_graph,
     }
 
 
@@ -1360,6 +1361,7 @@ def oracle_sql() -> dict[str, str]:
             edges=_SQL_EDGES.lstrip(",\n")
         ),
         "hits_top20": _sql_hits(),
+        "host_graph": SQL_HOST_GRAPH,
     }
 
 
@@ -1676,3 +1678,52 @@ LEFT JOIN h{iters} h ON d.doc_id = h.v
 ORDER BY auth_fp DESC, doc_id ASC LIMIT {k}"""
     )
     return "\n".join(parts)
+
+
+# -------------------------------------------------------- host graph
+def q_host_graph(sf_dir: str):
+    """Host-level link-graph rollup: collapse the page graph onto the
+    crawl's host space (host of doc d = ``site{d % 7}.example.com`` — the
+    canonical-host rule from extras/webcrawl.py's URL synthesis) and count
+    links per (src_host, tgt_host) — the web-graph coarsening that turns
+    10^9 page edges into a |hosts|² summary.  Per-batch pair-count
+    combiner → one ≤|hosts|²-row groupby; the page edge stream never
+    shuffles."""
+    from collections import Counter
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("src"), np.int64) % 7
+        tgt = np.asarray(batch.column("tgt"), np.int64) % 7
+        c = Counter(zip(src.tolist(), tgt.tolist()))
+        keys = sorted(c)
+        return pa.table(
+            {
+                "src_host": pa.array(
+                    [f"site{a}.example.com" for a, _ in keys], pa.string()
+                ),
+                "tgt_host": pa.array(
+                    [f"site{b}.example.com" for _, b in keys], pa.string()
+                ),
+                "n_links": pa.array([c[k] for k in keys], pa.int64()),
+            }
+        )
+
+    return (
+        link_edges_ds(sf_dir)
+        .map_batches(rollup, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src_host", "tgt_host"])
+        .aggregate(Sum("n_links", alias_name="n_links"))
+    )
+
+
+SQL_HOST_GRAPH = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+{_SQL_EDGES}
+SELECT 'site' || (src % 7)::VARCHAR || '.example.com' AS src_host,
+       'site' || (tgt % 7)::VARCHAR || '.example.com' AS tgt_host,
+       count(*)::BIGINT AS n_links
+FROM edges GROUP BY 1, 2
+"""
