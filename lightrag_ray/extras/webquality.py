@@ -515,6 +515,8 @@ def queries() -> dict[str, Callable]:
         "boilerplate_frac": q_boilerplate_frac,
         "pii_scan": q_pii_scan,
         "lm_quality": q_lm_quality,
+        "compression_ratio": q_compression_ratio,  # rows-only (no SQL zlib)
+        "char_entropy_bits": q_char_entropy_bits,
     }
 
 
@@ -525,4 +527,90 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_frac": SQL_BOILERPLATE_FRAC,
         "pii_scan": SQL_PII_SCAN,
         "lm_quality": SQL_LM_QUALITY,
+        "char_entropy_bits": SQL_CHAR_ENTROPY_BITS,
     }
+
+
+# ---------------------------------------------------------------------------
+# 6. Compression-ratio + character self-information quality signals
+
+
+def q_compression_ratio(sf_dir: str):
+    """Per-document zlib compression ratio ×1000 (integer): highly
+    templated / repetitive text compresses far below natural prose, making
+    deflate a classic cheap quality discriminator.  Deterministic for a
+    fixed zlib level (9), but not SQL-expressible — rows-only driver
+    entry; the arithmetic is pinned by unit tests instead.  Stateless
+    ``map_batches``; no shuffle."""
+    import zlib
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        n_raw, n_comp, r1000 = [], [], []
+        for text in batch.column("text").to_pylist():
+            raw = (text or "").encode("utf-8")
+            comp = zlib.compress(raw, 9)
+            n_raw.append(len(raw))
+            n_comp.append(len(comp))
+            r1000.append((1000 * len(comp)) // len(raw) if raw else 0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_raw": pa.array(n_raw, pa.int64()),
+                "n_comp": pa.array(n_comp, pa.int64()),
+                "ratio_x1000": pa.array(r1000, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ratio, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_char_entropy_bits(sf_dir: str):
+    """Per-document character self-information, bit-quantized: for each
+    character occurrence, ``bitlen(n) − bitlen(count_of_that_char)`` summed
+    over the document (n = doc length) — the integer-exact entropy proxy
+    (low = few distinct characters dominating = template/garbage, high =
+    diverse text), same bit-length quantization as ``q_lm_quality`` so the
+    oracle is transcendental-free.  Stateless pass; no shuffle."""
+    from collections import Counter
+
+    def bits(batch: pa.Table) -> pa.Table:
+        n_out, bits_out = [], []
+        for text in batch.column("text").to_pylist():
+            s = text or ""
+            n = len(s)
+            c = Counter(s)
+            bl_n = n.bit_length()
+            total = sum(cnt * (bl_n - cnt.bit_length()) for cnt in c.values())
+            n_out.append(n)
+            bits_out.append(total)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pa.array(n_out, pa.int64()),
+                "self_info_bits": pa.array(bits_out, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        bits, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_CHAR_ENTROPY_BITS = """
+WITH ch AS (
+  SELECT doc_id, unnest(split(text, '')) AS c FROM documents
+),
+cnt AS (SELECT doc_id, c, count(*)::BIGINT AS k FROM ch GROUP BY doc_id, c),
+n AS (SELECT doc_id, length(text)::BIGINT AS n FROM documents),
+per AS (
+  SELECT cnt.doc_id,
+         CAST(sum(cnt.k * (length(bin(n.n)) - length(bin(cnt.k))))
+              AS BIGINT) AS bits
+  FROM cnt JOIN n USING (doc_id) GROUP BY cnt.doc_id
+)
+SELECT d.doc_id, length(d.text)::BIGINT AS n_chars,
+       coalesce(per.bits, 0)::BIGINT AS self_info_bits
+FROM documents d LEFT JOIN per USING (doc_id)
+"""

@@ -168,3 +168,32 @@ def test_lm_quality_vocab_guard(ray_session, tmp_path, monkeypatch):
     monkeypatch.setattr(W, "MAX_LM_VOCAB", 1)
     with pytest.raises(ValueError, match="vocabulary exceeds"):
         W.q_lm_quality(sf)
+
+
+def test_compression_ratio_discriminates(ray_session, tmp_path):
+    """Repetitive text must compress far better than diverse text, and the
+    integer ratio must be the exact floor of 1000·comp/raw."""
+    import zlib
+
+    repetitive = "spam ham " * 200
+    diverse = " ".join(f"w{i}x{i * 7 % 97}" for i in range(400))
+    sf = _write_docs(tmp_path, [repetitive, diverse, ""])
+    rows = {r["doc_id"]: r for r in W.q_compression_ratio(sf).take_all()}
+    for i, text in enumerate([repetitive, diverse]):
+        raw = text.encode()
+        comp = zlib.compress(raw, 9)
+        assert rows[i]["n_raw"] == len(raw)
+        assert rows[i]["n_comp"] == len(comp)
+        assert rows[i]["ratio_x1000"] == (1000 * len(comp)) // len(raw)
+    assert rows[0]["ratio_x1000"] < rows[1]["ratio_x1000"] // 4
+    assert rows[2] == {"doc_id": 2, "n_raw": 0, "n_comp": len(zlib.compress(b"", 9)), "ratio_x1000": 0}
+
+
+def test_char_entropy_bits_hand_computed(ray_session, tmp_path):
+    # "aab": n=3 bitlen 2; counts a=2 (bitlen 2), b=1 (bitlen 1);
+    # bits = 2*(2-2) + 1*(2-1) = 1.  "zzzz": n=4 bitlen 3, z=4 bitlen 3 → 0.
+    sf = _write_docs(tmp_path, ["aab", "zzzz", ""])
+    rows = {r["doc_id"]: r for r in W.q_char_entropy_bits(sf).take_all()}
+    assert rows[0] == {"doc_id": 0, "n_chars": 3, "self_info_bits": 1}
+    assert rows[1] == {"doc_id": 1, "n_chars": 4, "self_info_bits": 0}
+    assert rows[2] == {"doc_id": 2, "n_chars": 0, "self_info_bits": 0}
