@@ -1309,6 +1309,9 @@ WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
 # Inverted-index postings + windowed top-k per group
 
 
+_POSTINGS_MEMO: dict = {}  # term → bucket, per worker process
+
+
 def q_postings_top(sf_dir: str, n_terms: int = 100, k_postings: int = 20):
     """Inverted-index construction for the ``n_terms`` highest-df terms:
     (term, df, first ``k_postings`` doc ids ascending, comma-joined) — the
@@ -1348,13 +1351,19 @@ def q_postings_top(sf_dir: str, n_terms: int = 100, k_postings: int = 20):
                 "doc_id": pa.array(docs_out, pa.int64()),
             }
         )
-        # bucket by term hash (string → stable md5-fold, not Python hash)
+        # bucket by term hash (string → stable md5-fold, not Python hash);
+        # memoized per worker — the fold runs once per VOCAB term, not once
+        # per (doc, term) pair
         import hashlib
 
-        bkt = [
-            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % buckets
-            for t in terms_out
-        ]
+        memo = _POSTINGS_MEMO
+        bkt = []
+        for t in terms_out:
+            b = memo.get(t)
+            if b is None:
+                b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % buckets
+                memo[t] = b
+            bkt.append(b)
         return tbl.append_column("bucket", pa.array(bkt, pa.int32()))
 
     def per_bucket(group: pd.DataFrame) -> pa.Table:
