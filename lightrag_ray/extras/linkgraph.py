@@ -165,9 +165,19 @@ def extract_anchors(batch: pa.Table) -> pa.Table:
 
 
 def _doc_count(sf_dir: str) -> int:
+    """Corpus row count from Parquet footer metadata only — accepts both a
+    single file and a directory of part files (O(#files) at any scale)."""
+    import glob
+
     import pyarrow.parquet as pq
 
-    return pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    path = os.path.join(sf_dir, "documents.parquet")
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    return sum(pq.read_metadata(f).num_rows for f in files)
 
 
 def link_edges_ds(sf_dir: str):
