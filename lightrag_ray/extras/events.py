@@ -373,9 +373,12 @@ def range_join_campaigns(sf_dir: str):
     import numpy as np
     from ray.data.aggregate import Sum
 
+    from ray.data.aggregate import Max, Min
+
     ds = _events(sf_dir, ["ts", "event_type"])
-    t0 = int(pc.cast(pa.scalar(ds.min("ts")), pa.int64()).as_py())
-    t1 = int(pc.cast(pa.scalar(ds.max("ts")), pa.int64()).as_py())
+    bounds = ds.aggregate(Min("ts"), Max("ts"))  # ONE pass for both bounds
+    t0 = int(pc.cast(pa.scalar(bounds["min(ts)"]), pa.int64()).as_py())
+    t1 = int(pc.cast(pa.scalar(bounds["max(ts)"]), pa.int64()).as_py())
     span = t1 - t0
     starts = np.array(
         [t0 + c * span // _RJ_SPAN_DIV for c in range(_RJ_CAMPAIGNS)], np.int64
