@@ -1357,6 +1357,7 @@ def queries() -> dict[str, Callable]:
         "anchor_text_top": q_anchor_text_top,
         "hits_top20": q_hits_top20,
         "host_graph": q_host_graph,
+        "link_components": q_link_components,
     }
 
 
@@ -1372,6 +1373,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hits_top20": _sql_hits(),
         "host_graph": SQL_HOST_GRAPH,
+        "link_components": SQL_LINK_COMPONENTS,
     }
 
 
@@ -1736,4 +1738,69 @@ SELECT 'site' || (src % 7)::VARCHAR || '.example.com' AS src_host,
        'site' || (tgt % 7)::VARCHAR || '.example.com' AS tgt_host,
        count(*)::BIGINT AS n_links
 FROM edges GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------- connected components
+def q_link_components(sf_dir: str, k: int = 20):
+    """Weakly-connected components of the link graph: the top-``k``
+    components by size (size desc, min-node cluster id asc) — the crawl
+    "island" detector.  Reuses the bucketed min-label-propagation +
+    pointer-doubling CC engine from extras/dedup.py (O(log diameter)
+    rounds, raises on non-convergence); edges become undirected pairs via
+    a vectorized min/max map, and component sizes are one |components|-row
+    groupby over the (node, cluster) table."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from lightrag_ray.extras.dedup import connected_components
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("src"), np.int64)
+        tgt = np.asarray(batch.column("tgt"), np.int64)
+        m = src != tgt
+        return pa.table(
+            {
+                "doc_a": pa.array(np.minimum(src[m], tgt[m]), pa.int64()),
+                "doc_b": pa.array(np.maximum(src[m], tgt[m]), pa.int64()),
+            }
+        )
+
+    pairs = link_edges_ds(sf_dir).map_batches(
+        to_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    labels = connected_components(pairs)  # (node, label)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["node", "cluster_id"])
+
+    return (
+        labels.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster_id")
+        .aggregate(Count(alias_name="size"))
+        .sort(["size", "cluster_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+SQL_LINK_COMPONENTS = f"""
+WITH RECURSIVE nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+{_SQL_EDGES},
+und AS (
+  SELECT DISTINCT least(src, tgt) AS a, greatest(src, tgt) AS b FROM edges
+),
+adj AS (
+  SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und
+),
+cc(node, label) AS (
+  SELECT node, node FROM (SELECT DISTINCT node FROM adj)
+  UNION
+  SELECT adj.node, cc.label FROM cc JOIN adj ON adj.nbr = cc.node
+),
+clusters AS (
+  SELECT node, min(label) AS cluster_id FROM cc GROUP BY node
+)
+SELECT cluster_id, count(*)::BIGINT AS size
+FROM clusters GROUP BY cluster_id
+ORDER BY size DESC, cluster_id ASC LIMIT 20
 """
