@@ -387,10 +387,10 @@ def test_drop_set_broadcast_guard(ray_session, monkeypatch):
         cat._collect_drop_set(clusters)
 
 
-def test_minhash_broadcast_and_shuffled_paths_agree(ray_session, monkeypatch):
-    """The default broadcast-signature LSH path and the over-guard
-    sig-carrying shuffle fallback must emit the identical pair table (same
-    algorithm, different signature transport)."""
+def test_minhash_broadcast_and_sharded_paths_agree(ray_session, monkeypatch):
+    """The default broadcast-signature LSH path and the over-guard SHARDED
+    arm (sig-free band rows + pair→signature hash join) must emit the
+    identical pair table — same algorithm, different signature transport."""
     from lightrag_ray.extras import dedup as D
 
     base = _normalize(C.q_minhash_lsh(SF_DIR).to_pandas())
@@ -403,6 +403,18 @@ def test_minhash_broadcast_and_shuffled_paths_agree(ray_session, monkeypatch):
         check_dtype=False,
     )
     assert len(base) > 0
+
+
+def test_corpus_dedup_lsh_over_guard_uses_sharded_arm(ray_session, monkeypatch):
+    """End-to-end LSH corpus dedup with the signature-broadcast guard forced
+    to 0: the whole chain (sharded pairs → CC → keep-one → filter) must match
+    the exact arm — the 100-TB regime's operative path, exercised."""
+    from lightrag_ray.extras import dedup as D
+
+    exact = _normalize(C.q_corpus_dedup(SF_DIR).to_pandas())
+    monkeypatch.setattr(D, "MAX_SIG_BROADCAST_BYTES", 0)
+    lsh = _normalize(C.q_corpus_dedup_lsh(SF_DIR).to_pandas())
+    pd.testing.assert_frame_equal(exact, lsh, check_dtype=False)
 
 
 def test_over_guard_falls_back_to_bucketed_anti_join(ray_session, monkeypatch):
