@@ -221,7 +221,18 @@ FROM src_ranked GROUP BY src_id, tgt_id
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    q = dict(_Q.queries())
+    # The driver checks queries in registration order under a per-round
+    # budget; the extras catalog leads (its tail held the 29 entries the
+    # round-4 run never reached — now registered first inside it), followed
+    # by the long-green base pipelines.
+    q: dict[str, Callable[[str], Any]] = {}
+    try:
+        from lightrag_ray.extras import catalog as _extras
+
+        q.update(_extras.queries())
+    except ImportError:
+        pass
+    q.update(_Q.queries())
     # rows-only checked pipelines (not SQL-expressible: token-window overlap,
     # salted shuffle, stateful stages)
     q["kg_build_nodes"] = _q_kg_build_nodes
@@ -229,12 +240,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # oracle-checked full-build projections (single-chunk corpus)
     q["kg_build_nodes_1c"] = _q_kg_build_nodes_1c
     q["kg_build_edges_1c"] = _q_kg_build_edges_1c
-    try:
-        from lightrag_ray.extras import catalog as _extras
-
-        q.update(_extras.queries())
-    except ImportError:
-        pass
     return q
 
 

@@ -1298,16 +1298,18 @@ def connected_components(
 def _ivf_training_sample(
     sf_dir: str, max_train: int = 4096, oversample: float = 4.0
 ) -> np.ndarray:
-    """The first ``max_train`` embedding rows by md5-of-vec_id order, found
-    WITHOUT materializing the table: a streamed hash-threshold filter keeps
-    only rows whose md5 prefix falls below ``oversample × max_train / n``
-    (expected ~oversample×max_train survivors regardless of corpus size),
-    then the driver sorts that small pool by full digest and takes the head.
-    Any row in the global head has a prefix ≤ the cutoff row's, so the result
-    is IDENTICAL to sorting the whole table — at streaming cost.  If a freak
-    undershoot leaves fewer than max_train survivors the cutoff is widened
-    deterministically and the scan re-run."""
-    import hashlib
+    """The first ``max_train`` embedding rows by splitmix64-of-vec_id order,
+    found WITHOUT materializing the table: a streamed hash-threshold filter
+    keeps only rows whose ``_mix64(vec_id)`` falls below ``oversample ×
+    max_train / n`` of the key space (expected ~oversample×max_train
+    survivors regardless of corpus size), then the driver sorts that small
+    pool by key and takes the head.  Any row in the global head has a key ≤
+    the cutoff row's, so the result is IDENTICAL to sorting the whole table
+    — at streaming cost.  If a freak undershoot leaves fewer than max_train
+    survivors the cutoff is widened deterministically and the scan re-run.
+    The sample key is the same vectorized ``_mix64`` idiom every other
+    kernel in this module uses (numpy, no per-row Python) — mix64 is a
+    bijection on uint64, so keys never tie."""
     import os
 
     import ray.data as rd
@@ -1319,17 +1321,11 @@ def _ivf_training_sample(
     frac = min(1.0, oversample * max_train / max(n, 1))
 
     while True:
-        cutoff = int(frac * 0xFFFFFFFF)
+        cutoff = np.uint64(min(int(frac * 2.0**64), 0xFFFFFFFFFFFFFFFF))
 
         def pick(batch: pa.Table, _cut=cutoff) -> pa.Table:
-            ids = batch.column("vec_id").to_pylist()
-            mask = pa.array(
-                [
-                    int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) <= _cut
-                    for d in ids
-                ]
-            )
-            return batch.filter(mask)
+            ids = np.asarray(batch.column("vec_id"), np.int64).view(np.uint64)
+            return batch.filter(pa.array(_mix64(ids) <= _cut))
 
         pool = rd.read_parquet(path, columns=["vec_id", "embedding"]).map_batches(
             pick, batch_format="pyarrow", zero_copy_batch=True
@@ -1338,8 +1334,11 @@ def _ivf_training_sample(
             break
         frac = min(1.0, frac * 4)
 
-    pool.sort(key=lambda r: hashlib.md5(str(r["vec_id"]).encode()).hexdigest())
-    return np.array([r["embedding"] for r in pool[:max_train]], dtype=np.float64)
+    keys = _mix64(
+        np.array([r["vec_id"] for r in pool], np.int64).view(np.uint64)
+    )
+    head = np.argsort(keys, kind="stable")[:max_train]
+    return np.array([pool[i]["embedding"] for i in head], dtype=np.float64)
 
 
 def ivf_train_centroids(
@@ -1349,7 +1348,7 @@ def ivf_train_centroids(
     n_iters: int = 10,
 ) -> np.ndarray:
     """Deterministic coarse quantizer: stream-sampled training vectors
-    (first ``max_train`` by md5-of-vec_id order — any run picks the same
+    (first ``max_train`` by splitmix64-of-vec_id order — any run picks the same
     set), seeded k-means++-lite init, ``n_iters`` Lloyd rounds on unit
     vectors.  Returns (n_lists, dim) unit-normalized centroids.  Runs ONCE
     on the driver; callers ship the result via ``ray.put``."""

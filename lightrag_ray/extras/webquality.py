@@ -229,7 +229,16 @@ def q_boilerplate_frac(sf_dir: str):
     DF-thresholded (small); it streams to the driver under a guard and ships
     once via ``ray.put`` while the corpus streams through a stateless scorer
     — the broadcast-join scale shape, identical to
-    ``catalog.q_distinctive_terms``."""
+    ``catalog.q_distinctive_terms``.  Past ``MAX_BROADCAST_SHINGLES`` (a
+    template-dominated corpus) the shingle-hash-sharded join arm takes over
+    instead of raising."""
+    try:
+        return _boilerplate_frac_broadcast(sf_dir)
+    except _VocabOverGuard:
+        return _boilerplate_frac_sharded(sf_dir)
+
+
+def _boilerplate_frac_broadcast(sf_dir: str):
     import ray
 
     boiler: set[str] = set()
@@ -238,10 +247,9 @@ def q_boilerplate_frac(sf_dir: str):
     ):
         boiler.update(b.column("shingle").to_pylist())
         if len(boiler) > MAX_BROADCAST_SHINGLES:
-            raise ValueError(
+            raise _VocabOverGuard(
                 f"boilerplate set exceeds {MAX_BROADCAST_SHINGLES} shingles — "
-                "corpus is template-dominated; raise DF_DENOM or switch the "
-                "scorer to a hash-partitioned shingle join"
+                "switching to the shingle-hash-sharded scorer"
             )
     boiler_ref = ray.put(boiler)
 
@@ -266,6 +274,124 @@ def q_boilerplate_frac(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def _boilerplate_frac_sharded(sf_dir: str):
+    """Over-guard boilerplate arm: the DF-thresholded shingle table never
+    reaches the driver.  Each document emits its distinct trigrams with
+    position counts; a bounded hash join against the (materialized)
+    boilerplate table keeps only boilerplate hits, and one bounded-bucket
+    exchange sums hits per doc — with a totals branch from the corpus scan
+    so every document (including gram-free ones) keeps its row.  Output is
+    row-identical to the broadcast arm."""
+    import numpy as np
+    import pandas as pd
+
+    from lightrag_ray.extras.dedup import _mix64, hash_join_partitions
+
+    boiler_ds = _boilerplate_ds(sf_dir).materialize()
+
+    def doc_grams(batch: pa.Table) -> pa.Table:
+        ids, shingles, cnts = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = _TOKEN_RE.findall((text or "").lower())
+            grams = Counter(
+                f"{ws[i]} {ws[i + 1]} {ws[i + 2]}" for i in range(len(ws) - 2)
+            )
+            ids.extend([doc_id] * len(grams))
+            shingles.extend(grams.keys())
+            cnts.extend(grams.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shingle": pa.array(shingles, pa.string()),
+                "cnt": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    gram_rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        doc_grams, batch_format="pyarrow", zero_copy_batch=True
+    )
+    hits = gram_rows.join(
+        boiler_ds, "inner", hash_join_partitions(), on=("shingle",)
+    )
+
+    _BUCKETS = 256
+
+    def _bkt(ids: np.ndarray) -> pa.Array:
+        return pa.array(
+            (_mix64(ids.view(np.uint64)).view(np.int64) % _BUCKETS).astype(
+                np.int32
+            ),
+            pa.int32(),
+        )
+
+    def hit_parts(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        cnt = np.asarray(batch.column("cnt"), np.int64)
+        return pa.table(
+            {
+                "_bkt": _bkt(ids),
+                "doc_id": pa.array(ids, pa.int64()),
+                "grams_part": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+                "boiler_part": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    def total_parts(batch: pa.Table) -> pa.Table:
+        ids, totals = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = _TOKEN_RE.findall((text or "").lower())
+            ids.append(doc_id)
+            totals.append(max(0, len(ws) - 2))
+        arr = np.asarray(ids, np.int64)
+        return pa.table(
+            {
+                "_bkt": _bkt(arr),
+                "doc_id": pa.array(arr, pa.int64()),
+                "grams_part": pa.array(totals, pa.int64()),
+                "boiler_part": pa.array(np.zeros(len(arr), np.int64), pa.int64()),
+            }
+        )
+
+    union = hits.map_batches(
+        hit_parts, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            total_parts, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def sum_bucket(group: pd.DataFrame) -> pa.Table:
+        ids = group["doc_id"].to_numpy(np.int64)
+        g = group["grams_part"].to_numpy(np.int64)
+        h = group["boiler_part"].to_numpy(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, g, h = ids[order], g[order], h[order]
+        new = np.empty(len(ids), bool)
+        if len(ids):
+            new[0] = True
+            new[1:] = ids[1:] != ids[:-1]
+        idx = np.flatnonzero(new)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[idx], pa.int64()),
+                "n_3grams": pa.array(
+                    np.add.reduceat(g, idx) if len(idx) else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+                "n_boiler_3grams": pa.array(
+                    np.add.reduceat(h, idx) if len(idx) else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return union.groupby("_bkt").map_groups(sum_bucket, batch_format="pandas")
 
 
 SQL_BOILERPLATE_FRAC = rf"""
@@ -398,8 +524,54 @@ FROM aug
 # Broadcast guard for the unigram vocabulary (same pattern as
 # catalog.q_distinctive_terms / MAX_BROADCAST_SHINGLES above): the full
 # vocabulary of a web corpus is bounded but can be large — stream it to the
-# driver with an early stop and raise rather than OOM.
+# driver with an early stop.  Beyond the guard the TERM-HASH-SHARDED arm
+# below takes over (token rows hash-join their surprisal shard); nothing
+# raises and nothing driver-materializes the vocabulary.
 MAX_LM_VOCAB = 5_000_000
+
+
+class _VocabOverGuard(Exception):
+    pass
+
+
+def _lm_partial_tf(batch: pa.Table) -> pa.Table:
+    """Per-batch tf combiner: one (term, tf) partial per distinct term, so
+    the vocab groupby's exchange is |vocab|×blocks rows, never the token
+    stream."""
+    tf: Counter = Counter()
+    for text in batch.column("text").to_pylist():
+        tf.update(_TOKEN_RE.findall((text or "").lower()))
+    terms = sorted(tf)
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array([tf[t] for t in terms], pa.int64()),
+        }
+    )
+
+
+def _lm_tf_ds(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(_lm_partial_tf, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("tf", alias_name="tf"))
+    )
+
+
+def _bit_length_u64(x: "np.ndarray") -> "np.ndarray":
+    """Exact vectorized ``int.bit_length`` for non-negative int64 — 64
+    shift-adds, no float log (a float path would round at ≥2⁵³ counts)."""
+    import numpy as np
+
+    v = x.astype(np.uint64)
+    n = np.zeros(len(v), np.int64)
+    while v.any():
+        n += (v > 0).astype(np.int64)
+        v >>= np.uint64(1)
+    return n
 
 
 def q_lm_quality(sf_dir: str):
@@ -418,41 +590,33 @@ def q_lm_quality(sf_dir: str):
     ``avg_bits_x100`` = commonest language = the "keep" end of the CCNet
     head/middle/tail split.
 
-    Scale shape: per-batch tf combiner → vocab-bounded groupby (the shuffle
-    carries |vocab|×blocks partial rows, never the token stream) → guarded
-    driver stream → surprisal table broadcast ONCE via ``ray.put`` → the
-    corpus streams through a stateless scorer.  The big side never shuffles.
+    Scale shape (broadcast arm): per-batch tf combiner → vocab-bounded
+    groupby (the shuffle carries |vocab|×blocks partial rows, never the
+    token stream) → guarded driver stream → surprisal table broadcast ONCE
+    via ``ray.put`` → the corpus streams through a stateless scorer.  The
+    big side never shuffles.  Past ``MAX_LM_VOCAB`` the term-hash-sharded
+    arm (:func:`_lm_quality_sharded`) takes over instead of raising.
     """
+    try:
+        return _lm_quality_broadcast(sf_dir)
+    except _VocabOverGuard:
+        return _lm_quality_sharded(sf_dir)
+
+
+def _lm_quality_broadcast(sf_dir: str):
     import ray
-    import ray.data as rd
-    from ray.data.aggregate import Sum
 
     docs = _docs(sf_dir, ["doc_id", "text"])
 
-    def partial_tf(batch: pa.Table) -> pa.Table:
-        tf: Counter = Counter()
-        for text in batch.column("text").to_pylist():
-            tf.update(_TOKEN_RE.findall((text or "").lower()))
-        terms = sorted(tf)
-        return pa.table(
-            {
-                "term": pa.array(terms, pa.string()),
-                "tf": pa.array([tf[t] for t in terms], pa.int64()),
-            }
-        )
-
     tf_lookup: dict = {}
-    for b in (
-        docs.map_batches(partial_tf, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("term")
-        .aggregate(Sum("tf", alias_name="tf"))
-        .iter_batches(batch_format="pyarrow", batch_size=65536)
+    for b in _lm_tf_ds(sf_dir).iter_batches(
+        batch_format="pyarrow", batch_size=65536
     ):
         tf_lookup.update(zip(b.column("term").to_pylist(), b.column("tf").to_pylist()))
         if len(tf_lookup) > MAX_LM_VOCAB:
-            raise ValueError(
-                f"vocabulary exceeds {MAX_LM_VOCAB} terms — too large to "
-                "broadcast; shard the LM by term-hash instead"
+            raise _VocabOverGuard(
+                f"vocabulary exceeds {MAX_LM_VOCAB} terms — switching to the "
+                "term-hash-sharded LM arm"
             )
     total = sum(tf_lookup.values())
     bits_total = int(total).bit_length()
@@ -482,6 +646,137 @@ def q_lm_quality(sf_dir: str):
         )
 
     return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _lm_quality_sharded(sf_dir: str):
+    """Over-guard LM arm: the vocabulary NEVER reaches the driver.
+
+    1. The (term, tf) table stays a distributed Dataset; the only driver
+       scalar is the corpus token total (one ``Dataset.sum``).
+    2. Surprisal bits are derived per vocab shard (vectorized exact
+       ``bit_length``) and the table materializes in the object store.
+    3. Each document emits (doc_id, term, cnt) distinct-term rows; a
+       bounded hash join attaches the term's surprisal shard.
+    4. One bounded-bucket exchange sums (cnt, cnt·bits) per doc — the
+       lexsort/``reduceat`` house kernel, with a zeros branch from the
+       corpus scan so zero-token documents keep their (0, 0, 0) row.
+
+    Output is row-identical to the broadcast arm (same integer arithmetic,
+    same tokenizer); only the surprisal transport differs."""
+    import numpy as np
+    import pandas as pd
+
+    from lightrag_ray.extras.dedup import _mix64, hash_join_partitions
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    tf_ds = _lm_tf_ds(sf_dir)
+    total = tf_ds.sum("tf") or 0
+    bits_total = int(total).bit_length()
+
+    def to_bits(batch: pa.Table) -> pa.Table:
+        tf = np.asarray(batch.column("tf"), np.int64)
+        return pa.table(
+            {
+                "term": batch.column("term"),
+                "bits": pa.array(bits_total - _bit_length_u64(tf), pa.int64()),
+            }
+        )
+
+    surp_ds = tf_ds.map_batches(
+        to_bits, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def doc_terms(batch: pa.Table) -> pa.Table:
+        ids, terms, cnts = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            tf = Counter(_TOKEN_RE.findall((text or "").lower()))
+            ids.extend([doc_id] * len(tf))
+            terms.extend(tf.keys())
+            cnts.extend(tf.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "cnt": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    joined = docs.map_batches(
+        doc_terms, batch_format="pyarrow", zero_copy_batch=True
+    ).join(
+        surp_ds,
+        "inner",
+        hash_join_partitions(),
+        on=("term",),
+    )
+
+    _BUCKETS = 256
+
+    def to_parts(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        cnt = np.asarray(batch.column("cnt"), np.int64)
+        bits = np.asarray(batch.column("bits"), np.int64)
+        bkt = (_mix64(ids.view(np.uint64)).view(np.int64) % _BUCKETS).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "_bkt": pa.array(bkt, pa.int32()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_part": pa.array(cnt, pa.int64()),
+                "bits_part": pa.array(cnt * bits, pa.int64()),
+            }
+        )
+
+    def zero_parts(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        bkt = (_mix64(ids.view(np.uint64)).view(np.int64) % _BUCKETS).astype(
+            np.int32
+        )
+        z = np.zeros(len(ids), np.int64)
+        return pa.table(
+            {
+                "_bkt": pa.array(bkt, pa.int32()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_part": pa.array(z, pa.int64()),
+                "bits_part": pa.array(z, pa.int64()),
+            }
+        )
+
+    union = joined.map_batches(
+        to_parts, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        _docs(sf_dir, ["doc_id"]).map_batches(
+            zero_parts, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def sum_bucket(group: pd.DataFrame) -> pa.Table:
+        ids = group["doc_id"].to_numpy(np.int64)
+        n = group["n_part"].to_numpy(np.int64)
+        b = group["bits_part"].to_numpy(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, n, b = ids[order], n[order], b[order]
+        new = np.empty(len(ids), bool)
+        if len(ids):
+            new[0] = True
+            new[1:] = ids[1:] != ids[:-1]
+        idx = np.flatnonzero(new)
+        n_tok = np.add.reduceat(n, idx) if len(idx) else np.empty(0, np.int64)
+        bits = np.add.reduceat(b, idx) if len(idx) else np.empty(0, np.int64)
+        avg = np.where(n_tok > 0, (100 * bits) // np.maximum(n_tok, 1), 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[idx], pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "lm_bits": pa.array(bits, pa.int64()),
+                "avg_bits_x100": pa.array(avg, pa.int64()),
+            }
+        )
+
+    return union.groupby("_bkt").map_groups(sum_bucket, batch_format="pandas")
 
 
 SQL_LM_QUALITY = r"""

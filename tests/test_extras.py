@@ -417,6 +417,23 @@ def test_corpus_dedup_lsh_over_guard_uses_sharded_arm(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(exact, lsh, check_dtype=False)
 
 
+def test_distinctive_terms_over_guard_uses_sharded_arm(ray_session, monkeypatch):
+    """Past the df-vocab broadcast guard, q_distinctive_terms must switch to
+    the term-hash-sharded join arm and produce the identical argmax table
+    (same float expression → bit-equal scores and tie-breaks)."""
+    base = (
+        C.q_distinctive_terms(SF_DIR).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(C, "MAX_BROADCAST_VOCAB", 0)
+    fb = (
+        C.q_distinctive_terms(SF_DIR).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, fb[base.columns], check_dtype=False)
+    assert len(base) > 0
+
+
 def test_over_guard_falls_back_to_bucketed_anti_join(ray_session, monkeypatch):
     """When the drop set exceeds the broadcast guard, the corpus filters no
     longer raise: they fall back to the documented bucketed anti-join (one

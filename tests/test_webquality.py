@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -122,12 +123,22 @@ def test_min_df_integer_arithmetic():
     assert W._min_df(5000) == 50
 
 
-def test_boilerplate_broadcast_guard(ray_session, tmp_path, monkeypatch):
-    texts = ["one shared template line" for _ in range(5)]
+def test_boilerplate_over_guard_uses_sharded_arm(ray_session, tmp_path, monkeypatch):
+    """Past the broadcast guard the scorer no longer raises: the
+    shingle-hash-sharded join arm must produce the identical table."""
+    texts = ["one shared template line x" for _ in range(5)] + ["zz", ""]
     sf = _write_docs(tmp_path, texts)
+    base = (
+        W.q_boilerplate_frac(sf).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
     monkeypatch.setattr(W, "MAX_BROADCAST_SHINGLES", 0)
-    with pytest.raises(ValueError, match="boilerplate set exceeds"):
-        W.q_boilerplate_frac(sf)
+    fb = (
+        W.q_boilerplate_frac(sf).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, fb[base.columns], check_dtype=False)
+    assert base["n_boiler_3grams"].sum() > 0
 
 
 def test_pii_scan_augmentation_round_trip(ray_session, tmp_path):
@@ -163,11 +174,22 @@ def test_lm_quality_hand_computed(ray_session, tmp_path):
     }
 
 
-def test_lm_quality_vocab_guard(ray_session, tmp_path, monkeypatch):
-    sf = _write_docs(tmp_path, ["alpha beta gamma", "delta"])
+def test_lm_quality_over_guard_uses_sharded_arm(ray_session, tmp_path, monkeypatch):
+    """Past the vocab guard the LM no longer raises: the term-hash-sharded
+    arm (distributed surprisal table + token→shard join) must produce the
+    identical integer scores, including the zero-token document row."""
+    sf = _write_docs(tmp_path, ["a a b", "a c", ""])
+    base = (
+        W.q_lm_quality(sf).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
     monkeypatch.setattr(W, "MAX_LM_VOCAB", 1)
-    with pytest.raises(ValueError, match="vocabulary exceeds"):
-        W.q_lm_quality(sf)
+    fb = (
+        W.q_lm_quality(sf).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, fb[base.columns], check_dtype=False)
+    assert (fb[fb["doc_id"] == 2]["n_tokens"] == 0).all()
 
 
 def test_compression_ratio_discriminates(ray_session, tmp_path):
