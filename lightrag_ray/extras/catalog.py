@@ -284,19 +284,28 @@ def q_warc_roundtrip(sf_dir: str):
     Content-Length-driven parser back to rows.  The oracle restates the
     deterministic URI/date rules and the identity text transform, so the
     record writer AND parser are hash-checked (a framing bug in either side
-    breaks the match).  One task per segment — the WARC parallel unit."""
+    breaks the match).  One task per segment — the WARC parallel unit.
+
+    Segments land under a DETERMINISTIC per-corpus scratch dir and are
+    overwritten on re-run (same names, same bytes) — repeated correctness
+    or bench invocations reuse one directory instead of accumulating a
+    fresh mkdtemp copy of the corpus each time."""
+    import hashlib
+    import os
     import tempfile
 
     from lightrag_ray.sources import warc as W
 
-    work = tempfile.mkdtemp(prefix="lightrag_warc_")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    work = os.path.join(tempfile.gettempdir(), f"lightrag_warc_{tag}")
+    os.makedirs(work, exist_ok=True)
     paths = W.write_warc_files(sf_dir, work, num_files=4)
     return W.read_warc(paths)
 
 
 SQL_WARC_ROUNDTRIP = """
 SELECT 'https://w.example.org/doc/' || lpad(doc_id::VARCHAR, 10, '0') AS url,
-       '2024-01-' || lpad((doc_id // 1440 + 1)::VARCHAR, 2, '0') || 'T' ||
+       '2024-01-' || lpad((doc_id // 1440 % 31 + 1)::VARCHAR, 2, '0') || 'T' ||
        lpad(((doc_id % 1440) // 60)::VARCHAR, 2, '0') || ':' ||
        lpad((doc_id % 60)::VARCHAR, 2, '0') || ':00Z' AS warc_date,
        text

@@ -449,8 +449,10 @@ def event_props_stats(sf_dir: str):
     ubiquitous log-pipeline step of lifting a JSON payload into columns.
     Per-batch parse + combiner (one output row per event type per batch);
     the groupby merges |types|×blocks partials, the JSON text itself never
-    shuffles.  Malformed / missing payloads count in ``n_bad`` instead of
-    aborting the pipeline — the oracle states the same TRY_CAST rule."""
+    shuffles.  Malformed / missing / non-integer payloads (including JSON
+    string-encoded numbers like ``{"k": "3"}``) count in ``n_bad`` instead
+    of aborting the pipeline — the oracle states the same rule via typed
+    ``json_type`` extraction, so both engines reject the identical set."""
     import json
 
     import numpy as np
@@ -499,7 +501,13 @@ def event_props_stats(sf_dir: str):
 
 SQL_EVENT_PROPS_STATS = """
 WITH p AS (
-  SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  -- typed extraction: only JSON *integers* count (json_type BIGINT/UBIGINT);
+  -- quoted numbers ('"3"' -> VARCHAR), floats, bools and nulls all land in
+  -- n_bad -- the exact failure set of the Ray kernel's isinstance(k, int)
+  SELECT event_type,
+         CASE WHEN json_type(props::JSON, '$.k') IN ('BIGINT', 'UBIGINT')
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS k
   FROM events
 )
 SELECT event_type,

@@ -1695,8 +1695,10 @@ ORDER BY auth_fp DESC, doc_id ASC LIMIT {k}"""
 # -------------------------------------------------------- host graph
 def q_host_graph(sf_dir: str):
     """Host-level link-graph rollup: collapse the page graph onto the
-    crawl's host space (host of doc d = ``site{d % 7}.example.com`` — the
-    canonical-host rule from extras/webcrawl.py's URL synthesis) and count
+    crawl's host space (host of doc d = ``site{d % 7}.example.com``, a
+    self-contained synthetic rule — NOT webcrawl.py's host space, whose
+    synthesizer emits the differently-cased ``Site{d%7}.Example.com``; the
+    two operators' host strings do not join) and count
     links per (src_host, tgt_host) — the web-graph coarsening that turns
     10^9 page edges into a |hosts|² summary.  Per-batch pair-count
     combiner → one ≤|hosts|²-row groupby; the page edge stream never

@@ -34,13 +34,14 @@ _EPOCH = "2024-01-01T00:00:00Z"
 
 def _warc_date(doc_id: int) -> str:
     # doc_id minutes after the epoch, rendered without importing datetime
-    # arithmetic subtleties: minutes → (days, hh, mm) in the proleptic
-    # Gregorian January 2024 (31 days) — the synthetic corpora never exceed
-    # it (doc_id < 44640 = 31 days of minutes).
+    # arithmetic subtleties: minutes → (day-of-January, hh, mm) with the day
+    # wrapping modulo 31, so the rule is TOTAL — every doc_id yields a valid
+    # 2-char day and the oracle's lpad(..., 2, '0') can never truncate
+    # (pre-fix, doc_id ≥ 142560 rendered 3-char days the SQL silently cut).
     total_min = doc_id
     days, rem = divmod(total_min, 1440)
     hh, mm = divmod(rem, 60)
-    return f"2024-01-{days + 1:02d}T{hh:02d}:{mm:02d}:00Z"
+    return f"2024-01-{days % 31 + 1:02d}T{hh:02d}:{mm:02d}:00Z"
 
 
 def make_warc_record(doc_id: int, text: str) -> bytes:
