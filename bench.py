@@ -155,6 +155,8 @@ def run_headline(eff_cpus: float | None = None) -> dict:
         "n_nodes": n_nodes,
         "n_edges": n_edges,
         "sized_cpus": sized,
+        "nodes_dir": result.nodes_dir,
+        "edges_dir": result.edges_dir,
     }
 
 
@@ -463,6 +465,107 @@ def run_linkgraph_leg() -> dict:
     return out
 
 
+def _latency_stub_model_fn(user_prompt, system_prompt, history):
+    """Offline stub model with a fixed 10 ms simulated call latency — the
+    envelope probe for the LLM arm.  The latency makes extraction
+    model-call-bound (the reference's real bottleneck), so throughput should
+    track calls-in-flight = extractor actors × llm_max_async."""
+    import time as _t
+
+    _t.sleep(0.01)
+    from lightrag_ray.stages.llm_extractor import offline_stub_model_fn
+
+    return offline_stub_model_fn(user_prompt, system_prompt, history)
+
+
+def run_llm_legs(eff_cpus: float | None = None) -> dict:
+    """LLM-arm throughput envelope (round-4 VERDICT next #5): build_kg with
+    ``extractor="llm"`` + the fixed-latency offline stub over an
+    unreplicated pages corpus, at two calls-in-flight settings.  The ratio
+    between them shows the actor pool saturating when extraction is
+    2-calls-per-chunk bound (async=1 serializes each actor; async=8 keeps 8
+    calls in flight per actor)."""
+    import glob as _glob
+
+    from lightrag_ray.config import PipelineConfig
+    from lightrag_ray.pipelines.kg_build import build_kg
+    from lightrag_ray.sources.pages import synth_pages_from_documents
+
+    pages_dir = os.path.join(WORK, "pages-llm")
+    files = synth_pages_from_documents(SF_DIR, pages_dir, num_files=8)
+    n_pages = sum(
+        __import__("pyarrow.parquet", fromlist=["x"]).read_metadata(f).num_rows
+        for f in files
+    )
+    sized = NUM_CPUS if eff_cpus is None else max(3, min(NUM_CPUS, math.ceil(eff_cpus)))
+    chunker_pool = max(1, sized // 8)
+    extractor_pool = max(2, sized - 2 - chunker_pool)
+    out: dict = {"llm_n_pages": n_pages, "llm_extractor_pool": extractor_pool}
+    for max_async in (1, 8):
+        cfg = PipelineConfig.autoscaled(
+            cluster_cpus=sized,
+            chunker_concurrency=chunker_pool,
+            extractor_concurrency=extractor_pool,
+            chunker_batch_size=512,
+            extractor_batch_size=512,
+            merge_batch_size=524288,
+            write_chunks_table=False,
+            concurrent_reduces=False,
+            extractor="llm",
+            extractor_options={"model_fn": _latency_stub_model_fn},
+            llm_max_async=max_async,
+            max_gleaning=1,  # 2 calls per chunk: extract + one gleaning round
+        )
+        build_dir = os.path.join(WORK, f"build-llm-async{max_async}")
+        shutil.rmtree(build_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        try:
+            build_kg(files, build_dir, cfg, num_partitions=1, resume=False)
+        except Exception as ex:  # one failing leg must not kill the bench
+            out[f"kg_build_llm_async{max_async}_error"] = repr(ex)[:300]
+            continue
+        wall = time.perf_counter() - t0
+        out[f"kg_build_llm_async{max_async}"] = round(wall, 3)
+        out[f"kg_build_llm_async{max_async}_docs_per_sec"] = round(
+            n_pages / wall, 1
+        )
+    return out
+
+
+def run_query_legs(headline: dict, n_queries: int = 64) -> dict:
+    """Query-path throughput against the headline build's graph (round-4
+    VERDICT next #6): one engine build (node+edge VDB embedding, the
+    persistent-store analogue), then ``n_queries`` hybrid retrievals
+    (keywords → entity/relation vector top-k → 1-hop context assembly).
+    Retrieval uses the guarded broadcast fetches — no driver
+    materialization beyond the ≤top-k hit sets."""
+    from lightrag_ray.pipelines.query_path import KGQueryEngine
+
+    nodes_dir, edges_dir = headline.get("nodes_dir"), headline.get("edges_dir")
+    if not nodes_dir:
+        return {}
+    out: dict = {}
+    t0 = time.perf_counter()
+    engine = KGQueryEngine(nodes_dir, edges_dir)
+    out["query_engine_setup"] = round(time.perf_counter() - t0, 3)
+    import pyarrow.parquet as pq
+
+    sample = pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["text"]
+    ).column("text")[:n_queries].to_pylist()
+    queries = [" ".join((t or "").split()[:8]) for t in sample]
+    t0 = time.perf_counter()
+    n_hits = 0
+    for q in queries:
+        ctx = engine.query(q, mode="hybrid")
+        n_hits += len(ctx.entities) + len(ctx.relations)
+    wall = time.perf_counter() - t0
+    out["query_hybrid"] = round(wall, 3)
+    out["query_hybrid_per_sec"] = round(len(queries) / wall, 2)
+    out["query_hybrid_hits"] = n_hits
+    return out
+
+
 def run_queries() -> dict:
     from lightrag_ray.extras import catalog as X
     from lightrag_ray.pipelines import queries as Q
@@ -508,6 +611,8 @@ def main() -> None:
     webq_legs = {} if headline_only else run_webquality_legs()
     webcrawl_legs = {} if headline_only else run_webcrawl_legs()
     linkgraph_legs = {} if headline_only else run_linkgraph_leg()
+    llm_legs = {} if headline_only else run_llm_legs(eff)
+    query_legs = {} if headline_only else run_query_legs(headline)
     ray.shutdown()
 
     print(
@@ -540,7 +645,20 @@ def main() -> None:
                         for k, v in linkgraph_legs.items()
                         if not k.endswith(("_rows", "_error"))
                     },
+                    **{
+                        k: v
+                        for k, v in llm_legs.items()
+                        if k.startswith("kg_build_llm_async")
+                        and not k.endswith(("_error", "_docs_per_sec"))
+                    },
+                    **{
+                        k: v
+                        for k, v in query_legs.items()
+                        if k in ("query_hybrid", "query_engine_setup")
+                    },
                 },
+                "llm_legs": llm_legs,
+                "query_legs": query_legs,
                 "linkgraph_legs": linkgraph_legs,
                 "dedup_legs": dedup_legs,
                 "webquality_legs": webq_legs,
