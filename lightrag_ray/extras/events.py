@@ -22,6 +22,20 @@ def _events(sf_dir: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
 
 
+def _round_value_sum(batch: pa.Table) -> pa.Table:
+    """Round the float value_sum to 4 decimals on the ENGINE side (the
+    oracles apply the same round): summation order differs between the
+    bucketed numpy reductions and DuckDB's scan order, so raw sums diverge
+    by ~1 ULP on a few rows.  Inputs are 2-decimal values, so the true sum
+    is ≥ 0.0049 away from any 4-decimal rounding boundary — far beyond ULP
+    error — making the rounded values order-independent and bit-equal."""
+    import numpy as np
+
+    i = batch.schema.get_field_index("value_sum")
+    rounded = np.round(np.asarray(batch.column("value_sum"), np.float64), 4)
+    return batch.set_column(i, "value_sum", pa.array(rounded, pa.float64()))
+
+
 def tumbling_window_user_stats(sf_dir: str, window_s: int = WINDOW_S):
     """Per (user_id, hour window): event count and value sum."""
     from ray.data.aggregate import Count, Sum
@@ -39,7 +53,7 @@ def tumbling_window_user_stats(sf_dir: str, window_s: int = WINDOW_S):
     )
     return ds.groupby(["user_id", "window_start"]).aggregate(
         Count(alias_name="n_events"), Sum("value", alias_name="value_sum")
-    )
+    ).map_batches(_round_value_sum, batch_format="pyarrow", zero_copy_batch=True)
 
 
 SQL_TUMBLING_WINDOW = f"""
@@ -47,7 +61,7 @@ SELECT user_id,
        (CAST(floor(epoch(ts)) AS BIGINT) // {WINDOW_S}) * {WINDOW_S}
            AS window_start,
        count(*) AS n_events,
-       sum(value) AS value_sum
+       round(sum(value), 4) AS value_sum
 FROM events
 GROUP BY 1, 2
 """
@@ -94,7 +108,7 @@ def sliding_window_user_stats(
     )
     return ds.groupby(["user_id", "window_start"]).aggregate(
         Count(alias_name="n_events"), Sum("value", alias_name="value_sum")
-    )
+    ).map_batches(_round_value_sum, batch_format="pyarrow", zero_copy_batch=True)
 
 
 SQL_SLIDING_WINDOW = f"""
@@ -109,7 +123,7 @@ w AS (
   WHERE (t // {WINDOW_S // 4}) * {WINDOW_S // 4} - k * {WINDOW_S // 4}
         > t - {WINDOW_S}
 )
-SELECT user_id, window_start, count(*) AS n_events, sum(value) AS value_sum
+SELECT user_id, window_start, count(*) AS n_events, round(sum(value), 4) AS value_sum
 FROM w GROUP BY 1, 2
 """
 
@@ -149,7 +163,9 @@ def session_windows(sf_dir: str, gap_s: int = SESSION_GAP_S, buckets: int = 64):
                 "session_start": pa.array(t[starts], pa.int64()),
                 "session_end": pa.array(t[nexts - 1], pa.int64()),
                 "n_events": pa.array(nexts - starts, pa.int64()),
-                "value_sum": pa.array(np.add.reduceat(v, starts), pa.float64()),
+                "value_sum": pa.array(
+                    np.round(np.add.reduceat(v, starts), 4), pa.float64()
+                ),
             }
         )
 
@@ -187,7 +203,7 @@ numbered AS (
   FROM flagged
 )
 SELECT user_id, min(t) AS session_start, max(t) AS session_end,
-       count(*) AS n_events, sum(value) AS value_sum
+       count(*) AS n_events, round(sum(value), 4) AS value_sum
 FROM numbered GROUP BY user_id, session_no
 """
 
