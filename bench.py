@@ -556,13 +556,24 @@ def run_query_legs(headline: dict, n_queries: int = 64) -> dict:
     queries = [" ".join((t or "").split()[:8]) for t in sample]
     t0 = time.perf_counter()
     n_hits = 0
-    for q in queries:
+    for q in queries[: max(8, n_queries // 8)]:  # sequential arm: a sample
         ctx = engine.query(q, mode="hybrid")
         n_hits += len(ctx.entities) + len(ctx.relations)
     wall = time.perf_counter() - t0
+    n_seq = max(8, n_queries // 8)
     out["query_hybrid"] = round(wall, 3)
-    out["query_hybrid_per_sec"] = round(len(queries) / wall, 2)
+    out["query_hybrid_per_sec"] = round(n_seq / wall, 2)
     out["query_hybrid_hits"] = n_hits
+    # batched arm: the full batch through ONE execution set (parity with the
+    # sequential path is pinned by tests/test_query_path.py)
+    t0 = time.perf_counter()
+    ctxs = engine.query_batch(queries, mode="hybrid")
+    wall = time.perf_counter() - t0
+    out["query_hybrid_batch"] = round(wall, 3)
+    out["query_hybrid_batch_per_sec"] = round(len(queries) / wall, 2)
+    out["query_hybrid_batch_hits"] = sum(
+        len(c.entities) + len(c.relations) for c in ctxs
+    )
     return out
 
 
@@ -654,7 +665,8 @@ def main() -> None:
                     **{
                         k: v
                         for k, v in query_legs.items()
-                        if k in ("query_hybrid", "query_engine_setup")
+                        if k in ("query_hybrid", "query_hybrid_batch",
+                                 "query_engine_setup")
                     },
                 },
                 "llm_legs": llm_legs,

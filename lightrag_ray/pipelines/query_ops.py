@@ -231,7 +231,11 @@ def popular_labels(edges_ds, k: int = 20):
 
 
 def one_hop_edges(edges_ds, seed_entities: list[str]):
-    """Edges touching any seed entity (broadcast semi-join), ranked."""
+    """Edges touching any seed entity (broadcast semi-join), ranked.  The
+    final order carries a full deterministic tie-break — (rank, weight)
+    descending then (src_id, tgt_id) ascending — so the batched query path
+    (``KGQueryEngine.query_batch``) reproduces it exactly with a local
+    sort."""
     import ray
 
     seeds_ref = ray.put(set(seed_entities))
@@ -245,6 +249,9 @@ def one_hop_edges(edges_ds, seed_entities: list[str]):
 
     return rank_edges(
         edges_ds.map_batches(touch, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort(
+        ["rank", "weight", "src_id", "tgt_id"],
+        descending=[True, True, False, False],
     )
 
 

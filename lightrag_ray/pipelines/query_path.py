@@ -238,6 +238,205 @@ class KGQueryEngine:
             chunks=chunks,
         )
 
+    # -- batched retrieval -----------------------------------------------
+    #
+    # One engine-level Dataset execution SET for N queries instead of ~6
+    # executions per query: the per-query latency of the streaming engine is
+    # dominated by fixed per-execution scheduling cost, so batch serving
+    # amortizes it N×.  Semantics are identical to query() per query — the
+    # vector scorer shares the same rounding/threshold/total-order, the
+    # one-hop rank is the same degree-in-subset rule with the same
+    # deterministic tie-break, and all assembly below the fetches reuses the
+    # same local functions (round_robin_merge, dedup_chunk_hits, pollers).
+
+    def _touching_edge_rows(self, seeds: set) -> list[dict]:
+        """Full rows of every edge touching any seed entity — ONE broadcast
+        semi-join execution shared by all queries in a batch.  Bounded by
+        the union one-hop neighborhood of ≤ batch×TOP_K entities."""
+        import ray
+
+        import pyarrow as pa
+
+        if not seeds:
+            return []
+        seeds_ref = ray.put(frozenset(seeds))
+
+        def touch(batch):
+            wanted = ray.get(seeds_ref)
+            srcs = batch.column("src_id").to_pylist()
+            tgts = batch.column("tgt_id").to_pylist()
+            mask = pa.array(
+                [s in wanted or t in wanted for s, t in zip(srcs, tgts)]
+            )
+            return batch.filter(mask)
+
+        return self.edges.map_batches(
+            touch, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+
+    @staticmethod
+    def _rank_edge_subset(edge_rows: list[dict], seeds_q: set) -> list[dict]:
+        """Local replica of ``one_hop_edges(...).take_all()`` for one query,
+        over the batch-fetched union rows: filter to the query's seeds,
+        degree = endpoint count WITHIN the subset (node_degrees semantics),
+        rank = deg(src)+deg(tgt), order (rank, weight) desc then
+        (src_id, tgt_id) asc — the same total order the Dataset path sorts
+        by."""
+        subset = [
+            e for e in edge_rows
+            if e["src_id"] in seeds_q or e["tgt_id"] in seeds_q
+        ]
+        deg: dict = {}
+        for e in subset:
+            deg[e["src_id"]] = deg.get(e["src_id"], 0) + 1
+            deg[e["tgt_id"]] = deg.get(e["tgt_id"], 0) + 1
+        out = [
+            {**e, "rank": deg[e["src_id"]] + deg[e["tgt_id"]]} for e in subset
+        ]
+        out.sort(
+            key=lambda e: (-e["rank"], -e["weight"], e["src_id"], e["tgt_id"])
+        )
+        return out
+
+    def query_batch(self, queries: list[str], mode: str = "hybrid",
+                    keywords_fn=None) -> list[QueryContext]:
+        """Batched ``query()``: per-query results identical to calling
+        ``query(q, mode)`` for each q, at a fixed number of Dataset
+        executions for the whole batch (one vector-top-k matmul pass per
+        VDB, one fetch per table, one one-hop semi-join)."""
+        from lightrag_ray.stages.embed import vector_topk_batch
+
+        if not queries:
+            return []
+        if mode == "bypass":
+            return [QueryContext() for _ in queries]
+        if mode == "naive":
+            if self.chunk_vdb is None:
+                return [QueryContext() for _ in queries]
+            hits = vector_topk_batch(
+                self.chunk_vdb, queries, k=CHUNK_TOP_K,
+                threshold=COSINE_THRESHOLD,
+            )
+            return [
+                QueryContext(chunks=[
+                    {"chunk_id": r["vdb_id"], "sim": r["sim"]} for r in h
+                ])
+                for h in hits
+            ]
+
+        keywords_fn = keywords_fn or self.keywords_fn
+        kws = [keywords_fn(q) for q in queries]
+        ll = [", ".join(k["low_level_keywords"]) or q
+              for k, q in zip(kws, queries)]
+        hl = [", ".join(k["high_level_keywords"]) or q
+              for k, q in zip(kws, queries)]
+        n = len(queries)
+
+        local_entities: list[list[dict]] = [[] for _ in range(n)]
+        local_relations: list[list[dict]] = [[] for _ in range(n)]
+        if mode in ("local", "hybrid", "mix"):
+            ent_hits = vector_topk_batch(
+                self.entity_vdb, ll, k=TOP_K, threshold=COSINE_THRESHOLD
+            )
+            union_ids = list(dict.fromkeys(
+                r["vdb_id"] for h in ent_hits for r in h
+            ))
+            by_id = broadcast_fetch(self.nodes, union_ids, self._node_vdb_keys)
+            for i, h in enumerate(ent_hits):
+                local_entities[i] = [
+                    by_id[r["vdb_id"]] for r in h if r["vdb_id"] in by_id
+                ]
+            union_seeds = {
+                e["entity_id"] for es in local_entities for e in es
+            }
+            edge_rows = self._touching_edge_rows(union_seeds)
+            for i, es in enumerate(local_entities):
+                if es:
+                    local_relations[i] = self._rank_edge_subset(
+                        edge_rows, {e["entity_id"] for e in es}
+                    )
+
+        global_entities: list[list[dict]] = [[] for _ in range(n)]
+        global_relations: list[list[dict]] = [[] for _ in range(n)]
+        if mode in ("global", "hybrid", "mix"):
+            rel_hits = vector_topk_batch(
+                self.relation_vdb, hl, k=TOP_K, threshold=COSINE_THRESHOLD
+            )
+            union_ids = list(dict.fromkeys(
+                r["vdb_id"] for h in rel_hits for r in h
+            ))
+            by_id = broadcast_fetch(self.edges, union_ids, self._edge_vdb_keys)
+            endpoint_orders: list[list[str]] = []
+            for i, h in enumerate(rel_hits):
+                global_relations[i] = [
+                    by_id[r["vdb_id"]] for r in h if r["vdb_id"] in by_id
+                ]
+                order, seen = [], set()
+                for r in global_relations[i]:
+                    for endpoint in (r["src_id"], r["tgt_id"]):
+                        if endpoint not in seen:
+                            seen.add(endpoint)
+                            order.append(endpoint)
+                endpoint_orders.append(order)
+            union_names = list(dict.fromkeys(
+                name for order in endpoint_orders for name in order
+            ))
+            by_name = broadcast_fetch(
+                self.nodes, union_names, self._node_name_keys
+            )
+            for i, order in enumerate(endpoint_orders):
+                global_entities[i] = [
+                    by_name[x] for x in order if x in by_name
+                ]
+
+        mix_chunks: list[list[dict]] = [[] for _ in range(n)]
+        if mode == "mix" and self.chunk_vdb is not None:
+            hits = vector_topk_batch(
+                self.chunk_vdb, queries, k=CHUNK_TOP_K,
+                threshold=COSINE_THRESHOLD,
+            )
+            mix_chunks = [
+                [{"chunk_id": r["vdb_id"], "sim": r["sim"]} for r in h]
+                for h in hits
+            ]
+
+        out: list[QueryContext] = []
+        for i, q in enumerate(queries):
+            entities = round_robin_merge(
+                local_entities[i], global_entities[i],
+                key=lambda e: e["entity_id"],
+            )
+            relations = round_robin_merge(
+                local_relations[i], global_relations[i],
+                key=lambda r: tuple(sorted((r["src_id"], r["tgt_id"]))),
+            )
+            chunks = self._related_chunks(entities, q)
+            if mode == "mix" and self.chunk_vdb is not None:
+                chunks = round_robin_merge(
+                    chunks, mix_chunks[i], key=lambda c: c["chunk_id"]
+                )
+            out.append(QueryContext(
+                entities=[
+                    {
+                        "entity": e["entity_id"],
+                        "type": e["entity_type"],
+                        "description": e["description"],
+                    }
+                    for e in entities
+                ],
+                relations=[
+                    {
+                        "entity1": r["src_id"],
+                        "entity2": r["tgt_id"],
+                        "description": r["description"],
+                        "weight": r["weight"],
+                    }
+                    for r in relations
+                ],
+                chunks=chunks,
+            ))
+        return out
+
     def _retrieve(self, query: str, mode: str, keywords_fn=None):
         """Shared retrieval core: full node/edge rows + chunk hits + the
         extracted keywords, before any projection."""

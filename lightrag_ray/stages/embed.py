@@ -154,3 +154,78 @@ def vector_topk(
     return vdb_ds.map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     ).sort(["sim", "vdb_id"], descending=[True, False]).limit(k)
+
+
+def vector_topk_batch(
+    vdb_ds,
+    query_texts: list[str],
+    k: int = 40,
+    threshold: float = DEFAULT_COSINE_THRESHOLD,
+    embedder_factory=HashEmbedder,
+) -> list[list[dict]]:
+    """Per-query cosine top-k for MANY queries in ONE Dataset execution —
+    the batched sibling of :func:`vector_topk`, returning the identical
+    (sim desc, vdb_id asc) rows per query.
+
+    The normalized query MATRIX is broadcast once; each vdb batch does one
+    (rows × queries) matmul and emits its LOCAL per-query top-k candidate
+    rows (≤ n_queries × k per block — a combiner, so the driver merge sees
+    blocks × n_queries × k skinny rows, never the table)."""
+    import ray
+
+    if not query_texts:
+        return []
+    q = embedder_factory().embed(list(query_texts))
+    norms = np.linalg.norm(q, axis=1)
+    q_ref = ray.put((q / np.where(norms == 0, 1.0, norms)[:, None]).T.copy())
+
+    def score(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)  # (dim, n_q)
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        empty = pa.table(
+            {
+                "qi": pa.array([], pa.int32()),
+                "vdb_id": pa.array([], pa.string()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if mat.size == 0:
+            return empty
+        vnorms = np.linalg.norm(mat, axis=1)
+        sims = (mat / np.where(vnorms == 0, 1.0, vnorms)[:, None]) @ qm  # (n, n_q)
+        ids = np.asarray(batch.column("vdb_id"))
+        out_qi, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            keep = np.flatnonzero(col >= threshold)
+            col_r = np.round(col[keep], 6)  # the emitted (compared) value
+            if len(keep) > k:
+                # local top-k cut under the GLOBAL total order
+                # (rounded sim desc, vdb_id asc) so the driver merge sees
+                # every global winner
+                order = np.lexsort((ids[keep].astype(str), -col_r))[:k]
+                keep, col_r = keep[order], col_r[order]
+            out_qi.append(np.full(len(keep), qi, np.int32))
+            out_id.append(ids[keep])
+            out_sim.append(col_r)
+        return pa.table(
+            {
+                "qi": pa.array(np.concatenate(out_qi), pa.int32()),
+                "vdb_id": pa.array(np.concatenate(out_id), pa.string()),
+                "sim": pa.array(np.concatenate(out_sim), pa.float64()),
+            }
+        )
+
+    rows = vdb_ds.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    per_query: list[list[dict]] = [[] for _ in query_texts]
+    for r in rows:
+        per_query[r["qi"]].append(r)
+    out = []
+    for cand in per_query:
+        cand.sort(key=lambda r: (-r["sim"], r["vdb_id"]))
+        out.append(
+            [{"vdb_id": r["vdb_id"], "sim": r["sim"]} for r in cand[:k]]
+        )
+    return out

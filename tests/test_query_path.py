@@ -205,3 +205,23 @@ def test_mix_mode(engine):
     # query_data supports mix too
     out = engine.query_data("stream table merge", mode="mix")
     assert out["status"] == "success" and out["data"]["chunks"]
+
+
+def test_query_batch_matches_sequential(engine):
+    """query_batch must return EXACTLY what per-query query() returns, for
+    every mode — it is the same retrieval with the Dataset executions
+    amortized across the batch (one vector pass per VDB, one fetch per
+    table, one one-hop semi-join)."""
+    queries = [
+        "how do stream and merge relate to the table",
+        "stream merge table",
+        "window partition shuffle",
+        "nothing matches zzzzqqqq",
+    ]
+    for mode in ("hybrid", "local", "global", "naive", "mix", "bypass"):
+        batched = engine.query_batch(queries, mode=mode)
+        for q, got in zip(queries, batched):
+            want = engine.query(q, mode=mode)
+            assert got.entities == want.entities, (mode, q)
+            assert got.relations == want.relations, (mode, q)
+            assert got.chunks == want.chunks, (mode, q)
