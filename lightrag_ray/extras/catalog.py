@@ -194,6 +194,42 @@ def q_ivf_assignments(sf_dir: str):
     return dedup.ivf_assignments(sf_dir)
 
 
+def q_semdedup(sf_dir: str):
+    # eps=0.55 (duplicate when cosine >= 0.45 — the embedding_near_dup
+    # threshold) so the keep/drop election is actually exercised on the
+    # synthetic embeddings; production SemDeDup uses much smaller eps.
+    return dedup.semdedup(sf_dir, eps=0.55)
+
+
+def q_semdedup_corpus(sf_dir: str):
+    """documents pruned by the SemDeDup keep policy (embeddings.vec_id ==
+    documents.doc_id in the testdata tables): every vector whose duplicate
+    group elected a different representative is dropped.  Reuses the
+    guarded-broadcast / bucketed-anti-join corpus filter — the (vec_id,
+    rep_id) table IS the (doc_id, cluster_id) contract
+    :func:`_filter_noncanonical` expects."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    def to_clusters(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("vec_id"),
+                "cluster_id": batch.column("rep_id"),
+            }
+        )
+
+    clusters = dedup.semdedup(sf_dir, eps=0.55).map_batches(
+        to_clusters, batch_format="pyarrow", zero_copy_batch=True
+    )
+    corpus = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    return _filter_noncanonical(corpus, clusters)
+
+
 def q_langid(sf_dir: str):
     return textstats.langid(sf_dir)
 
@@ -922,6 +958,8 @@ def queries() -> dict[str, Callable]:
     # reached (CORRECTNESS_r04 covered the first 50 of 79) are registered
     # FIRST so round 5 records them; the long-green rest follows.
     return {
+        "semdedup": q_semdedup,  # rows-only (k-means SemDeDup; brute-force agreement test)
+        "semdedup_corpus": q_semdedup_corpus,  # rows-only (SemDeDup-pruned corpus)
         **webquality.queries(),
         **webcrawl.queries(),
         **linkgraph.queries(),

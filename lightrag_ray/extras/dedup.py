@@ -180,8 +180,10 @@ _LSH_REDUCE_BUCKETS = 256
 # driver (streamed, guard-bounded), ship via ray.put, and let the band map
 # and the bucket-pair group fn LOOK UP signatures instead of carrying them.
 # Beyond the guard, _minhash_lsh_pairs_sharded keeps the band rows sig-free
-# and attaches signatures to the surviving PAIRS via two bounded hash joins
-# -- the 100-TB regime never multiplies signatures by bands.
+# and attaches signatures to the surviving PAIRS via two bucketed cogroup
+# passes whose width scales with the measured candidate count — the 100-TB
+# regime never multiplies signatures by bands, and an adversarial candidate
+# flood widens the exchange instead of OOMing a CPU-coupled join actor.
 # uint32 truncation only affects per-perm EQUALITY tests (false equality
 # 2^-32 per comparison — no measurable effect on the Jaccard estimate).
 MAX_SIG_BROADCAST_BYTES = 2 << 30  # ~8M docs at 64 perms
@@ -231,6 +233,8 @@ def _sig_col_to_u32(col: "pa.ChunkedArray | pa.Array", num_perm: int) -> np.ndar
     """(n, num_perm) uint32 view of a fixed-size-binary signature column.
     Reads the Arrow data buffer directly (offset-aware) — no per-row Python."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return np.empty((0, num_perm), "<u4")
     width = num_perm * 4
     buf = arr.buffers()[-1]
     flat = np.frombuffer(buf, dtype="<u4", count=len(arr) * num_perm,
@@ -609,19 +613,118 @@ def make_sharded_bucket_candidates_groupfn(max_bucket: int = 200):
 
 
 def hash_join_partitions() -> int:
-    """Hash-join partition count for the sharded arm, derived from cluster
-    CPUs.  Ray's JoinOperator reserves 0.125 CPU per partition for its
-    aggregator actors; with TWO chained joins alive at once, 2 x P x 0.125
-    must leave most of the CPU budget to the map/shuffle stages -- P equal
-    to the CPU count deadlocks the local streaming executor outright
+    """Hash-join partition count for the sharded vocab arms, derived from
+    cluster CPUs.  Ray's JoinOperator reserves 0.125 CPU per partition for
+    its aggregator actors; with TWO chained joins alive at once, 2 x P x
+    0.125 must leave most of the CPU budget to the map/shuffle stages -- P
+    equal to the CPU count deadlocks the local streaming executor outright
     (measured: 2x32 partitions on 8 CPUs never finishes).  P = cpus/2 keeps
-    the aggregator reservation at 1/8 of the cluster.  At 10^9-doc scale the
-    per-partition working set is |sigs|/P + |pairs|/P; callers with much
-    more data than CPU should pass num_partitions explicitly."""
+    the aggregator reservation at 1/8 of the cluster.
+
+    NOTE: because P is CPU-coupled (it cannot grow with data without eating
+    the CPU budget), Ray's JoinOperator is only safe when per-partition
+    working sets are bounded by construction — the vocab arms qualify
+    (term-keyed, pre-aggregated sides).  The LSH pair arm does NOT (pair
+    volume is corpus-dependent and unbounded); it uses the bucketed cogroup
+    attach below, whose width scales with measured data size instead
+    (2.4M-doc bench: the join transport OOM-killed an aggregator at P=16
+    under a 121M-candidate flood; the cogroup arm streams it)."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return max(2, cpus // 2)
+
+
+_SIG_ATTACH_PAIRS_PER_BUCKET = 200_000
+
+
+def _attach_sig_bucketed(pairs_ds, sig_ds, key_col: str, out_col: str,
+                         num_perm: int, buckets: int, finish=None):
+    """Attach the signature of ``key_col`` to every pair row via ONE
+    bucketed cogroup (union + groupby(bucket) + vectorized searchsorted
+    attach) — the join-free transport.  Unlike Ray's JoinOperator (whose
+    partition count is CPU-coupled, see :func:`hash_join_partitions`),
+    ``buckets`` here scales with the measured pair count, so per-group
+    working sets stay bounded no matter how many candidates an adversarial
+    corpus produces.  Rows whose key has no signature are dropped (inner
+    semantics — candidates are generated from the sig table, so this never
+    fires in practice).
+
+    Transport details that matter at 10⁸ pair rows:
+    * the union ``_sig`` column is VARIABLE-length binary — a null cell
+      costs 4 offset bytes, not the 4·num_perm-byte data slot a
+      fixed-size-binary null would allocate (measured: fixed-width nulls
+      shipped ~31 GB of zeros per pass on a 121M-candidate corpus);
+    * ``finish`` (optional) runs INSIDE the group task on the attached
+      table, so a caller that only needs a reduction of the signatures
+      (e.g. the Jaccard score) never re-ships them."""
+    import pyarrow.compute as pc
+
+    sig_type = pa.binary(num_perm * 4)
+    var_bin = pa.binary()
+    pair_schema = pairs_ds.schema()
+    pair_names = list(pair_schema.names)
+    pair_types = {n: t for n, t in zip(pair_schema.names, pair_schema.types)}
+
+    def _bkt(keys: np.ndarray) -> pa.Array:
+        return pa.array(
+            (_mix64(keys.view(np.uint64)).view(np.int64) % np.int64(buckets))
+            .astype(np.int32),
+            pa.int32(),
+        )
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column(key_col).combine_chunks(), np.int64)
+        cols = {"_bkt": _bkt(keys), "_key": pa.array(keys, pa.int64()),
+                "_sig": pa.nulls(len(keys), var_bin)}
+        for n in pair_names:
+            cols[n] = batch.column(n)
+        return pa.table(cols)
+
+    def tag_sigs(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column("doc_id").combine_chunks(), np.int64)
+        cols = {"_bkt": _bkt(keys), "_key": pa.array(keys, pa.int64()),
+                "_sig": batch.column("sig").cast(var_bin)}
+        for n in pair_names:
+            cols[n] = pa.nulls(len(keys), pair_types[n])
+        return pa.table(cols)
+
+    def attach(group: pa.Table) -> pa.Table:
+        is_sig = pc.is_valid(group.column("_sig"))
+        sig_rows = group.filter(is_sig)
+        pair_rows = group.filter(pc.invert(is_sig))
+        if pair_rows.num_rows == 0 or sig_rows.num_rows == 0:
+            empty = {n: pa.array([], pair_types[n]) for n in pair_names}
+            empty[out_col] = pa.array([], sig_type)
+            out = pa.table(empty)
+            return finish(out) if finish is not None else out
+        keys = np.asarray(sig_rows.column("_key"), np.int64)
+        sig_mat = _sig_col_to_u32(
+            sig_rows.column("_sig").combine_chunks().cast(sig_type), num_perm
+        )
+        order = np.argsort(keys, kind="stable")
+        keys_sorted = keys[order]
+        pk = np.asarray(pair_rows.column("_key"), np.int64)
+        pos = np.clip(np.searchsorted(keys_sorted, pk), 0, len(keys_sorted) - 1)
+        found = keys_sorted[pos] == pk
+        pair_rows = pair_rows.filter(pa.array(found))
+        picked = sig_mat[order[pos[found]]].astype("<u4")
+        out_cols = {}
+        for n in pair_names:
+            out_cols[n] = pair_rows.column(n)
+        out_cols[out_col] = pa.FixedSizeBinaryArray.from_buffers(
+            sig_type, pair_rows.num_rows,
+            [None, pa.py_buffer(picked.tobytes())],
+        )
+        out = pa.table(out_cols)
+        return finish(out) if finish is not None else out
+
+    union = pairs_ds.map_batches(
+        tag_pairs, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        sig_ds.map_batches(tag_sigs, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return union.groupby("_bkt").map_groups(attach, batch_format="pyarrow")
 
 
 def _minhash_lsh_pairs_sharded(
@@ -630,10 +733,10 @@ def _minhash_lsh_pairs_sharded(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
-    num_partitions: int | None = None,
+    buckets: int | None = None,
 ):
-    """Over-guard scale arm: signature transport via HASH JOIN, not band-row
-    duplication.
+    """Over-guard scale arm: signature transport via bucketed cogroup
+    attach, not band-row duplication.
 
     1. Materialize the narrow ``(doc_id, sig)`` table ONCE (distributed, in
        the object store — fixed 8+4·num_perm bytes/doc; spills, never
@@ -641,17 +744,23 @@ def _minhash_lsh_pairs_sharded(
     2. Emit sig-FREE band rows from it and enumerate candidate pairs per
        bucket (the same lexsort kernel as the other arms).
     3. Dedup candidates to one row per (doc_a, doc_b) with min(truncated).
-    4. Two bounded hash joins attach sig_a / sig_b to each surviving pair;
-       the Jaccard estimate + threshold filter run vectorized per batch.
+    4. Two bucketed cogroup passes attach sig_a / sig_b to each surviving
+       pair (:func:`_attach_sig_bucketed` — bucket count scales with the
+       MEASURED candidate count, never with CPUs); the Jaccard estimate +
+       threshold filter run vectorized per batch.
 
-    vs the retired sig-carrying shuffle (bands × 4·num_perm bytes/doc
-    through the band exchange — measured ~20 GB spill at 2.4M docs): the sig
-    table here crosses a shuffle exactly twice (2 × 4·num_perm bytes/doc),
-    an 8× transport cut at bands=16, and the band exchange itself shrinks
-    ~10×.  Output is byte-identical to the broadcast arm: the estimate reads
-    the same uint32 signatures the other arms use."""
-    if num_partitions is None:
-        num_partitions = hash_join_partitions()
+    vs the retired sig-carrying band shuffle (bands × 4·num_perm bytes/doc
+    — measured ~20 GB spill at 2.4M docs): the sig table crosses an
+    exchange exactly twice, an 8× transport cut at bands=16.  vs the also-
+    retired Ray JoinOperator transport: join partitions are CPU-coupled
+    (aggregator actors reserve 0.125 CPU each), so an adversarial corpus
+    whose candidate volume is decoupled from cluster size OOMs the
+    aggregators (measured at 2.4M docs / 121M candidates / P=16); the
+    cogroup width here grows with the measured pair count instead, keeping
+    per-task working sets bounded.  The pairs×sig intermediate between the
+    two passes is the irreducible transport of exact per-perm estimation —
+    it streams and spills, never collects.  Output is byte-identical to the
+    broadcast arm: the estimate reads the same uint32 signatures."""
     sig_ds = _sig_rows_ds(sf_dir, num_perm, shingle_k).materialize()
     rows_per_band = num_perm // bands
 
@@ -665,26 +774,15 @@ def _minhash_lsh_pairs_sharded(
         .groupby("gb")
         .map_groups(make_sharded_bucket_candidates_groupfn(), batch_format="pandas")
     )
-    cand = _dedup_pairs(cand, max_col=None, min_col="truncated")
-
-    j1 = cand.join(
-        sig_ds,
-        "inner",
-        num_partitions,
-        on=("doc_a",),
-        right_on=("doc_id",),
-    ).rename_columns({"sig": "sig_a"})  # the join merges the right key into doc_a
-    j2 = j1.join(
-        sig_ds,
-        "inner",
-        num_partitions,
-        on=("doc_b",),
-        right_on=("doc_id",),
-    )
+    cand = _dedup_pairs(cand, max_col=None, min_col="truncated").materialize()
+    if buckets is None:
+        buckets = max(
+            64, min(8192, cand.count() // _SIG_ATTACH_PAIRS_PER_BUCKET + 1)
+        )
 
     def score(batch: pa.Table) -> pa.Table:
         sa = _sig_col_to_u32(batch.column("sig_a"), num_perm)
-        sb = _sig_col_to_u32(batch.column("sig"), num_perm)
+        sb = _sig_col_to_u32(batch.column("sig_b"), num_perm)
         est = (sa == sb).mean(axis=1) if len(sa) else np.empty(0, np.float64)
         keep = est >= threshold
         return pa.table(
@@ -702,7 +800,13 @@ def _minhash_lsh_pairs_sharded(
             }
         )
 
-    return j2.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    j1 = _attach_sig_bucketed(cand, sig_ds, "doc_a", "sig_a", num_perm, buckets)
+    # pass B fuses the Jaccard score into the attach group task (finish=):
+    # the full signatures never leave the group — only the filtered skinny
+    # (doc_a, doc_b, est_jaccard, truncated) rows do.
+    return _attach_sig_bucketed(
+        j1, sig_ds, "doc_b", "sig_b", num_perm, buckets, finish=score
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1538,4 +1642,118 @@ def knn_ivf_topk(
         .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
         .sort(["sim", "vec_id"], descending=[True, False])
         .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication via k-means clustering (Abbas et al.
+# 2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication", arXiv:2303.09540).
+#
+# The public recipe: cluster the embedding space with k-means, then WITHIN
+# each cluster call two items semantic duplicates when their cosine
+# similarity exceeds 1-eps, and keep exactly one representative per
+# duplicate group — the member with the LOWEST cosine to its cluster
+# centroid (the paper found keeping "extreme" points beats keeping random
+# or central ones).  Pairs across clusters are never compared: that is the
+# scale lever, identical to IVF's — at 10^9 docs you raise n_lists so
+# per-cluster population stays bounded and the O(m²) within-cluster matmul
+# stays a per-group kernel, while the only exchange is ONE groupby shuffle
+# of (vec_id, list_id, embedding) rows.
+#
+# Ray shape: reuses the IVF coarse quantizer (ivf_train_centroids — trained
+# once on the driver from a streamed sample, shipped via ray.put), streams
+# the corpus through the assignment kernel, then groupby("list_id") →
+# map_groups with a vectorized per-cluster kernel (unit matmul + union-find
+# over the thresholded similarity graph).  Duplicate groups are CONNECTED
+# COMPONENTS of the within-cluster eps-graph, computed inside the group —
+# no iterative global CC needed because edges never cross clusters.
+#
+# Determinism: fixed-seed centroids, groups sorted by vec_id before any
+# float reduction, ties on centroid-cosine broken by vec_id.
+
+
+def _semdedup_group_kernel(eps: float, max_cluster: int):
+    """Per-cluster kernel: eps-graph connected components + representative
+    election.  Clusters beyond ``max_cluster`` members DEGRADE, never drop:
+    the centroid is computed over ALL members, the O(m²) eps-graph only
+    over the first ``max_cluster`` by vec_id order — tail members pass
+    through as their own representatives (undeduped singletons), so the
+    output always covers the whole cluster.  At real scale n_lists is
+    sized so clusters stay well under the cap."""
+    import pandas as pd
+
+    def kernel(group: pd.DataFrame) -> pa.Table:
+        group = group.sort_values("vec_id")
+        ids = np.asarray(group["vec_id"].tolist(), np.int64)
+        list_id = int(group["list_id"].iloc[0])
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in group["embedding"]])
+        norms = np.linalg.norm(mat, axis=1)
+        all_unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
+        cent = all_unit.sum(axis=0)
+        cn = np.linalg.norm(cent)
+        if cn > 0:
+            cent = cent / cn
+        all_cent_sim = all_unit @ cent
+
+        m = min(len(ids), max_cluster)
+        unit, cent_sim = all_unit[:m], all_cent_sim[:m]
+
+        # union-find over edges sim >= 1-eps (upper triangle)
+        parent = np.arange(m, dtype=np.int64)
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        sims = unit @ unit.T
+        ai, bi = np.nonzero(np.triu(sims >= 1.0 - eps, k=1))
+        for a, b in zip(ai.tolist(), bi.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(m)], dtype=np.int64)
+
+        # representative per component: lowest centroid-cosine, tie → min
+        # vec_id.  lexsort keys are (root, cent_sim, vec_id): the first row
+        # of each root run is the winner.
+        order = np.lexsort((ids[:m], np.round(cent_sim, 12), roots))
+        first_of_run = np.ones(m, dtype=bool)
+        first_of_run[1:] = roots[order][1:] != roots[order][:-1]
+        rep_for_root = {}
+        for pos in np.nonzero(first_of_run)[0]:
+            rep_for_root[int(roots[order][pos])] = int(ids[order][pos])
+        reps = np.array([rep_for_root[int(r)] for r in roots], dtype=np.int64)
+        # over-cap tail: undeduped singletons (degrade, don't drop)
+        reps = np.concatenate([reps, ids[m:]])
+
+        n = len(ids)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "list_id": pa.array(np.full(n, list_id, np.int32), pa.int32()),
+                "rep_id": pa.array(reps, pa.int64()),
+                "keep": pa.array(ids == reps, pa.bool_()),
+                "centroid_sim": pa.array(np.round(all_cent_sim, 4), pa.float64()),
+            }
+        )
+
+    return kernel
+
+
+def semdedup(
+    sf_dir: str,
+    n_lists: int = 16,
+    eps: float = 0.15,
+    max_cluster: int = 65536,
+):
+    """embeddings → one row per vector: its k-means cluster, the
+    representative of its within-cluster semantic-duplicate group, and the
+    keep/drop decision (keep = is the representative).  The kept-corpus
+    policy is ``keep == True``; dedup ratio = 1 - kept/total."""
+    assigned = ivf_assignments(sf_dir, n_lists=n_lists, with_embedding=True)
+    return assigned.groupby("list_id").map_groups(
+        _semdedup_group_kernel(eps, max_cluster), batch_format="pandas"
     )

@@ -893,3 +893,138 @@ def test_warc_date_rolls_days():
     assert W._warc_date(0) == "2024-01-01T00:00:00Z"
     assert W._warc_date(1439) == "2024-01-01T23:59:00Z"
     assert W._warc_date(1440) == "2024-01-02T00:00:00Z"
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (k-means semantic dedup) — independent brute-force agreement +
+# structural invariants.  The distributed kernel's duplicate groups are
+# connected components of the within-cluster eps-graph; the reference here
+# recomputes them with a pure-Python BFS over the same assignments.
+
+
+def _semdedup_reference(sf_dir: str, n_lists: int, eps: float) -> pd.DataFrame:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lightrag_ray.extras import dedup as D
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id"), np.int64)
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
+    cents = D._ivf_centroids(sf_dir, n_lists)
+    assign = (unit @ cents.T).argmax(axis=1)
+
+    rows = []
+    for c in sorted(set(assign.tolist())):
+        member_pos = np.nonzero(assign == c)[0]
+        member_pos = member_pos[np.argsort(ids[member_pos])]
+        u = unit[member_pos]
+        cent = u.sum(axis=0)
+        cn = np.linalg.norm(cent)
+        if cn > 0:
+            cent /= cn
+        cent_sim = u @ cent
+        sims = u @ u.T
+        m = len(member_pos)
+        adj = [set(np.nonzero(sims[i] >= 1.0 - eps)[0].tolist()) - {i} for i in range(m)]
+        seen: set[int] = set()
+        comp_of = {}
+        for start in range(m):
+            if start in seen:
+                continue
+            comp, frontier = {start}, [start]
+            while frontier:
+                nxt = frontier.pop()
+                for nb in adj[nxt]:
+                    if nb not in comp:
+                        comp.add(nb)
+                        frontier.append(nb)
+            seen |= comp
+            rep = min(
+                comp,
+                key=lambda i: (round(float(cent_sim[i]), 12), int(ids[member_pos[i]])),
+            )
+            for i in comp:
+                comp_of[i] = rep
+        for i in range(m):
+            rep = comp_of[i]
+            rows.append(
+                {
+                    "vec_id": int(ids[member_pos[i]]),
+                    "list_id": int(c),
+                    "rep_id": int(ids[member_pos[rep]]),
+                    "keep": i == rep,
+                    "centroid_sim": round(float(cent_sim[i]), 4),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("eps", [0.15, 0.55])
+def test_semdedup_agrees_with_brute_force(ray_session, eps):
+    from lightrag_ray.extras.dedup import semdedup
+
+    got = (
+        semdedup(SF_DIR, n_lists=16, eps=eps)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ref = _semdedup_reference(SF_DIR, 16, eps).sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], ref[sorted(ref.columns)], check_dtype=False
+    )
+
+
+def test_semdedup_invariants(ray_session):
+    import pyarrow.parquet as pq
+
+    from lightrag_ray.extras.dedup import semdedup
+
+    df = semdedup(SF_DIR, n_lists=16, eps=0.15).to_pandas()
+    n_vecs = pq.read_metadata(f"{SF_DIR}/embeddings.parquet").num_rows
+    # total cover: every vector decided exactly once
+    assert len(df) == n_vecs
+    assert df["vec_id"].is_unique
+    # exactly one kept member per duplicate group, and it IS the rep
+    grp = df.groupby(["list_id", "rep_id"])
+    assert (grp["keep"].sum() == 1).all()
+    kept = df[df["keep"]]
+    assert (kept["vec_id"] == kept["rep_id"]).all()
+    # reps never cross clusters
+    rep_list = df.set_index("vec_id")["list_id"]
+    assert (df["rep_id"].map(rep_list).to_numpy() == df["list_id"].to_numpy()).all()
+
+
+def test_semdedup_cap_degrades_not_drops(ray_session):
+    """Members beyond max_cluster pass through as undeduped singletons —
+    full cover, no silent drops."""
+    import pyarrow.parquet as pq
+
+    from lightrag_ray.extras.dedup import semdedup
+
+    df = semdedup(SF_DIR, n_lists=4, eps=0.15, max_cluster=5).to_pandas()
+    n_vecs = pq.read_metadata(f"{SF_DIR}/embeddings.parquet").num_rows
+    assert len(df) == n_vecs
+    assert df["vec_id"].is_unique
+    saw_tail = False
+    for _lid, g in df.groupby("list_id"):
+        tail = g.sort_values("vec_id").iloc[5:]
+        if len(tail):
+            saw_tail = True
+            assert (tail["vec_id"] == tail["rep_id"]).all()
+            assert tail["keep"].all()
+    assert saw_tail  # sf0.001 clusters exceed 5 members
+
+
+def test_semdedup_corpus_matches_keep_policy(ray_session):
+    from lightrag_ray.extras.dedup import semdedup
+
+    decisions = semdedup(SF_DIR, eps=0.55).to_pandas()
+    assert not decisions["keep"].all()  # eps=0.55 must exercise drops
+    expect = set(decisions.loc[decisions["keep"], "vec_id"].tolist())
+    got = C.q_semdedup_corpus(SF_DIR).to_pandas()
+    assert set(got["doc_id"].tolist()) == expect
+    assert set(got.columns) == {"doc_id", "lang"}
