@@ -639,7 +639,8 @@ _SIG_ATTACH_PAIRS_PER_BUCKET = 200_000
 
 
 def _attach_sig_bucketed(pairs_ds, sig_ds, key_col: str, out_col: str,
-                         num_perm: int, buckets: int, finish=None):
+                         num_perm: int, buckets: int, finish=None,
+                         pair_schema: "pa.Schema | None" = None):
     """Attach the signature of ``key_col`` to every pair row via ONE
     bucketed cogroup (union + groupby(bucket) + vectorized searchsorted
     attach) — the join-free transport.  Unlike Ray's JoinOperator (whose
@@ -657,12 +658,18 @@ def _attach_sig_bucketed(pairs_ds, sig_ds, key_col: str, out_col: str,
       shipped ~31 GB of zeros per pass on a 121M-candidate corpus);
     * ``finish`` (optional) runs INSIDE the group task on the attached
       table, so a caller that only needs a reduction of the signatures
-      (e.g. the Jaccard score) never re-ships them."""
+      (e.g. the Jaccard score) never re-ships them;
+    * ``pair_schema`` must be passed when ``pairs_ds`` is a LAZY pipeline:
+      ``Dataset.schema()`` on one triggers a full execution just to peek
+      (limit-1 does not stream through the groupby sort — measured: the
+      pass-B schema fetch re-ran all of pass A), and the consumer would
+      then execute it a second time."""
     import pyarrow.compute as pc
 
     sig_type = pa.binary(num_perm * 4)
     var_bin = pa.binary()
-    pair_schema = pairs_ds.schema()
+    if pair_schema is None:
+        pair_schema = pairs_ds.schema()
     pair_names = list(pair_schema.names)
     pair_types = {n: t for n, t in zip(pair_schema.names, pair_schema.types)}
 
@@ -727,6 +734,10 @@ def _attach_sig_bucketed(pairs_ds, sig_ds, key_col: str, out_col: str,
     return union.groupby("_bkt").map_groups(attach, batch_format="pyarrow")
 
 
+_GRID_MIN_PAIRS_PER_DOC = 32  # raw-candidate : doc ratio that flips to grid
+_GRID_CELL_TARGET_PAIRS = 1_500_000  # raw pair rows per grid cell task
+
+
 def _minhash_lsh_pairs_sharded(
     sf_dir: str,
     threshold: float = 0.5,
@@ -734,33 +745,42 @@ def _minhash_lsh_pairs_sharded(
     bands: int = 16,
     shingle_k: int = 5,
     buckets: int | None = None,
+    force_arm: str | None = None,
 ):
-    """Over-guard scale arm: signature transport via bucketed cogroup
-    attach, not band-row duplication.
+    """Over-guard scale arm: signature transport WITHOUT band-row
+    duplication and WITHOUT CPU-coupled join actors.
 
     1. Materialize the narrow ``(doc_id, sig)`` table ONCE (distributed, in
        the object store — fixed 8+4·num_perm bytes/doc; spills, never
        driver-collected).
     2. Emit sig-FREE band rows from it and enumerate candidate pairs per
-       bucket (the same lexsort kernel as the other arms).
-    3. Dedup candidates to one row per (doc_a, doc_b) with min(truncated).
-    4. Two bucketed cogroup passes attach sig_a / sig_b to each surviving
-       pair (:func:`_attach_sig_bucketed` — bucket count scales with the
-       MEASURED candidate count, never with CPUs); the Jaccard estimate +
-       threshold filter run vectorized per batch.
+       bucket (the same lexsort kernel as the other arms); materialize the
+       RAW candidates and count them — the count picks the transport.
+    3a. **Cogroup arm** (raw pairs ≲ 32×docs — the realistic web-dup
+        regime): dedup to one row per (doc_a, doc_b), then two bucketed
+        cogroup passes attach sig_a / sig_b (:func:`_attach_sig_bucketed`);
+        the Jaccard estimate is fused into the second pass.  Transport:
+        pairs cross 3 skinny exchanges + ONE pairs×sig exchange.
+    3b. **Grid arm** (raw pairs ≳ 32×docs — adversarial near-threshold
+        corpora; the 2.4M-doc bench corpus measures 883M raw candidates =
+        368×docs): hash-partition the sig table into B parquet shards once
+        (ONE 4·num_perm·bytes/doc write, like the IVF index), key every
+        pair by its (h(a)%B, h(b)%B) grid cell, and run dedup + sig lookup
+        + estimate fused inside each cell's group task, which READS its two
+        sig shards from storage.  Transport: pairs cross exactly ONE skinny
+        exchange; signatures never enter a shuffle at all (read-amplified
+        ≤ 2B× from storage instead, the cheap direction at high pair:doc
+        ratios — at low ratios the inequality flips, hence the dispatch).
 
     vs the retired sig-carrying band shuffle (bands × 4·num_perm bytes/doc
-    — measured ~20 GB spill at 2.4M docs): the sig table crosses an
-    exchange exactly twice, an 8× transport cut at bands=16.  vs the also-
-    retired Ray JoinOperator transport: join partitions are CPU-coupled
-    (aggregator actors reserve 0.125 CPU each), so an adversarial corpus
-    whose candidate volume is decoupled from cluster size OOMs the
-    aggregators (measured at 2.4M docs / 121M candidates / P=16); the
-    cogroup width here grows with the measured pair count instead, keeping
-    per-task working sets bounded.  The pairs×sig intermediate between the
-    two passes is the irreducible transport of exact per-perm estimation —
-    it streams and spills, never collects.  Output is byte-identical to the
-    broadcast arm: the estimate reads the same uint32 signatures."""
+    — measured ~20 GB spill at 2.4M docs): an 8× transport cut at
+    bands=16.  vs the also-retired Ray JoinOperator transport: join
+    partitions are CPU-coupled (aggregator actors reserve 0.125 CPU each),
+    so a candidate flood OOMs the aggregators (measured at 2.4M docs /
+    883M candidates / P=16); both arms here size their exchange width from
+    the measured pair count.  Output is byte-identical to the broadcast
+    arm in both arms: same dedup (min truncated), same uint32 signatures,
+    same estimate rounding."""
     sig_ds = _sig_rows_ds(sf_dir, num_perm, shingle_k).materialize()
     rows_per_band = num_perm // bands
 
@@ -769,16 +789,23 @@ def _minhash_lsh_pairs_sharded(
         mat = _sig_col_to_u32(batch.column("sig"), num_perm)
         return _band_rows_from_sig_matrix(ids, mat, bands, rows_per_band)
 
-    cand = (
+    raw = (
         sig_ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("gb")
         .map_groups(make_sharded_bucket_candidates_groupfn(), batch_format="pandas")
-    )
-    cand = _dedup_pairs(cand, max_col=None, min_col="truncated").materialize()
-    if buckets is None:
-        buckets = max(
-            64, min(8192, cand.count() // _SIG_ATTACH_PAIRS_PER_BUCKET + 1)
+    ).materialize()
+    n_raw, n_docs = raw.count(), max(sig_ds.count(), 1)
+
+    if force_arm == "grid" or (
+        force_arm is None and n_raw >= _GRID_MIN_PAIRS_PER_DOC * n_docs
+    ):
+        return _lsh_pairs_grid_arm(
+            raw, sig_ds, sf_dir, threshold, num_perm, shingle_k, n_raw
         )
+
+    cand = _dedup_pairs(raw, max_col=None, min_col="truncated")
+    if buckets is None:
+        buckets = max(64, min(8192, n_raw // _SIG_ATTACH_PAIRS_PER_BUCKET + 1))
 
     def score(batch: pa.Table) -> pa.Table:
         sa = _sig_col_to_u32(batch.column("sig_a"), num_perm)
@@ -800,12 +827,160 @@ def _minhash_lsh_pairs_sharded(
             }
         )
 
-    j1 = _attach_sig_bucketed(cand, sig_ds, "doc_a", "sig_a", num_perm, buckets)
+    cand_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("truncated", pa.bool_())]
+    )
+    j1 = _attach_sig_bucketed(cand, sig_ds, "doc_a", "sig_a", num_perm,
+                              buckets, pair_schema=cand_schema)
     # pass B fuses the Jaccard score into the attach group task (finish=):
     # the full signatures never leave the group — only the filtered skinny
-    # (doc_a, doc_b, est_jaccard, truncated) rows do.
+    # (doc_a, doc_b, est_jaccard, truncated) rows do.  The static schema
+    # keeps pass B from executing pass A just to peek at column names.
     return _attach_sig_bucketed(
-        j1, sig_ds, "doc_b", "sig_b", num_perm, buckets, finish=score
+        j1, sig_ds, "doc_b", "sig_b", num_perm, buckets, finish=score,
+        pair_schema=cand_schema.append(pa.field("sig_a", pa.binary(num_perm * 4))),
+    )
+
+
+def _sig_shard_dir(sf_dir: str, num_perm: int, shingle_k: int, grid_b: int) -> str:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), "lightrag_ray_sigshards",
+        f"{tag}_p{num_perm}_k{shingle_k}_b{grid_b}",
+    )
+
+
+def _write_sig_shards(sig_ds, shard_dir: str, grid_b: int) -> str:
+    """Materialize the sig table hash-partitioned into ``grid_b`` Hive
+    shards (one write of 4·num_perm bytes/doc, same pattern as the IVF
+    ``list_id`` index).  Idempotent: a completed write (marker) is reused;
+    a partial one is rebuilt."""
+    import json
+    import shutil
+
+    marker = os.path.join(shard_dir, "_SIG_SHARDS.json")
+    if os.path.exists(marker):
+        return shard_dir
+    if os.path.isdir(shard_dir):
+        shutil.rmtree(shard_dir)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").combine_chunks(), np.int64)
+        shard = (
+            _mix64(ids.view(np.uint64)).view(np.int64) % np.int64(grid_b)
+        ).astype(np.int32)
+        return batch.append_column("shard", pa.array(shard, pa.int32()))
+
+    sig_ds.map_batches(
+        add_shard, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(shard_dir, partition_cols=["shard"])
+    with open(marker, "w") as f:
+        json.dump({"grid_b": grid_b}, f)
+    return shard_dir
+
+
+_SIG_SHARD_CACHE: dict = {}  # per-worker: (dir, shard) → (ids_sorted, mat_sorted)
+_SIG_SHARD_CACHE_MAX = 8
+
+
+def _load_sig_shard(shard_dir: str, shard: int, num_perm: int):
+    """(ids_sorted, mat_sorted) for one sig shard, LRU-cached per worker —
+    2·grid_b − 1 grid cells touch each shard, and a long-lived worker
+    processes many cells."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    key = (shard_dir, shard)
+    hit = _SIG_SHARD_CACHE.get(key)
+    if hit is not None:
+        return hit
+    files = sorted(glob.glob(os.path.join(shard_dir, f"shard={shard}", "*.parquet")))
+    t = pq.read_table(files, columns=["doc_id", "sig"])
+    ids = np.asarray(t.column("doc_id").combine_chunks(), np.int64)
+    mat = _sig_col_to_u32(t.column("sig"), num_perm)
+    order = np.argsort(ids, kind="stable")
+    val = (ids[order], mat[order])
+    if len(_SIG_SHARD_CACHE) >= _SIG_SHARD_CACHE_MAX:
+        _SIG_SHARD_CACHE.pop(next(iter(_SIG_SHARD_CACHE)))
+    _SIG_SHARD_CACHE[key] = val
+    return val
+
+
+def _lsh_pairs_grid_arm(
+    raw, sig_ds, sf_dir: str, threshold: float, num_perm: int,
+    shingle_k: int, n_raw: int,
+):
+    """High-ratio transport (see :func:`_minhash_lsh_pairs_sharded` 3b):
+    ONE skinny exchange of the raw candidates, grouped by (h(doc_a)%B,
+    h(doc_b)%B) grid cell; each cell task fuses pair dedup + shard-local
+    signature lookup + slab-wise Jaccard estimate, reading its two sig
+    shards from storage instead of receiving them through a shuffle."""
+    grid_b = int(np.clip(
+        np.ceil(np.sqrt(max(n_raw, 1) / _GRID_CELL_TARGET_PAIRS)), 4, 64
+    ))
+    shard_dir = _write_sig_shards(
+        sig_ds, _sig_shard_dir(sf_dir, num_perm, shingle_k, grid_b), grid_b
+    )
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("doc_a").combine_chunks(), np.int64)
+        b = np.asarray(batch.column("doc_b").combine_chunks(), np.int64)
+        i = _mix64(a.view(np.uint64)).view(np.int64) % np.int64(grid_b)
+        j = _mix64(b.view(np.uint64)).view(np.int64) % np.int64(grid_b)
+        return batch.append_column(
+            "cell", pa.array((i * grid_b + j).astype(np.int32), pa.int32())
+        )
+
+    def cell_fn(group: pa.Table) -> pa.Table:
+        a = np.asarray(group.column("doc_a"), np.int64)
+        b = np.asarray(group.column("doc_b"), np.int64)
+        tr = np.asarray(group.column("truncated"), bool).astype(np.int8)
+        # dedup to one row per (a, b) with min(truncated) — identical
+        # semantics to _dedup_pairs (cells partition the pair space, so
+        # cell-local dedup IS global dedup)
+        order = np.lexsort((b, a))
+        a, b, tr = a[order], b[order], tr[order]
+        n = len(a)
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        idx = np.flatnonzero(new_key)
+        A, B = a[idx], b[idx]
+        TR = np.minimum.reduceat(tr, idx).astype(bool)
+
+        cell = int(group.column("cell")[0].as_py())
+        ids_i, mat_i = _load_sig_shard(shard_dir, cell // grid_b, num_perm)
+        ids_j, mat_j = _load_sig_shard(shard_dir, cell % grid_b, num_perm)
+
+        out_a, out_b, out_e, out_t = [], [], [], []
+        for lo in range(0, len(A), _EST_CHUNK):
+            sa = mat_i[np.searchsorted(ids_i, A[lo:lo + _EST_CHUNK])]
+            sb = mat_j[np.searchsorted(ids_j, B[lo:lo + _EST_CHUNK])]
+            est = (sa == sb).mean(axis=1)
+            keep = est >= threshold
+            out_a.append(A[lo:lo + _EST_CHUNK][keep])
+            out_b.append(B[lo:lo + _EST_CHUNK][keep])
+            out_e.append(np.round(est[keep], 4))
+            out_t.append(TR[lo:lo + _EST_CHUNK][keep])
+        if not out_a:
+            return _EMPTY_PAIRS
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "est_jaccard": pa.array(np.concatenate(out_e), pa.float64()),
+                "truncated": pa.array(np.concatenate(out_t), pa.bool_()),
+            }
+        )
+
+    return (
+        raw.map_batches(add_cell, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell")
+        .map_groups(cell_fn, batch_format="pyarrow")
     )
 
 

@@ -389,7 +389,7 @@ def test_drop_set_broadcast_guard(ray_session, monkeypatch):
 
 def test_minhash_broadcast_and_sharded_paths_agree(ray_session, monkeypatch):
     """The default broadcast-signature LSH path and the over-guard SHARDED
-    arm (sig-free band rows + pair→signature hash join) must emit the
+    arm (sig-free band rows + pair→signature cogroup attach) must emit the
     identical pair table — same algorithm, different signature transport."""
     from lightrag_ray.extras import dedup as D
 
@@ -403,6 +403,25 @@ def test_minhash_broadcast_and_sharded_paths_agree(ray_session, monkeypatch):
         check_dtype=False,
     )
     assert len(base) > 0
+
+
+@pytest.mark.parametrize("arm", ["cogroup", "grid"])
+def test_minhash_sharded_arm_transports_agree(ray_session, arm):
+    """Both over-guard transports — the cogroup sig-attach (realistic
+    pair:doc ratios) and the grid-cell shard-read arm (candidate floods) —
+    must be byte-identical to the broadcast path."""
+    from lightrag_ray.extras import dedup as D
+
+    base = _normalize(C.q_minhash_lsh(SF_DIR).to_pandas())
+    forced = _normalize(
+        D._minhash_lsh_pairs_sharded(SF_DIR, force_arm=arm).to_pandas()
+    )
+    key = ["doc_a", "doc_b"]
+    pd.testing.assert_frame_equal(
+        base.sort_values(key).reset_index(drop=True),
+        forced.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
 
 
 def test_corpus_dedup_lsh_over_guard_uses_sharded_arm(ray_session, monkeypatch):
