@@ -803,6 +803,226 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# 5b. CCNet head/middle/tail perplexity buckets
+
+
+def _ccnet_scored_dir(sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "lightrag_ray_ccnet", tag)
+
+
+def _ccnet_build_scored(sf_dir: str) -> str:
+    """Persist the narrow (doc_id, lang, avg_bits_x100) table ONCE: the
+    corpus text streams exactly one time (inside :func:`q_lm_quality`),
+    the language column is attached by a bucketed marker cogroup (two
+    skinny exchanges — the empty-partition-safe hash-join substitute, same
+    pattern as ``query_ops._attach_degree``), and the threshold/assign
+    passes below read the few-ints-per-doc parquet instead of re-scanning
+    the 100-TB text column.  Idempotent via a marker file (the
+    ``_bm25_build_tf`` contract)."""
+    import json
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    out_dir = _ccnet_scored_dir(sf_dir)
+    marker = os.path.join(out_dir, "_CCNET_SCORED.json")
+    if os.path.exists(marker):
+        return out_dir
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+
+    from lightrag_ray.extras.dedup import _mix64
+
+    _BUCKETS = 256
+
+    def _bkt(ids: "np.ndarray") -> pa.Array:
+        b = (_mix64(ids.view(np.uint64)).view(np.int64) % _BUCKETS).astype(
+            np.int32
+        )
+        return pa.array(b, pa.int32())
+
+    def lm_side(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        return pa.table(
+            {
+                "_bkt": _bkt(ids),
+                "doc_id": batch.column("doc_id"),
+                "avg_bits_x100": batch.column("avg_bits_x100"),
+                "lang": pa.nulls(batch.num_rows, pa.string()),
+            }
+        )
+
+    def lang_side(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        return pa.table(
+            {
+                "_bkt": _bkt(ids),
+                "doc_id": batch.column("doc_id"),
+                "avg_bits_x100": pa.nulls(batch.num_rows, pa.int64()),
+                "lang": batch.column("lang"),
+            }
+        )
+
+    union = (
+        q_lm_quality(sf_dir)
+        .select_columns(["doc_id", "avg_bits_x100"])
+        .map_batches(lm_side, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+                lang_side, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+            ("avg_bits_x100", pa.int64()),
+        ]
+    )
+
+    def zip_bucket(group: pd.DataFrame) -> pa.Table:
+        is_lang = group["lang"].notna()
+        lang_lookup = pd.Series(
+            group.loc[is_lang, "lang"].to_numpy(),
+            index=group.loc[is_lang, "doc_id"].to_numpy(np.int64),
+        )
+        score_rows = group[~is_lang]
+        out = pd.DataFrame(
+            {
+                "doc_id": score_rows["doc_id"].to_numpy(np.int64),
+                "lang": score_rows["doc_id"]
+                .to_numpy(np.int64)
+                .astype(object),
+                "avg_bits_x100": score_rows["avg_bits_x100"].to_numpy(
+                    np.int64
+                ),
+            }
+        )
+        out["lang"] = pd.Series(out["doc_id"]).map(lang_lookup)
+        return pa.Table.from_pandas(
+            out, schema=out_schema, preserve_index=False
+        )
+
+    union.groupby("_bkt").map_groups(
+        zip_bucket, batch_format="pandas"
+    ).write_parquet(out_dir)
+    with open(marker, "w") as f:
+        json.dump({"sf_dir": sf_dir}, f)
+    return out_dir
+
+
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail perplexity split (Wenzek et al. 2020, §3.4):
+    per LANGUAGE, documents are cut at the exact LM-score terciles into
+    ``head`` (most fluent third), ``middle`` and ``tail`` — the bucket CCNet
+    uses to keep head+middle and drop tail when composing training corpora.
+
+    The split is THRESHOLD-based, exactly as in CCNet (docs compare against
+    per-language cutoffs, not against a rank): ``t_j`` is the smallest
+    ``avg_bits_x100`` value whose cumulative count reaches ``j/3`` of the
+    language — integer arithmetic (``cum * 3 >= j * n``) on both engines,
+    ties all fall on the low-bucket side of the cutoff value.
+
+    Scale shape: corpus text streams ONCE (the persisted narrow table,
+    :func:`_ccnet_build_scored`); the threshold pass is a per-batch
+    (lang, avg) count combiner → a groupby bounded by |langs| × |avg
+    values| (``avg_bits_x100 ≤ 100 × 64`` by construction — bit-length
+    surprisals — so the histogram is ≤ ~6400·|langs| rows regardless of
+    corpus size); cutoffs ship in the assign closure (2 ints per
+    language); the assign pass is one vectorized dictionary-encode +
+    gather.  No full-table sort, no per-language group task."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    scored_dir = _ccnet_build_scored(sf_dir)
+    scored = rd.read_parquet(scored_dir)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.group_by(["lang", "avg_bits_x100"])
+            .aggregate([("doc_id", "count")])
+            .rename_columns(["lang", "avg_bits_x100", "c"])
+        )
+        return t
+
+    hist = (
+        rd.read_parquet(scored_dir)
+        .map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "avg_bits_x100"])
+        .sum("c")
+    ).take_all()  # ≤ 6400 × |langs| rows by construction — driver-safe
+
+    by_lang: dict = {}
+    for row in hist:
+        by_lang.setdefault(row["lang"], []).append(
+            (row["avg_bits_x100"], row["sum(c)"])
+        )
+    cuts: dict = {}
+    for lang, pairs in by_lang.items():
+        pairs.sort()
+        vals = np.array([v for v, _ in pairs], np.int64)
+        cum = np.cumsum(np.array([c for _, c in pairs], np.int64))
+        n = int(cum[-1])
+        t1 = int(vals[np.searchsorted(cum * 3, n)])
+        t2 = int(vals[np.searchsorted(cum * 3, 2 * n)])
+        cuts[lang] = (t1, t2)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(batch.column("lang").combine_chunks())
+        langs = enc.dictionary.to_pylist()
+        t1 = np.array([cuts[lg][0] for lg in langs], np.int64)
+        t2 = np.array([cuts[lg][1] for lg in langs], np.int64)
+        idx = np.asarray(enc.indices, np.int64)
+        avg = np.asarray(batch.column("avg_bits_x100"), np.int64)
+        bucket = np.where(
+            avg <= t1[idx], "head", np.where(avg <= t2[idx], "middle", "tail")
+        )
+        return batch.append_column("bucket", pa.array(bucket, pa.string()))
+
+    return scored.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_CCNET_BUCKETS = f"""
+WITH lq AS ({SQL_LM_QUALITY}),
+l AS (
+  SELECT lq.doc_id, d.lang, lq.avg_bits_x100
+  FROM lq JOIN documents d USING (doc_id)
+),
+h AS (
+  SELECT lang, avg_bits_x100 AS v, CAST(count(*) AS BIGINT) AS c
+  FROM l GROUP BY lang, avg_bits_x100
+),
+cum AS (
+  SELECT lang, v,
+         sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM h
+),
+t AS (
+  SELECT lang,
+         min(CASE WHEN cum * 3 >= n THEN v END) AS t1,
+         min(CASE WHEN cum * 3 >= 2 * n THEN v END) AS t2
+  FROM cum GROUP BY lang
+)
+SELECT l.doc_id, l.lang, l.avg_bits_x100,
+       CASE WHEN l.avg_bits_x100 <= t.t1 THEN 'head'
+            WHEN l.avg_bits_x100 <= t.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM l JOIN t USING (lang)
+"""
+
+
 def queries() -> dict[str, Callable]:
     return {
         "repetition_stats": q_repetition_stats,
@@ -810,6 +1030,7 @@ def queries() -> dict[str, Callable]:
         "boilerplate_frac": q_boilerplate_frac,
         "pii_scan": q_pii_scan,
         "lm_quality": q_lm_quality,
+        "ccnet_buckets": q_ccnet_buckets,
         "compression_ratio": q_compression_ratio,  # rows-only (no SQL zlib)
         "char_entropy_bits": q_char_entropy_bits,
     }
@@ -822,6 +1043,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_frac": SQL_BOILERPLATE_FRAC,
         "pii_scan": SQL_PII_SCAN,
         "lm_quality": SQL_LM_QUALITY,
+        "ccnet_buckets": SQL_CCNET_BUCKETS,
         "char_entropy_bits": SQL_CHAR_ENTROPY_BITS,
     }
 
