@@ -600,6 +600,150 @@ def q_bm25_top10(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# 4b. Reciprocal-rank-fusion hybrid retrieval (BM25 ⊕ vector cosine)
+
+RRF_K = 60  # the constant from Cormack/Clarke/Buettcher 2009
+RRF_POOL = 50  # per-leg candidate pool fed into the fusion
+RRF_TOPK = 20
+
+
+def _cosine_topk(sf_dir: str, k: int):
+    """Brute-force cosine top-``k`` neighbours of vec_id 0 (the engine's
+    vector-retrieval leg, same conventions as pipelines.queries.q_knn_top10:
+    query vector broadcast once via ``ray.put``, one float64 matmul per
+    batch, sims rounded to 4, self excluded) — plus a per-batch local top-k
+    combiner so the global sort sees k × blocks rows, not the corpus."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    q_table = pq.read_table(path, columns=["vec_id", "embedding"])
+    q_vec = None
+    for batch in q_table.to_batches():
+        ids = batch.column("vec_id").to_pylist()
+        if 0 in ids:
+            q_vec = np.array(
+                batch.column("embedding")[ids.index(0)].as_py(),
+                dtype=np.float64,
+            )
+            break
+    q_ref = ray.put(q_vec / np.linalg.norm(q_vec))
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = np.asarray(batch.column("vec_id"), np.int64)
+        mat = np.array(batch.column("embedding").to_pylist(), np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        sims = np.round((mat @ q) / np.where(norms == 0, 1.0, norms), 4)
+        keep = ids != 0
+        ids, sims = ids[keep], sims[keep]
+        top = np.lexsort((ids, -sims))[:k]  # local combiner
+        top.sort()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[top], pa.int64()),
+                "sim": pa.array(sims[top], pa.float64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["sim", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Hybrid retrieval by reciprocal rank fusion (Cormack, Clarke &
+    Buettcher, SIGIR 2009): the BM25 keyword leg and the cosine vector leg
+    each contribute a rank-1..POOL candidate list, and a document's fused
+    score is Σ 1/(60 + rank) over the legs that retrieved it.  This is the
+    crawl-side analogue of the reference's ``mix`` query mode
+    (lightrag/operate.py — keyword path merged with vector path before
+    context assembly), expressed as pure rank arithmetic.
+
+    Determinism/parity: per-leg ranks are positions in the (score DESC,
+    doc_id ASC) order of ALREADY hash-verified leg scores (bm25_top10 /
+    knn_top10 conventions), and the fused score is computed in EXACT integer
+    arithmetic — ``round(1e12/(60+r))`` summed as int64 — so no
+    float-association divergence can reach the hash.  A leg that missed the
+    document contributes 0 and reports rank 0.
+
+    Scale shape: each leg ends in a per-batch top-k combiner → global sort
+    over k × blocks survivor rows → LIMIT POOL; the fusion itself touches
+    exactly 2 × POOL rows (constant, driver-safe by construction)."""
+    import ray.data as rd
+
+    def _ranks(rows: list, id_col: str) -> dict:
+        return {int(r[id_col]): i + 1 for i, r in enumerate(rows)}
+
+    bm = _ranks(q_bm25_topk(sf_dir, k=RRF_POOL).take(RRF_POOL), "doc_id")
+    vec = _ranks(_cosine_topk(sf_dir, RRF_POOL).take(RRF_POOL), "doc_id")
+
+    fused = []
+    for d in set(bm) | set(vec):
+        rb, rv = bm.get(d, 0), vec.get(d, 0)
+        s = 0
+        if rb:
+            s += int(round(1e12 / (RRF_K + rb)))
+        if rv:
+            s += int(round(1e12 / (RRF_K + rv)))
+        fused.append((d, rb, rv, s))
+    fused.sort(key=lambda t: (-t[3], t[0]))
+    fused = fused[:RRF_TOPK]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([t[0] for t in fused], pa.int64()),
+                "bm25_rank": pa.array([t[1] for t in fused], pa.int64()),
+                "vec_rank": pa.array([t[2] for t in fused], pa.int64()),
+                "rrf_x1e12": pa.array([t[3] for t in fused], pa.int64()),
+            }
+        )
+    )
+
+
+def _sql_rrf() -> str:
+    bm25_pool = _sql_bm25(k=RRF_POOL)
+    return f"""
+WITH bm AS ({bm25_pool}),
+bmr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM bm
+),
+knn AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      q.embedding::DOUBLE[]), 4) AS sim
+  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id <> 0
+  ORDER BY sim DESC, e.vec_id
+  LIMIT {RRF_POOL}
+),
+knr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY sim DESC, doc_id) AS r
+  FROM knn
+),
+f AS (
+  SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+         CAST(COALESCE(b.r, 0) AS BIGINT) AS bm25_rank,
+         CAST(COALESCE(v.r, 0) AS BIGINT) AS vec_rank,
+         (CASE WHEN b.r IS NULL THEN 0
+               ELSE CAST(round(1e12 / ({RRF_K} + b.r)) AS BIGINT) END
+          + CASE WHEN v.r IS NULL THEN 0
+                 ELSE CAST(round(1e12 / ({RRF_K} + v.r)) AS BIGINT) END)
+           AS rrf_x1e12
+  FROM bmr b FULL OUTER JOIN knr v ON b.doc_id = v.doc_id
+)
+SELECT * FROM f ORDER BY rrf_x1e12 DESC, doc_id LIMIT {RRF_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # 5. Crawl snapshot CDC (change-data-capture)
 
 _CDC_ROWS_PER_BUCKET = 250_000
@@ -715,6 +859,7 @@ def queries() -> dict[str, Callable]:
         "url_dedup": q_url_dedup,
         "host_stats": q_host_stats,
         "bm25_top10": q_bm25_top10,
+        "rrf_fusion": q_rrf_fusion,
         "decontam": q_decontam,
         "crawl_cdc": q_crawl_cdc,
     }
@@ -725,6 +870,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": SQL_URL_DEDUP,
         "host_stats": SQL_HOST_STATS,
         "bm25_top10": _sql_bm25(),
+        "rrf_fusion": _sql_rrf(),
         "decontam": SQL_DECONTAM,
         "crawl_cdc": SQL_CRAWL_CDC,
     }
