@@ -331,6 +331,7 @@ def run_webquality_legs() -> dict:
         ("boilerplate_frac", WQ.q_boilerplate_frac),
         ("pii_scan", WQ.q_pii_scan),
         ("lm_quality", WQ.q_lm_quality),
+        ("ccnet_buckets", WQ.q_ccnet_buckets),
         ("dsir_select", X.q_dsir_select),
         ("seq_pack", _seq_pack_leg),
         ("passage_dedup_docs", PS.q_passage_dedup_docs),
