@@ -958,6 +958,8 @@ def queries() -> dict[str, Callable]:
     # reached (CORRECTNESS_r04 covered the first 50 of 79) are registered
     # FIRST so round 5 records them; the long-green rest follows.
     return {
+        "bestrep_dedup": q_bestrep_dedup,  # round-5: keep-longest duplicate policy
+        "bestrep_dedup_lsh": q_bestrep_dedup_lsh,  # rows-only (LSH arm; exact = bestrep_dedup)
         "semdedup": q_semdedup,  # rows-only (k-means SemDeDup; brute-force agreement test)
         "semdedup_corpus": q_semdedup_corpus,  # rows-only (SemDeDup-pruned corpus)
         **webquality.queries(),
@@ -1012,6 +1014,7 @@ def queries() -> dict[str, Callable]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bestrep_dedup": SQL_BESTREP_DEDUP,
         "simhash": SQL_SIMHASH,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
@@ -1423,6 +1426,201 @@ def q_dup_clusters_lsh(sf_dir: str, cc_stats: dict | None = None):
     ).sort("doc_id")
 
 
+def _bestrep_reps(sf_dir: str, clusters_ds):
+    """One row per near-dup cluster: the BEST representative (max
+    ``n_chars``, ties → min ``doc_id``) plus the member count.
+
+    Scale shape: the cluster table is the small side (only documents in the
+    pair graph).  Fast path broadcasts the member→cluster map once
+    (``ray.put`` of two parallel int64 arrays, vectorized ``searchsorted``
+    membership per batch) behind MAX_DROP_BROADCAST; past the guard it
+    DEGRADES to the same doc_id-hash bucketed cogroup
+    ``_anti_join_noncanonical`` uses — one skinny (doc_id, n_chars)
+    exchange, never a raise.  Either way the corpus streams reading only
+    two int columns, each batch collapses to at most one candidate row per
+    cluster (per-batch argmax combiner), and the final cluster groupby
+    exchanges combiner rows only."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    clusters_ds = clusters_ds.materialize()
+    n_members = clusters_ds.count()
+    corpus = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+
+    def combiner(tagged: pa.Table) -> pa.Table:
+        """(cluster_id, doc_id, n_chars) member rows → one candidate row
+        per cluster in this batch: argmax by (n_chars desc, doc_id asc),
+        plus the in-batch member count."""
+        cl = np.asarray(tagged.column("cluster_id"), np.int64)
+        ids = np.asarray(tagged.column("doc_id"), np.int64)
+        nch = np.asarray(tagged.column("n_chars"), np.int64)
+        if len(cl) == 0:
+            return pa.table(
+                {
+                    "cluster_id": pa.array([], pa.int64()),
+                    "rep_doc_id": pa.array([], pa.int64()),
+                    "rep_n_chars": pa.array([], pa.int64()),
+                    "n_members": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((ids, -nch, cl))
+        cl_s = cl[order]
+        first = np.ones(len(cl_s), bool)
+        first[1:] = cl_s[1:] != cl_s[:-1]
+        counts = np.diff(np.append(np.flatnonzero(first), len(cl_s)))
+        sel = order[first]
+        return pa.table(
+            {
+                "cluster_id": pa.array(cl[sel], pa.int64()),
+                "rep_doc_id": pa.array(ids[sel], pa.int64()),
+                "rep_n_chars": pa.array(nch[sel], pa.int64()),
+                "n_members": pa.array(counts, pa.int64()),
+            }
+        )
+
+    if n_members <= MAX_DROP_BROADCAST:
+        mem = clusters_ds.to_pandas()
+        m_ids = mem["doc_id"].to_numpy(np.int64)
+        m_cl = mem["cluster_id"].to_numpy(np.int64)
+        o = np.argsort(m_ids)
+        map_ref = ray.put((m_ids[o], m_cl[o]))
+
+        def tag_members(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("doc_id"), np.int64)
+            keys, labels = ray.get(map_ref)
+            pos = np.searchsorted(keys, ids)
+            pos_c = np.minimum(pos, len(keys) - 1) if len(keys) else pos
+            is_mem = (
+                (keys[pos_c] == ids) if len(keys) else np.zeros(len(ids), bool)
+            )
+            return combiner(
+                pa.table(
+                    {
+                        "cluster_id": pa.array(labels[pos_c[is_mem]], pa.int64()),
+                        "doc_id": pa.array(ids[is_mem], pa.int64()),
+                        "n_chars": pa.array(
+                            np.asarray(batch.column("n_chars"), np.int64)[is_mem],
+                            pa.int64(),
+                        ),
+                    }
+                )
+            )
+
+        cand = corpus.map_batches(
+            tag_members, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        # over-guard arm: attach cluster_id by bucketed cogroup, then the
+        # same combiner — the corpus shuffles once as (doc_id, n_chars).
+        buckets = 256
+
+        def _bkt(v: np.ndarray) -> np.ndarray:
+            return (
+                (v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(40)
+            ) % np.uint64(buckets)
+
+        def tag_corpus(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("doc_id"), np.int64)
+            return pa.table(
+                {
+                    "_bkt": pa.array(_bkt(ids).astype(np.int64), pa.int64()),
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_chars": batch.column("n_chars"),
+                    "cluster_id": pa.array(np.full(len(ids), -1), pa.int64()),
+                }
+            )
+
+        def tag_clusters(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("doc_id"), np.int64)
+            return pa.table(
+                {
+                    "_bkt": pa.array(_bkt(ids).astype(np.int64), pa.int64()),
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_chars": pa.array(np.full(len(ids), -1), pa.int64()),
+                    "cluster_id": batch.column("cluster_id"),
+                }
+            )
+
+        union = corpus.map_batches(
+            tag_corpus, batch_format="pyarrow", zero_copy_batch=True
+        ).union(
+            clusters_ds.map_batches(
+                tag_clusters, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+
+        def join(group: pd.DataFrame) -> pa.Table:
+            mem = group[group["cluster_id"] >= 0]
+            doc = group[group["cluster_id"] < 0]
+            out = doc[["doc_id", "n_chars"]].merge(
+                mem[["doc_id", "cluster_id"]], on="doc_id"
+            )
+            return combiner(
+                pa.table(
+                    {
+                        "cluster_id": pa.array(
+                            out["cluster_id"].to_numpy(np.int64), pa.int64()
+                        ),
+                        "doc_id": pa.array(
+                            out["doc_id"].to_numpy(np.int64), pa.int64()
+                        ),
+                        "n_chars": pa.array(
+                            out["n_chars"].to_numpy(np.int64), pa.int64()
+                        ),
+                    }
+                )
+            )
+
+        cand = union.groupby("_bkt").map_groups(join, batch_format="pandas")
+
+    def finalize(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(
+            ["rep_n_chars", "rep_doc_id"], ascending=[False, True]
+        )
+        return pa.table(
+            {
+                "cluster_id": pa.array(g["cluster_id"].iloc[:1], pa.int64()),
+                "rep_doc_id": pa.array(g["rep_doc_id"].iloc[:1], pa.int64()),
+                "rep_n_chars": pa.array(g["rep_n_chars"].iloc[:1], pa.int64()),
+                "n_members": pa.array(
+                    [int(group["n_members"].sum())], pa.int64()
+                ),
+            }
+        )
+
+    return cand.groupby("cluster_id").map_groups(
+        finalize, batch_format="pandas"
+    ).sort("cluster_id")
+
+
+def q_bestrep_dedup(sf_dir: str):
+    """Keep-best-representative near-dup dedup (exact pair-graph arm):
+    for every connected near-dup cluster keep the member with the most
+    complete text — max ``n_chars``, ties → min ``doc_id`` — instead of
+    ``corpus_dedup``'s min-id canonical.  This is the policy web curation
+    pipelines use to keep the longest copy of a mirrored/truncated page
+    (CCNet keeps the highest-quality duplicate; RefinedWeb the longest).
+    Output: (cluster_id, rep_doc_id, rep_n_chars, n_members) per cluster.
+    Oracle: the shared recursive-CTE cluster body + an argmax window."""
+    return _bestrep_reps(sf_dir, q_dup_clusters(sf_dir))
+
+
+def q_bestrep_dedup_lsh(sf_dir: str):
+    """Keep-best-representative dedup, production scale path: clusters come
+    from the bucketed MinHash-LSH pair graph (no O(n²)).  Rows-only in the
+    driver (LSH estimates similarity); tests assert it equals the exact arm
+    on the test corpus, same contract as dup_clusters_lsh."""
+    return _bestrep_reps(sf_dir, q_dup_clusters_lsh(sf_dir))
+
+
 # shared recursive-CTE body: exact 3-gram Jaccard pair graph (threshold
 # 0.8) → connected components — the oracle for the cluster table, the
 # corpus-dedup projection, and the curated-corpus composition (one string
@@ -1462,6 +1660,18 @@ SQL_CORPUS_DEDUP = "WITH RECURSIVE " + _SQL_CC_CTES + r"""
 SELECT d.doc_id, d.lang
 FROM documents d LEFT JOIN clusters c USING (doc_id)
 WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+"""
+
+SQL_BESTREP_DEDUP = "WITH RECURSIVE " + _SQL_CC_CTES + r"""
+, ranked AS (
+  SELECT c.cluster_id, d.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rk,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM clusters c JOIN documents d USING (doc_id)
+)
+SELECT cluster_id, doc_id AS rep_doc_id, n_chars AS rep_n_chars, n_members
+FROM ranked WHERE rk = 1
 """
 
 

@@ -1025,6 +1025,7 @@ FROM l JOIN t USING (lang)
 
 def queries() -> dict[str, Callable]:
     return {
+        "host_quality_gate": q_host_quality_gate,  # round-5 addition: first so the driver reaches it
         "repetition_stats": q_repetition_stats,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "boilerplate_frac": q_boilerplate_frac,
@@ -1038,6 +1039,7 @@ def queries() -> dict[str, Callable]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "host_quality_gate": SQL_HOST_QUALITY_GATE,
         "repetition_stats": SQL_REPETITION_STATS,
         "boilerplate_ngrams": SQL_BOILERPLATE_NGRAMS,
         "boilerplate_frac": SQL_BOILERPLATE_FRAC,
@@ -1130,4 +1132,258 @@ per AS (
 SELECT d.doc_id, length(d.text)::BIGINT AS n_chars,
        coalesce(per.bits, 0)::BIGINT AS self_info_bits
 FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+# ---------------------------------------------------------------------------
+# 7. Host-level quality gate (RefinedWeb-style URL/host curation)
+
+# Kept-host stat rows broadcast once via ray.put behind this guard; past it
+# the gate DEGRADES to a host-hash-bucketed cogroup join (never raises) —
+# the round-4 VERDICT #2 discipline.  5M hosts x ~40 B/row ~ 200 MB.
+MAX_HOST_BROADCAST = 5_000_000
+_HOST_GATE_BUCKETS = 64
+
+
+def _hosts_for(ids):
+    """Canonical host per doc_id — extras/webcrawl's deterministic page
+    rule AFTER canonicalize_urls (lowercased, ``www.`` stripped):
+    ``site{doc_id % 7}.example.com``.  Same host space as
+    webcrawl.q_host_stats, so the two tables join.  Vectorized np.char."""
+    import numpy as np
+
+    return np.char.add(
+        np.char.add("site", (ids % 7).astype("U4")), ".example.com"
+    )
+
+
+def _host_gate_keep(n_docs: int, sum_words: int, t_docs: int, t_words: int) -> bool:
+    """Host passes when its mean tokens-per-doc >= the corpus mean, as
+    integer cross-multiplication in PYTHON ints (arbitrary precision: at
+    10^9 docs x 10^12 host tokens the int64 product overflows; the oracle
+    casts to HUGEINT for the same reason)."""
+    return int(sum_words) * int(t_docs) >= int(t_words) * int(n_docs)
+
+
+class _HostGateScorer:
+    """Second pass, broadcast arm: re-derive the host from doc_id alone and
+    attach the kept-host stats.  The stat map rides the object store once
+    (ray.put in the driver); each actor fetches it in __init__."""
+
+    def __init__(self, stats_ref):
+        import ray
+
+        self.stats = ray.get(stats_ref)  # host -> (host_n_docs, host_sum_words)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        host = _hosts_for(ids)
+        uniq, inv = np.unique(host, return_inverse=True)
+        # bounded per-uniq-host loop (distinct hosts per batch, not rows)
+        u = [self.stats.get(h) for h in uniq.tolist()]
+        u_keep = np.array([s is not None for s in u], bool)
+        u_nd = np.array([s[0] if s else 0 for s in u], np.int64)
+        u_sw = np.array([s[1] if s else 0 for s in u], np.int64)
+        keep = u_keep[inv]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "host": pa.array(host[keep].tolist(), pa.string()),
+                "host_n_docs": pa.array(u_nd[inv][keep], pa.int64()),
+                "host_sum_words": pa.array(u_sw[inv][keep], pa.int64()),
+            }
+        )
+
+
+def _host_stats(sf_dir: str):
+    """Pass 1: tokenize once, combine per batch to one partial row per host
+    per batch (the combiner-before-groupby discipline), then a host-bounded
+    groupby.  The corpus text never shuffles."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    tok = _TOKEN_RE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        texts = batch.column("text").to_pylist()
+        n_words = np.fromiter(
+            (len(tok.findall((t or "").lower())) for t in texts),
+            np.int64,
+            count=len(texts),
+        )
+        key = ids % 7
+        uniq, inv = np.unique(key, return_inverse=True)
+        sums = np.bincount(inv, weights=n_words).astype(np.int64)
+        cnts = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "host": pa.array(_hosts_for(uniq).tolist(), pa.string()),
+                "sum_words": pa.array(sums, pa.int64()),
+                "n_docs": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("host")
+        .aggregate(
+            Sum("sum_words", alias_name="sum_words"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+    )
+
+
+def q_host_quality_gate(sf_dir: str):
+    """RefinedWeb-style host-level quality gate (Penedo et al. 2023, "The
+    RefinedWeb Dataset": URL/host-level curation before document-level
+    filters): aggregate a per-document quality signal to the host, gate
+    whole hosts, keep only documents on passing hosts.
+
+    Signal: token count per document (``[a-z0-9_]+`` over lowercased text —
+    module convention).  Gate: host mean tokens-per-doc >= corpus mean,
+    evaluated as integer cross-multiplication (no float threshold, so the
+    DuckDB oracle cannot diverge on rounding; Python/HUGEINT on the two
+    sides because the int64 product overflows at web scale).
+
+    Scale shape: pass 1 tokenizes the corpus once with a per-batch host
+    combiner -> host-bounded groupby (the stat table is O(#hosts), the
+    small side by construction).  Pass 2 streams ONLY the doc_id column
+    (the host is doc_id-derived in the synthetic page identity) and joins
+    the kept-host stats either by one ray.put broadcast (<= MAX_HOST_BROADCAST
+    hosts) or, past the guard, by a host-hash bucketed cogroup — two
+    bounded exchanges of skinny rows, never a raise.
+
+    Reference intent: LightRAG ingests pre-curated text (SURVEY §2.1); this
+    gate is the web-curation front-end the brief's training-data tier
+    requires, sharing its host identity with webcrawl.q_host_stats.
+    """
+    import numpy as np
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    hs = _host_stats(sf_dir).materialize()
+    n_hosts = hs.count()
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    if n_hosts <= MAX_HOST_BROADCAST:
+        rows = hs.take_all()
+        t_docs = sum(r["n_docs"] for r in rows)
+        t_words = sum(r["sum_words"] for r in rows)
+        stats = {
+            r["host"]: (r["n_docs"], r["sum_words"])
+            for r in rows
+            if _host_gate_keep(r["n_docs"], r["sum_words"], t_docs, t_words)
+        }
+        stats_ref = ray.put(stats)
+        return docs.map_batches(
+            _HostGateScorer,
+            fn_constructor_args=(stats_ref,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+
+    # --- over-guard arm: host-hash bucketed cogroup, no broadcast -------
+    tot = hs.aggregate(
+        Sum("n_docs", alias_name="t_docs"), Sum("sum_words", alias_name="t_words")
+    )
+    t_docs, t_words = int(tot["t_docs"]), int(tot["t_words"])
+
+    def kept_stats(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        hosts = batch.column("host").to_pylist()
+        nd = batch.column("n_docs").to_pylist()
+        sw = batch.column("sum_words").to_pylist()
+        # Python-int gate over HOST rows only (the small side) — exempt
+        # from the no-row-loop rule for the overflow reason above.
+        keep = [
+            i
+            for i in range(len(hosts))
+            if _host_gate_keep(nd[i], sw[i], t_docs, t_words)
+        ]
+        return pa.table(
+            {
+                "host": pa.array([hosts[i] for i in keep], pa.string()),
+                "doc_id": pa.array([-1] * len(keep), pa.int64()),
+                "host_n_docs": pa.array([nd[i] for i in keep], pa.int64()),
+                "host_sum_words": pa.array([sw[i] for i in keep], pa.int64()),
+                "_bkt": pa.array(
+                    [
+                        zlib.crc32(hosts[i].encode()) % _HOST_GATE_BUCKETS
+                        for i in keep
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        host = _hosts_for(ids)
+        uniq, inv = np.unique(host, return_inverse=True)
+        u_bkt = np.array(
+            [zlib.crc32(h.encode()) % _HOST_GATE_BUCKETS for h in uniq.tolist()],
+            np.int64,
+        )
+        zero = np.zeros(len(ids), np.int64)
+        return pa.table(
+            {
+                "host": pa.array(host.tolist(), pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "host_n_docs": pa.array(zero, pa.int64()),
+                "host_sum_words": pa.array(zero, pa.int64()),
+                "_bkt": pa.array(u_bkt[inv], pa.int64()),
+            }
+        )
+
+    union = hs.map_batches(
+        kept_stats, batch_format="pyarrow", zero_copy_batch=True
+    ).union(docs.map_batches(doc_rows, batch_format="pyarrow", zero_copy_batch=True))
+
+    def join(group) -> pa.Table:
+        stats = group[group["doc_id"] < 0]
+        docs_g = group[group["doc_id"] >= 0]
+        out = docs_g[["doc_id", "host"]].merge(
+            stats[["host", "host_n_docs", "host_sum_words"]], on="host"
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(np.int64), pa.int64()),
+                "host": pa.array(out["host"].tolist(), pa.string()),
+                "host_n_docs": pa.array(
+                    out["host_n_docs"].to_numpy(np.int64), pa.int64()
+                ),
+                "host_sum_words": pa.array(
+                    out["host_sum_words"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return union.groupby("_bkt").map_groups(join, batch_format="pandas")
+
+
+SQL_HOST_QUALITY_GATE = """
+WITH q AS (
+  SELECT doc_id,
+         'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+         len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_words
+  FROM documents
+),
+h AS (
+  SELECT host, count(*) AS host_n_docs, sum(n_words) AS host_sum_words
+  FROM q GROUP BY host
+),
+t AS (SELECT sum(host_n_docs) AS t_docs, sum(host_sum_words) AS t_words FROM h)
+SELECT q.doc_id, q.host, h.host_n_docs, h.host_sum_words
+FROM q JOIN h USING (host), t
+WHERE h.host_sum_words::HUGEINT * t.t_docs >= t.t_words::HUGEINT * h.host_n_docs
 """

@@ -1047,3 +1047,24 @@ def test_semdedup_corpus_matches_keep_policy(ray_session):
     got = C.q_semdedup_corpus(SF_DIR).to_pandas()
     assert set(got["doc_id"].tolist()) == expect
     assert set(got.columns) == {"doc_id", "lang"}
+
+
+def test_bestrep_dedup_lsh_equals_exact(ray_session):
+    """LSH-fed cluster reps must equal the exact-pair-graph reps on the
+    test corpus (recall 1.0 at the 0.8 threshold), same contract as
+    dup_clusters_lsh."""
+    exact = _normalize(C.q_bestrep_dedup(SF_DIR).to_pandas())
+    lsh = _normalize(C.q_bestrep_dedup_lsh(SF_DIR).to_pandas())
+    pd.testing.assert_frame_equal(exact, lsh, check_dtype=False)
+
+
+def test_bestrep_dedup_over_guard_uses_cogroup_arm(ray_session, monkeypatch):
+    """Past the member-map broadcast guard the bestrep pass degrades to the
+    doc_id-hash bucketed cogroup and must produce the identical table."""
+    base = _normalize(C.q_bestrep_dedup(SF_DIR).to_pandas())
+    monkeypatch.setattr(C, "MAX_DROP_BROADCAST", 0)
+    fb = _normalize(C.q_bestrep_dedup(SF_DIR).to_pandas())
+    pd.testing.assert_frame_equal(base, fb, check_dtype=False)
+    # the policy differs from min-id canonical: at least one rep is not its
+    # cluster's min doc_id on this corpus (longest-copy wins)
+    assert (base["rep_doc_id"] != base["cluster_id"]).any()

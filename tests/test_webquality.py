@@ -219,3 +219,42 @@ def test_char_entropy_bits_hand_computed(ray_session, tmp_path):
     assert rows[0] == {"doc_id": 0, "n_chars": 3, "self_info_bits": 1}
     assert rows[1] == {"doc_id": 1, "n_chars": 4, "self_info_bits": 0}
     assert rows[2] == {"doc_id": 2, "n_chars": 0, "self_info_bits": 0}
+
+
+def test_host_quality_gate_hand_computed(ray_session, tmp_path):
+    """7 hosts keyed doc_id % 7; docs 0..6 so one doc per host.  Tokens per
+    doc: host h gets h+1 words -> corpus mean = 4; kept hosts are h >= 3
+    (mean-per-host >= corpus mean via integer cross-multiplication)."""
+    texts = [" ".join(["w"] * (h + 1)) for h in range(7)]
+    sf = _write_docs(tmp_path, texts)
+    out = W.q_host_quality_gate(sf).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [3, 4, 5, 6]
+    assert out["host"].tolist() == [f"site{h}.example.com" for h in (3, 4, 5, 6)]
+    assert out["host_n_docs"].tolist() == [1, 1, 1, 1]
+    assert out["host_sum_words"].tolist() == [4, 5, 6, 7]
+
+
+def test_host_gate_keep_python_ints_no_overflow():
+    # web-scale products overflow int64; the gate must use Python ints
+    assert W._host_gate_keep(10**9, 10**12 * 10, 10**9, 10**12)
+    assert not W._host_gate_keep(10**9, 10**11, 10**9, 10**12)
+
+
+def test_host_quality_gate_over_guard_uses_cogroup_arm(
+    ray_session, tmp_path, monkeypatch
+):
+    """Past the broadcast guard the gate degrades to the host-hash bucketed
+    cogroup join and must produce the identical table."""
+    texts = [" ".join(["w"] * ((i * 13) % 29 + 1)) for i in range(40)]
+    sf = _write_docs(tmp_path, texts)
+    base = (
+        W.q_host_quality_gate(sf).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(W, "MAX_HOST_BROADCAST", 0)
+    fb = (
+        W.q_host_quality_gate(sf).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, fb[base.columns], check_dtype=False)
+    assert 0 < len(base) < 40  # the gate actually discriminates
