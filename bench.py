@@ -284,6 +284,15 @@ def run_dedup_legs() -> dict:
         out[name] = round(time.perf_counter() - t0, 3)
         out[f"{name}_rows"] = n
         out[f"{name}_cc_iters"] = cc.get("cc_iterations")
+    # keep-best-representative policy over the same LSH cluster chain
+    # (round-5 addition): measures the rep-argmax pass on top of the chain
+    t0 = time.perf_counter()
+    try:
+        n = X.q_bestrep_dedup_lsh(sf_like).count()
+        out["bestrep_dedup_lsh"] = round(time.perf_counter() - t0, 3)
+        out["bestrep_dedup_lsh_rows"] = n
+    except Exception as ex:
+        out["bestrep_dedup_lsh_error"] = repr(ex)[:300]
     # Signature-transport comparison at bench scale (round-4 VERDICT next
     # #1 done-criterion): the broadcast arm (the under-guard default here)
     # vs the sharded pair→sig hash-join arm that the >8M-doc regime runs.
@@ -332,6 +341,7 @@ def run_webquality_legs() -> dict:
         ("pii_scan", WQ.q_pii_scan),
         ("lm_quality", WQ.q_lm_quality),
         ("ccnet_buckets", WQ.q_ccnet_buckets),
+        ("host_quality_gate", WQ.q_host_quality_gate),
         ("dsir_select", X.q_dsir_select),
         ("seq_pack", _seq_pack_leg),
         ("passage_dedup_docs", PS.q_passage_dedup_docs),

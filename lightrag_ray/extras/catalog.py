@@ -960,6 +960,7 @@ def queries() -> dict[str, Callable]:
     return {
         "bestrep_dedup": q_bestrep_dedup,  # round-5: keep-longest duplicate policy
         "bestrep_dedup_lsh": q_bestrep_dedup_lsh,  # rows-only (LSH arm; exact = bestrep_dedup)
+        "lsh_delta_pairs": q_lsh_delta_pairs,  # rows-only (incremental LSH maintenance; ≡ full-run subset, tested)
         "semdedup": q_semdedup,  # rows-only (k-means SemDeDup; brute-force agreement test)
         "semdedup_corpus": q_semdedup_corpus,  # rows-only (SemDeDup-pruned corpus)
         **webquality.queries(),
@@ -1599,6 +1600,16 @@ def _bestrep_reps(sf_dir: str, clusters_ds):
     return cand.groupby("cluster_id").map_groups(
         finalize, batch_format="pandas"
     ).sort("cluster_id")
+
+
+def q_lsh_delta_pairs(sf_dir: str):
+    """Incremental LSH dedup maintenance: pairs touching the deterministic
+    10% refresh delta (doc_id % 10 == 0), probed against the persisted
+    band-bucket index of the base corpus — per-refresh cost O(delta), not
+    O(corpus).  Rows-only in the driver (LSH is approximate); the pinned
+    contract (tests) is byte-equality with ``minhash_lsh_pairs`` restricted
+    to delta-touching pairs."""
+    return dedup.lsh_delta_pairs(sf_dir, threshold=0.5)
 
 
 def q_bestrep_dedup(sf_dir: str):

@@ -988,6 +988,302 @@ def _lsh_pairs_grid_arm(
 # exact n-gram Jaccard pairs (broadcast baseline; oracle for LSH)
 
 
+# ---------------------------------------------------------------------------
+# Incremental LSH maintenance: crawl-refresh deltas probe a PERSISTED
+# band-bucket index instead of recomputing the full pair graph.
+
+_DELTA_INDEX_BUCKETS = 64  # hb partitions of the persisted band index
+_DELTA_MOD = 10  # deterministic refresh delta: doc_id % 10 == 0 (10%)
+
+
+def _lsh_band_index_dir(
+    sf_dir: str, num_perm: int, shingle_k: int, bands: int, delta_mod: int
+) -> str:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), "lightrag_ray_lshindex",
+        f"{tag}_p{num_perm}_k{shingle_k}_b{bands}_m{delta_mod}",
+    )
+
+
+def _delta_split_fn(delta_mod: int, want_delta: bool):
+    """Batch filter selecting the refresh delta (doc_id % delta_mod == 0)
+    or its complement — the deterministic base/delta split, same
+    doc_id-mod precedent as webcrawl's CDC rule."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").combine_chunks(), np.int64)
+        return batch.filter(pa.array((ids % delta_mod == 0) == want_delta))
+
+    return f
+
+
+def _hb_of(band_hash: np.ndarray) -> np.ndarray:
+    return (
+        band_hash.view(np.uint64) % np.uint64(_DELTA_INDEX_BUCKETS)
+    ).astype(np.int64)
+
+
+def build_lsh_band_index(
+    sf_dir: str,
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    bands: int = 16,
+    delta_mod: int = _DELTA_MOD,
+) -> str:
+    """Persist the BASE corpus's LSH state once (idempotent via marker,
+    same contract as ivf_build_index / _bm25_build_tf):
+
+    * ``sigs/`` — the narrow (doc_id, sig) table (8 + 4·num_perm B/doc);
+    * ``bands/hb=<h>/`` — sig-FREE band rows (band_id, band_hash, doc_id)
+      Hive-partitioned by band-hash bucket, so a refresh probe reads ONLY
+      the partitions its delta rows hash into.
+
+    This is the state that makes dedup maintenance O(delta) per crawl
+    refresh: the base text is tokenized/hashed exactly once across all
+    future refreshes."""
+    import json
+    import shutil
+
+    import ray.data as rd
+
+    out = _lsh_band_index_dir(sf_dir, num_perm, shingle_k, bands, delta_mod)
+    marker = os.path.join(out, "_LSH_INDEX.json")
+    if os.path.exists(marker):
+        return out
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+
+    base_sigs = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .map_batches(
+            _delta_split_fn(delta_mod, want_delta=False),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .map_batches(
+            _make_sig_rows_fn(num_perm, shingle_k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    base_sigs.write_parquet(os.path.join(out, "sigs"))
+    rows_per_band = num_perm // bands
+
+    def to_band_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").combine_chunks(), np.int64)
+        mat = _sig_col_to_u32(batch.column("sig"), num_perm)
+        t = _band_rows_from_sig_matrix(ids, mat, bands, rows_per_band)
+        hb = _hb_of(np.asarray(t.column("band_hash"), np.int64))
+        return pa.table(
+            {
+                "hb": pa.array(hb, pa.int64()),
+                "band_id": t.column("band_id"),
+                "band_hash": t.column("band_hash"),
+                "doc_id": t.column("doc_id"),
+            }
+        )
+
+    rd.read_parquet(os.path.join(out, "sigs")).map_batches(
+        to_band_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(os.path.join(out, "bands"), partition_cols=["hb"])
+    with open(marker, "w") as f:
+        json.dump(
+            {"num_perm": num_perm, "shingle_k": shingle_k, "bands": bands,
+             "delta_mod": delta_mod}, f,
+        )
+    return out
+
+
+def lsh_delta_pairs(
+    sf_dir: str,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    delta_mod: int = _DELTA_MOD,
+    max_bucket: int = 200,
+):
+    """Incremental near-dup maintenance: find every LSH pair TOUCHING the
+    refresh delta (doc_id % delta_mod == 0) without recomputing the full
+    pair graph — the crawl-refresh regime, where re-running
+    :func:`minhash_lsh_pairs` over 10⁹ unchanged docs per refresh is the
+    wrong cost model.
+
+    Contract (tested): output == ``minhash_lsh_pairs(sf_dir, threshold)``
+    restricted to pairs with ≥1 delta member, byte-identical — the bucket
+    enumeration is one order-independent lexsort, so giving the enumerator
+    a bucket's FULL membership (persisted base rows + delta rows) and then
+    filtering to delta-touching pairs reproduces the full run exactly,
+    including the ``head(max_bucket)`` truncation members and the
+    cross-band min-truncated dedup (every bucket containing a delta pair
+    contains its delta row, so the probe sees all of that pair's bucket
+    occurrences).
+
+    Scale shape: the base corpus is touched only through the persisted
+    index (band partitions are READ per probed ``hb``, pruned to the
+    delta's (band_id, band_hash) buckets before enumeration; base text is
+    never re-tokenized).  Only delta docs are hashed per refresh; the
+    delta band rows are the ONLY rows that shuffle (one ``hb`` exchange);
+    candidate pairs then get signatures by the sharded arm's two bucketed
+    cogroup passes against (persisted base sigs ∪ delta sigs), est fused
+    into the second pass.  Per-refresh cost is O(delta + touched buckets),
+    not O(corpus)."""
+    import ray.data as rd
+
+    idx = build_lsh_band_index(sf_dir, num_perm, shingle_k, bands, delta_mod)
+    rows_per_band = num_perm // bands
+
+    delta_sigs = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .map_batches(
+            _delta_split_fn(delta_mod, want_delta=True),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .map_batches(
+            _make_sig_rows_fn(num_perm, shingle_k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+
+    def delta_band_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").combine_chunks(), np.int64)
+        mat = _sig_col_to_u32(batch.column("sig"), num_perm)
+        t = _band_rows_from_sig_matrix(ids, mat, bands, rows_per_band)
+        hb = _hb_of(np.asarray(t.column("band_hash"), np.int64))
+        return pa.table(
+            {
+                "hb": pa.array(hb, pa.int64()),
+                "band_id": t.column("band_id"),
+                "band_hash": t.column("band_hash"),
+                "doc_id": t.column("doc_id"),
+            }
+        )
+
+    bands_dir = os.path.join(idx, "bands")
+
+    def probe(group: pa.Table) -> pa.Table:
+        """One hb partition: delta band rows + the persisted base rows of
+        the same partition, pruned to the delta's buckets, enumerated with
+        the shared kernel, filtered to delta-touching pairs."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        d_band = np.asarray(group.column("band_id"), np.int32)
+        d_hash = np.asarray(group.column("band_hash"), np.int64)
+        d_doc = np.asarray(group.column("doc_id"), np.int64)
+        if not len(d_doc):
+            return _EMPTY_CAND
+        hb = int(_hb_of(d_hash[:1])[0])
+        files = sorted(
+            glob.glob(os.path.join(bands_dir, f"hb={hb}", "*.parquet"))
+        )
+        if files:
+            t = pq.read_table(files, columns=["band_id", "band_hash", "doc_id"])
+            b_band = np.asarray(t.column("band_id").combine_chunks(), np.int32)
+            b_hash = np.asarray(t.column("band_hash").combine_chunks(), np.int64)
+            b_doc = np.asarray(t.column("doc_id").combine_chunks(), np.int64)
+            # prune base rows to buckets the delta actually probes.  The
+            # (hash<<4 | band) key wraps mod 2^64 — a collision only ADDS
+            # base rows whose true bucket differs, and the enumerator
+            # groups by the exact (band_id, band_hash), so extras cost
+            # time, never correctness.
+            dkey = (d_hash.view(np.uint64) << np.uint64(4)) | d_band.astype(
+                np.uint64
+            )
+            bkey = (b_hash.view(np.uint64) << np.uint64(4)) | b_band.astype(
+                np.uint64
+            )
+            dkey_sorted = np.sort(np.unique(dkey))
+            pos = np.clip(
+                np.searchsorted(dkey_sorted, bkey), 0, len(dkey_sorted) - 1
+            )
+            hit = dkey_sorted[pos] == bkey
+            band = np.concatenate([d_band, b_band[hit]])
+            bhash = np.concatenate([d_hash, b_hash[hit]])
+            doc = np.concatenate([d_doc, b_doc[hit]])
+        else:
+            band, bhash, doc = d_band, d_hash, d_doc
+        _ord, d, IA, IB, TR = _enumerate_bucket_pairs(
+            band, bhash.astype(np.int64), doc, max_bucket
+        )
+        if not len(IA):
+            return _EMPTY_CAND
+        keep = (d[IA] != d[IB]) & (
+            (d[IA] % delta_mod == 0) | (d[IB] % delta_mod == 0)
+        )
+        return pa.table(
+            {
+                "doc_a": pa.array(d[IA[keep]], pa.int64()),
+                "doc_b": pa.array(d[IB[keep]], pa.int64()),
+                "truncated": pa.array(TR[keep], pa.bool_()),
+            }
+        )
+
+    raw = (
+        delta_sigs.map_batches(
+            delta_band_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("hb")
+        .map_groups(probe, batch_format="pyarrow")
+    ).materialize()
+    n_raw = raw.count()
+
+    cand = _dedup_pairs(raw, max_col=None, min_col="truncated")
+    sig_all = delta_sigs.union(rd.read_parquet(os.path.join(idx, "sigs")))
+    buckets = max(64, min(8192, n_raw // _SIG_ATTACH_PAIRS_PER_BUCKET + 1))
+
+    def score(batch: pa.Table) -> pa.Table:
+        sa = _sig_col_to_u32(batch.column("sig_a"), num_perm)
+        sb = _sig_col_to_u32(batch.column("sig_b"), num_perm)
+        est = (sa == sb).mean(axis=1) if len(sa) else np.empty(0, np.float64)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(
+                    np.asarray(batch.column("doc_a"), np.int64)[keep], pa.int64()
+                ),
+                "doc_b": pa.array(
+                    np.asarray(batch.column("doc_b"), np.int64)[keep], pa.int64()
+                ),
+                "est_jaccard": pa.array(np.round(est[keep], 4), pa.float64()),
+                "truncated": pa.array(
+                    np.asarray(batch.column("truncated"), bool)[keep], pa.bool_()
+                ),
+            }
+        )
+
+    cand_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("truncated", pa.bool_())]
+    )
+    j1 = _attach_sig_bucketed(cand, sig_all, "doc_a", "sig_a", num_perm,
+                              buckets, pair_schema=cand_schema)
+    return _attach_sig_bucketed(
+        j1, sig_all, "doc_b", "sig_b", num_perm, buckets, finish=score,
+        pair_schema=cand_schema.append(pa.field("sig_a", pa.binary(num_perm * 4))),
+    )
+
+
+_EMPTY_CAND = pa.table(
+    {
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "truncated": pa.array([], pa.bool_()),
+    }
+)
+
+
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, k: int = 3):
     import ray
     import ray.data as rd

@@ -1068,3 +1068,60 @@ def test_bestrep_dedup_over_guard_uses_cogroup_arm(ray_session, monkeypatch):
     # the policy differs from min-id canonical: at least one rep is not its
     # cluster's min doc_id on this corpus (longest-copy wins)
     assert (base["rep_doc_id"] != base["cluster_id"]).any()
+
+
+def test_lsh_delta_pairs_equals_full_run_subset(ray_session, tmp_path, monkeypatch):
+    """The incremental probe's pinned contract: byte-equality with the full
+    minhash_lsh_pairs run restricted to pairs touching the refresh delta
+    (doc_id % 10 == 0) — same est values, same truncated flags."""
+    import os
+    import shutil
+    import tempfile
+
+    from lightrag_ray.extras import dedup as D
+
+    shutil.rmtree(
+        os.path.join(tempfile.gettempdir(), "lightrag_ray_lshindex"),
+        ignore_errors=True,
+    )
+    full = D.minhash_lsh_pairs(SF_DIR, threshold=0.5).to_pandas()
+    sub = _normalize(full[(full.doc_a % 10 == 0) | (full.doc_b % 10 == 0)])
+    probe = _normalize(C.q_lsh_delta_pairs(SF_DIR).to_pandas())
+    assert len(sub) > 0  # the contract is non-vacuous on the test corpus
+    pd.testing.assert_frame_equal(sub, probe, check_dtype=False)
+    # second call must reuse the persisted index (idempotent marker)
+    idx = D._lsh_band_index_dir(SF_DIR, 64, 5, 16, 10)
+    marker_mtime = os.path.getmtime(os.path.join(idx, "_LSH_INDEX.json"))
+    probe2 = _normalize(C.q_lsh_delta_pairs(SF_DIR).to_pandas())
+    pd.testing.assert_frame_equal(probe, probe2, check_dtype=False)
+    assert os.path.getmtime(os.path.join(idx, "_LSH_INDEX.json")) == marker_mtime
+
+
+def test_lsh_delta_pairs_crafted_base_delta_dup(ray_session, tmp_path):
+    """A delta doc (id 10) duplicating a base doc (id 3) must surface with
+    est 1.0; base-base duplicates (ids 1, 2) must NOT appear."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lightrag_ray.extras import dedup as D
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    texts = {
+        1: "base duplicate pair one shared text content here",
+        2: "base duplicate pair one shared text content here",
+        3: dup,
+        10: dup,  # delta member (10 % 10 == 0)
+        7: "completely unrelated filler words nothing matches at all",
+    }
+    table = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmp_path, "documents.parquet"))
+    out = D.lsh_delta_pairs(str(tmp_path), threshold=0.5).to_pandas()
+    assert [(r.doc_a, r.doc_b) for r in out.itertuples()] == [(3, 10)]
+    assert out["est_jaccard"].iloc[0] == 1.0
