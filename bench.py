@@ -30,7 +30,7 @@ WORK = os.environ.get("BENCH_WORK_DIR", "/tmp/lightrag_bench")
 
 TIMED_QUERIES = ["doc_chunk_stats", "kg_nodes_simple", "exact_dedup", "knn_top10",
                  "simhash", "minhash_lsh_pairs", "embedding_lsh_pairs",
-                 "knn_ivf_top10"]
+                 "knn_ivf_top10", "knn_ivf_delta_top10"]
 
 
 def _pages_dir(k_lo: int = 0, k_hi: int | None = None) -> str:
@@ -293,6 +293,25 @@ def run_dedup_legs() -> dict:
         out["bestrep_dedup_lsh_rows"] = n
     except Exception as ex:
         out["bestrep_dedup_lsh_error"] = repr(ex)[:300]
+    # incremental LSH maintenance (round-5): one-time base index build vs
+    # the per-refresh delta probe — the crawl-refresh cost model
+    import shutil
+    import tempfile
+
+    shutil.rmtree(
+        os.path.join(tempfile.gettempdir(), "lightrag_ray_lshindex"),
+        ignore_errors=True,
+    )
+    try:
+        t0 = time.perf_counter()
+        D.build_lsh_band_index(sf_like)
+        out["lsh_delta_index_build"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        n = D.lsh_delta_pairs(sf_like).count()
+        out["lsh_delta_probe"] = round(time.perf_counter() - t0, 3)
+        out["lsh_delta_probe_rows"] = n
+    except Exception as ex:
+        out["lsh_delta_error"] = repr(ex)[:300]
     # Signature-transport comparison at bench scale (round-4 VERDICT next
     # #1 done-criterion): the broadcast arm (the under-guard default here)
     # vs the sharded pair→sig hash-join arm that the >8M-doc regime runs.

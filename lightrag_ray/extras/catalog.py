@@ -194,6 +194,18 @@ def q_ivf_assignments(sf_dir: str):
     return dedup.ivf_assignments(sf_dir)
 
 
+def q_ivf_delta_assign(sf_dir: str):
+    # incremental index maintenance: the refresh delta's list assignments
+    # against the PERSISTED base quantizer (train-nothing, O(delta)/refresh)
+    return dedup.ivf_delta_assign(sf_dir)
+
+
+def q_knn_ivf_delta(sf_dir: str):
+    # search over the incrementally-maintained (base build + delta append)
+    # index; full-probe exactness vs brute force is pinned in tests
+    return dedup.knn_ivf_delta_topk(sf_dir, k=10, nprobe=4)
+
+
 def q_semdedup(sf_dir: str):
     # eps=0.55 (duplicate when cosine >= 0.45 — the embedding_near_dup
     # threshold) so the keep/drop election is actually exercised on the
@@ -1003,6 +1015,8 @@ def queries() -> dict[str, Callable]:
         "knn_lsh_top10": q_knn_lsh,  # rows-only (ANN; exact = knn_top10)
         "knn_ivf_top10": q_knn_ivf,  # rows-only (IVF ANN; exact = knn_top10)
         "ivf_assignments": q_ivf_assignments,  # rows-only (k-means quantizer)
+        "ivf_delta_assign": q_ivf_delta_assign,  # rows-only (incremental IVF; contract-tested vs full assign)
+        "knn_ivf_delta_top10": q_knn_ivf_delta,  # rows-only (maintained-index ANN; exact = knn_top10 at full probe)
         "langid": q_langid,
         "length_quantiles": textstats.length_quantiles,
         "heavy_hitters": textstats.heavy_hitters,

@@ -1871,7 +1871,10 @@ def connected_components(
 
 
 def _ivf_training_sample(
-    sf_dir: str, max_train: int = 4096, oversample: float = 4.0
+    sf_dir: str,
+    max_train: int = 4096,
+    oversample: float = 4.0,
+    exclude_delta_mod: int | None = None,
 ) -> np.ndarray:
     """The first ``max_train`` embedding rows by splitmix64-of-vec_id order,
     found WITHOUT materializing the table: a streamed hash-threshold filter
@@ -1899,8 +1902,14 @@ def _ivf_training_sample(
         cutoff = np.uint64(min(int(frac * 2.0**64), 0xFFFFFFFFFFFFFFFF))
 
         def pick(batch: pa.Table, _cut=cutoff) -> pa.Table:
-            ids = np.asarray(batch.column("vec_id"), np.int64).view(np.uint64)
-            return batch.filter(pa.array(_mix64(ids) <= _cut))
+            ids = np.asarray(batch.column("vec_id"), np.int64)
+            keep = _mix64(ids.view(np.uint64)) <= _cut
+            if exclude_delta_mod:
+                # base-only training for the incremental-index path: the
+                # quantizer must be a function of the BASE corpus alone so a
+                # refresh never retrains (same split rule as lsh_delta_pairs)
+                keep &= ids % exclude_delta_mod != 0
+            return batch.filter(pa.array(keep))
 
         pool = rd.read_parquet(path, columns=["vec_id", "embedding"]).map_batches(
             pick, batch_format="pyarrow", zero_copy_batch=True
@@ -1921,13 +1930,14 @@ def ivf_train_centroids(
     n_lists: int = 16,
     max_train: int = 4096,
     n_iters: int = 10,
+    exclude_delta_mod: int | None = None,
 ) -> np.ndarray:
     """Deterministic coarse quantizer: stream-sampled training vectors
     (first ``max_train`` by splitmix64-of-vec_id order — any run picks the same
     set), seeded k-means++-lite init, ``n_iters`` Lloyd rounds on unit
     vectors.  Returns (n_lists, dim) unit-normalized centroids.  Runs ONCE
     on the driver; callers ship the result via ``ray.put``."""
-    mat = _ivf_training_sample(sf_dir, max_train)
+    mat = _ivf_training_sample(sf_dir, max_train, exclude_delta_mod=exclude_delta_mod)
     norms = np.linalg.norm(mat, axis=1)
     unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
 
@@ -2046,7 +2056,11 @@ def _ivf_probe_paths(index_dir: str, probe_lists) -> list:
 
 
 def _ivf_query_probe(
-    sf_dir: str, query_vec_id: int, n_lists: int, nprobe: int
+    sf_dir: str,
+    query_vec_id: int,
+    n_lists: int,
+    nprobe: int,
+    cents: np.ndarray | None = None,
 ) -> tuple:
     """(query unit vector, the nprobe list ids its search reads).  The query
     row itself comes out of a predicate-pushdown Parquet read (row-group
@@ -2062,7 +2076,8 @@ def _ivf_query_probe(
         raise ValueError(f"vec_id {query_vec_id}: {q_table.num_rows} rows")
     q_vec = np.array(q_table.column("embedding")[0].as_py(), dtype=np.float64)
     q_unit = q_vec / np.linalg.norm(q_vec)
-    cents = _ivf_centroids(sf_dir, n_lists)
+    if cents is None:
+        cents = _ivf_centroids(sf_dir, n_lists)
     probe = np.argsort(-(cents @ q_unit))[:nprobe].tolist()
     return q_unit, probe
 
@@ -2109,6 +2124,206 @@ def knn_ivf_topk(
     return (
         rd.read_parquet(
             _ivf_probe_paths(index_dir, probe), columns=["vec_id", "embedding"]
+        )
+        .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["sim", "vec_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF maintenance — the embedding-index counterpart of
+# build_lsh_band_index / lsh_delta_pairs above (same deterministic refresh
+# split: id % delta_mod == 0 is the delta).  At 100-TB scale the vector
+# index is long-lived state a crawl refresh APPENDS to; rebuilding it per
+# refresh re-embeds and re-assigns 10⁹ unchanged vectors.  The contract
+# here: the coarse quantizer is a function of the BASE corpus alone and is
+# PERSISTED with the index, so a refresh (a) trains nothing, (b) streams
+# only delta rows through the assignment kernel, and (c) appends its rows
+# to the existing list_id partitions — Parquet file names are unique per
+# write, so an append never rewrites base bytes and a failed refresh is
+# re-run from its marker.  Search over the maintained index is exactly
+# knn_ivf_topk's pruned-partition read.
+# (Reference intent: lightrag/kg/faiss_impl.py upserts vectors into a
+# persisted FAISS index incrementally; this is that lifecycle, Ray-shaped.)
+
+
+def _ivf_delta_index_dir(sf_dir: str, n_lists: int, delta_mod: int) -> str:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), "lightrag_ray_ivfdelta",
+        f"{tag}_n{n_lists}_m{delta_mod}",
+    )
+
+
+def _vec_delta_split_fn(delta_mod: int, want_delta: bool):
+    """embeddings-table refresh split: vec_id % delta_mod == 0 is the delta
+    (the vec_id analogue of _delta_split_fn's doc_id rule)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").combine_chunks(), np.int64)
+        return batch.filter(pa.array((ids % delta_mod == 0) == want_delta))
+
+    return f
+
+
+def build_ivf_base_index(
+    sf_dir: str, n_lists: int = 16, delta_mod: int = _DELTA_MOD
+) -> str:
+    """Persist the BASE IVF index once (idempotent via marker): centroids
+    trained from a streamed base-only sample are stored IN the marker (the
+    quantizer is index state, not session state — a refresh in a new
+    process must not retrain), and base (vec_id, embedding) rows land
+    Hive-partitioned by ``list_id`` under ``lists/``."""
+    import json
+    import shutil
+
+    import ray
+    import ray.data as rd
+
+    out = _ivf_delta_index_dir(sf_dir, n_lists, delta_mod)
+    marker = os.path.join(out, "_IVF_BASE.json")
+    if os.path.exists(marker):
+        return out
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out, exist_ok=True)
+
+    cents = ivf_train_centroids(sf_dir, n_lists, exclude_delta_mod=delta_mod)
+    cents_ref = ray.put(cents)
+    rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(
+        _vec_delta_split_fn(delta_mod, want_delta=False),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(
+        _make_ivf_assign_fn(cents_ref, with_embedding=True),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).write_parquet(os.path.join(out, "lists"), partition_cols=["list_id"])
+    with open(marker, "w") as f:
+        json.dump(
+            {"n_lists": n_lists, "delta_mod": delta_mod,
+             "centroids": cents.tolist()}, f,
+        )
+    return out
+
+
+def _ivf_persisted_centroids(index_dir: str) -> np.ndarray:
+    import json
+
+    with open(os.path.join(index_dir, "_IVF_BASE.json")) as f:
+        return np.array(json.load(f)["centroids"], dtype=np.float64)
+
+
+def ivf_delta_assign(
+    sf_dir: str, n_lists: int = 16, delta_mod: int = _DELTA_MOD
+):
+    """The refresh's assignment pass: ONLY delta rows (vec_id % delta_mod
+    == 0) stream through the nearest-centroid kernel, against the
+    PERSISTED base quantizer — per-refresh cost is O(delta), the base
+    corpus is touched only through its marker.  Returns (vec_id, list_id);
+    byte-identical to assigning the full corpus with the same centroids
+    and filtering to the delta (tested)."""
+    import ray
+    import ray.data as rd
+
+    idx = build_ivf_base_index(sf_dir, n_lists, delta_mod)
+    cents_ref = ray.put(_ivf_persisted_centroids(idx))
+    return rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(
+        _vec_delta_split_fn(delta_mod, want_delta=True),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(
+        _make_ivf_assign_fn(cents_ref, with_embedding=False),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def ivf_delta_add(
+    sf_dir: str, n_lists: int = 16, delta_mod: int = _DELTA_MOD
+) -> str:
+    """Append the refresh delta to the persisted index (idempotent via its
+    own marker): delta (vec_id, embedding) rows are written into the SAME
+    ``lists/list_id=<l>`` partitions — new uniquely-named Parquet files
+    alongside the base ones, never a rewrite.  After this, a probe over
+    the maintained index sees base ∪ delta with zero base bytes moved."""
+    import json
+
+    import ray
+    import ray.data as rd
+
+    idx = build_ivf_base_index(sf_dir, n_lists, delta_mod)
+    marker = os.path.join(idx, "_IVF_DELTA.json")
+    if os.path.exists(marker):
+        return idx
+    cents_ref = ray.put(_ivf_persisted_centroids(idx))
+    delta = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(
+        _vec_delta_split_fn(delta_mod, want_delta=True),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(
+        _make_ivf_assign_fn(cents_ref, with_embedding=True),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    delta.write_parquet(os.path.join(idx, "lists"), partition_cols=["list_id"])
+    with open(marker, "w") as f:
+        json.dump({"delta_mod": delta_mod}, f)
+    return idx
+
+
+def knn_ivf_delta_topk(
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    delta_mod: int = _DELTA_MOD,
+):
+    """Top-k cosine search over the incrementally-maintained index (base
+    build + delta append, both idempotent): identical pruned-partition
+    read shape as knn_ivf_topk, probing the PERSISTED base quantizer.
+    Exact at nprobe=n_lists (tested against brute force) regardless of
+    where the quantizer was trained."""
+    import ray
+    import ray.data as rd
+
+    idx = ivf_delta_add(sf_dir, n_lists, delta_mod)
+    cents = _ivf_persisted_centroids(idx)
+    q_unit, probe = _ivf_query_probe(
+        sf_dir, query_vec_id, n_lists, nprobe, cents=cents
+    )
+    q_ref = ray.put(q_unit)
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = np.asarray(batch.column("vec_id"), np.int64)
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
+        keep = ids != query_vec_id
+        sims = unit[keep] @ q
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], pa.int64()),
+                "sim": pa.array(np.round(sims, 4), pa.float64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            _ivf_probe_paths(os.path.join(idx, "lists"), probe),
+            columns=["vec_id", "embedding"],
         )
         .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
         .sort(["sim", "vec_id"], descending=[True, False])

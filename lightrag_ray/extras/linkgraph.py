@@ -1358,6 +1358,7 @@ def queries() -> dict[str, Callable]:
         "hits_top20": q_hits_top20,
         "host_graph": q_host_graph,
         "link_components": q_link_components,
+        "lpa_communities": q_lpa_communities,
     }
 
 
@@ -1374,6 +1375,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_top20": _sql_hits(),
         "host_graph": SQL_HOST_GRAPH,
         "link_components": SQL_LINK_COMPONENTS,
+        "lpa_communities": _sql_lpa(),
     }
 
 
@@ -1806,3 +1808,290 @@ SELECT cluster_id, count(*)::BIGINT AS size
 FROM clusters GROUP BY cluster_id
 ORDER BY size DESC, cluster_id ASC LIMIT 20
 """
+
+
+# --------------------------------------------- label propagation (LPA)
+# Community detection by synchronous label propagation (Raghavan et al.
+# 2007, "Near linear time algorithm to detect community structures in
+# large-scale networks"): every node starts in its own community and each
+# round adopts the label most frequent among its neighbors.  Unlike the
+# min-label rule of weakly-connected components (q_link_components), the
+# MODE rule splits a connected graph into densely-linked regions — the
+# webgraph primitive behind template/mirror-site grouping and topic-island
+# discovery.
+#
+# Determinism (the whole design problem for LPA, which is classically
+# order-dependent): updates are SYNCHRONOUS (round i reads only round
+# i-1's labels), run a FIXED _LPA_ITERS rounds, ties broken by the
+# SMALLEST label, isolated nodes keep their label — so Ray's
+# block-parallel execution, a re-run, and the unrolled-CTE oracle compute
+# the identical label sequence (counts are integers; no float ever
+# exists).  Synchronous LPA can oscillate on bipartite structures rather
+# than converge; a fixed round count makes that irrelevant for parity —
+# both engines emit round _LPA_ITERS exactly.
+#
+# Scale shape (the pagerank_ds discipline): the undirected simple
+# adjacency is built ONCE (_build_half_edges, one bounded exchange) and
+# reused every round; per round exactly TWO bounded-bucket exchanges —
+# labels cogrouped with half-edges on bucket(v) send each neighbor
+# (o, label_v) messages PRE-COMBINED per (o, label) inside the bucket,
+# then message partials cogrouped with the label table on bucket(o)
+# elect each node's mode label.  All group kernels are lexsort +
+# searchsorted + reduceat; the state table is repartitioned to the bucket
+# count each round (the block-growth bound from the module docstring).
+
+_LPA_ITERS = 4
+
+_LPA_LABELS = pa.schema(
+    [("bucket", pa.int32()), ("node", pa.int64()), ("label", pa.int64())]
+)
+_LPA_SEND_UNION = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("node", pa.int64()),
+        ("label", pa.int64()),  # null on half-edge rows
+        ("o", pa.int64()),  # null on label rows
+    ]
+)
+_LPA_ELECT_UNION = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("node", pa.int64()),
+        ("label", pa.int64()),
+        ("c", pa.int64()),  # null on label-state (universe) rows
+    ]
+)
+
+
+def lpa_labels_ds(nodes_ds, edges_ds, iters: int = _LPA_ITERS,
+                  buckets: int = _BUCKETS):
+    """Synchronous label propagation over (src, tgt) edges; returns the
+    (node, label) table after ``iters`` rounds (schema _LPA_LABELS minus
+    the bucket column is the caller's concern)."""
+    import pandas as pd
+
+    half = _build_half_edges(edges_ds, buckets)
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        return pa.table(
+            {"bucket": _cc_bucket_of(ids, buckets), "node": ids, "label": ids},
+            schema=_LPA_LABELS,
+        )
+
+    labels = (
+        nodes_ds.map_batches(
+            init_labels, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .repartition(buckets)
+        .materialize()
+    )
+
+    def tag_labels_for_send(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table(
+            {
+                "bucket": batch.column("bucket"),
+                "node": batch.column("node"),
+                "label": batch.column("label"),
+                "o": pa.nulls(m, pa.int64()),
+            },
+            schema=_LPA_SEND_UNION,
+        )
+
+    def tag_half(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table(
+            {
+                "bucket": batch.column("bucket"),
+                "node": batch.column("v"),
+                "label": pa.nulls(m, pa.int64()),
+                "o": batch.column("o"),
+            },
+            schema=_LPA_SEND_UNION,
+        )
+
+    def send_counts(group: pd.DataFrame) -> pa.Table:
+        """bucket(v)-local: attach label(v) to every half-edge (v, o) and
+        pre-combine the (o, label_v) messages per pair before the
+        exchange."""
+        is_lab = group["o"].isna().to_numpy()
+        lab_nodes = group["node"].to_numpy(np.int64)[is_lab]
+        lab_vals = group["label"].to_numpy()[is_lab].astype(np.int64)
+        order = np.argsort(lab_nodes, kind="stable")
+        lab_nodes, lab_vals = lab_nodes[order], lab_vals[order]
+        v = group["node"].to_numpy(np.int64)[~is_lab]
+        o = group["o"].to_numpy()[~is_lab].astype(np.int64)
+        if not len(v):
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int32()),
+                    "node": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                },
+                schema=_LPA_ELECT_UNION,
+            )
+        pos = np.searchsorted(lab_nodes, v)
+        if not ((pos < len(lab_nodes)).all() and (lab_nodes[pos] == v).all()):
+            raise RuntimeError("lpa: half-edge node missing label row in bucket")
+        lab = lab_vals[pos]
+        # pre-combine per (o, label) inside the bucket
+        order = np.lexsort((lab, o))
+        o_s, lab_s = o[order], lab[order]
+        first = np.concatenate(
+            ([True], (o_s[1:] != o_s[:-1]) | (lab_s[1:] != lab_s[:-1]))
+        )
+        idx = np.flatnonzero(first)
+        cnt = np.diff(np.append(idx, len(o_s)))
+        node_arr = pa.array(o_s[idx], pa.int64())
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(node_arr, buckets),
+                "node": node_arr,
+                "label": pa.array(lab_s[idx], pa.int64()),
+                "c": pa.array(cnt, pa.int64()),
+            },
+            schema=_LPA_ELECT_UNION,
+        )
+
+    def tag_label_universe(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table(
+            {
+                "bucket": batch.column("bucket"),
+                "node": batch.column("node"),
+                "label": batch.column("label"),
+                "c": pa.nulls(m, pa.int64()),
+            },
+            schema=_LPA_ELECT_UNION,
+        )
+
+    def elect_labels(group: pd.DataFrame) -> pa.Table:
+        """bucket(o)-local: sum message partials per (node, label), elect
+        the mode (count desc, label asc), keep the previous label for
+        message-less (isolated / dangling-only) nodes."""
+        is_univ = group["c"].isna().to_numpy()
+        universe = group["node"].to_numpy(np.int64)[is_univ]
+        prev = group["label"].to_numpy()[is_univ].astype(np.int64)
+        u_order = np.argsort(universe, kind="stable")
+        universe, prev = universe[u_order], prev[u_order]
+        new_label = prev.copy()
+        mn = group["node"].to_numpy(np.int64)[~is_univ]
+        if len(mn):
+            ml = group["label"].to_numpy()[~is_univ].astype(np.int64)
+            mc = group["c"].to_numpy()[~is_univ].astype(np.int64)
+            order = np.lexsort((ml, mn))
+            mn, ml, mc = mn[order], ml[order], mc[order]
+            first = np.concatenate(
+                ([True], (mn[1:] != mn[:-1]) | (ml[1:] != ml[:-1]))
+            )
+            idx = np.flatnonzero(first)
+            sums = np.add.reduceat(mc, idx)
+            n_u, l_u = mn[idx], ml[idx]
+            # mode election: node asc, count desc, label asc → first per node
+            order = np.lexsort((l_u, -sums, n_u))
+            n_u, l_u = n_u[order], l_u[order]
+            keep = np.concatenate(([True], n_u[1:] != n_u[:-1]))
+            win_n, win_l = n_u[keep], l_u[keep]
+            pos = np.searchsorted(universe, win_n)
+            if not (
+                (pos < len(universe)).all() and (universe[pos] == win_n).all()
+            ):
+                raise RuntimeError("lpa: message target outside node universe")
+            new_label[pos] = win_l
+        node_arr = pa.array(universe, pa.int64())
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(node_arr, buckets),
+                "node": node_arr,
+                "label": pa.array(new_label, pa.int64()),
+            },
+            schema=_LPA_LABELS,
+        )
+
+    for _ in range(iters):
+        msgs = (
+            labels.map_batches(
+                tag_labels_for_send, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .union(
+                half.map_batches(
+                    tag_half, batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+            .groupby("bucket")
+            .map_groups(send_counts, batch_format="pandas")
+        )
+        labels = (
+            msgs.union(
+                labels.map_batches(
+                    tag_label_universe,
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+            )
+            .groupby("bucket")
+            .map_groups(elect_labels, batch_format="pandas")
+            .repartition(buckets)
+            .materialize()
+        )
+    return labels
+
+
+def q_lpa_communities(sf_dir: str):
+    """Per-node community assignment after _LPA_ITERS synchronous label
+    propagation rounds over the undirected simple link graph — the full
+    (doc_id, community) table (strongest possible hash target; rollups
+    are derivable downstream)."""
+    import ray.data as rd
+
+    nodes = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    labels = lpa_labels_ds(nodes, link_edges_ds(sf_dir))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("node"), "community": batch.column("label")}
+        )
+
+    return labels.select_columns(["node", "label"]).map_batches(
+        rename, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _sql_lpa(iters: int = _LPA_ITERS) -> str:
+    """The synchronous recurrence unrolled: h0 = simple undirected
+    half-edges (the kcore CTE verbatim); round i counts each node's
+    incoming neighbor labels from round i-1 and takes the mode (count
+    desc, label asc), keeping the previous label when no messages
+    arrive."""
+    parts = [
+        f"WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),\n{_SQL_EDGES},",
+        """u0 AS (
+  SELECT DISTINCT least(src, tgt) AS lo, greatest(src, tgt) AS hi
+  FROM edges WHERE src <> tgt),
+h0 AS (SELECT lo AS v, hi AS o FROM u0 UNION ALL SELECT hi, lo FROM u0),
+l0 AS (SELECT doc_id::BIGINT AS node, doc_id::BIGINT AS label FROM documents)""",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",c{i} AS (
+  SELECT h.o AS node, l.label, count(*)::BIGINT AS c
+  FROM h0 h JOIN l{p} l ON h.v = l.node
+  GROUP BY h.o, l.label),
+w{i} AS (
+  SELECT node, label,
+         row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+  FROM c{i}),
+l{i} AS (
+  SELECT p.node, COALESCE(w.label, p.label) AS label
+  FROM l{p} p
+  LEFT JOIN (SELECT node, label FROM w{i} WHERE rn = 1) w ON p.node = w.node)"""
+        )
+    parts.append(
+        f"\nSELECT node AS doc_id, label AS community FROM l{iters}"
+    )
+    return "\n".join(parts)

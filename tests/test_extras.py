@@ -549,6 +549,97 @@ def test_ivf_probe_reads_only_nprobe_partitions(ray_session, tmp_path):
     assert sample.shape[0] == 64
 
 
+def test_ivf_delta_maintenance(ray_session, tmp_path, monkeypatch):
+    """Incremental IVF: the refresh assigns ONLY delta rows against the
+    PERSISTED base quantizer and appends them — byte-identical to a full
+    assignment with the same centroids filtered to the delta; the append is
+    idempotent; full-probe search over the maintained index equals brute
+    force (base bytes never rewritten)."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from lightrag_ray.extras import dedup as D
+    from lightrag_ray.pipelines.queries import queries as Q
+
+    monkeypatch.setattr(
+        D, "_ivf_delta_index_dir", lambda *a: str(tmp_path / "ivfdelta")
+    )
+    idx = D.build_ivf_base_index(SF_DIR)
+    assert os.path.exists(os.path.join(idx, "_IVF_BASE.json"))
+    cents = D._ivf_persisted_centroids(idx)
+    assert cents.shape[0] == 16
+
+    # ground truth: full-corpus assignment under the SAME persisted quantizer
+    full = (
+        rd.read_parquet(
+            os.path.join(SF_DIR, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        .map_batches(
+            D._make_ivf_assign_fn(ray.put(cents), with_embedding=False),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+    )
+    exp = (
+        full[full.vec_id % 10 == 0]
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    got = D.ivf_delta_assign(SF_DIR).to_pandas().sort_values("vec_id")
+    got = got.reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert len(got) == 50  # vec_id % 10 == 0 of 500
+
+    # base index holds exactly the non-delta rows before the append
+    lists_dir = os.path.join(idx, "lists")
+    base_ids = set(
+        rd.read_parquet(lists_dir, columns=["vec_id"]).to_pandas()["vec_id"]
+    )
+    assert base_ids == set(full.vec_id[full.vec_id % 10 != 0])
+
+    # append is idempotent and never rewrites base files
+    before = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(lists_dir)
+        for f in fs
+    }
+    D.ivf_delta_add(SF_DIR)
+    after1 = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(lists_dir)
+        for f in fs
+    }
+    assert before <= after1 and len(after1) > len(before)
+    D.ivf_delta_add(SF_DIR)  # marker short-circuit
+    after2 = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(lists_dir)
+        for f in fs
+    }
+    assert after2 == after1
+    all_ids = rd.read_parquet(lists_dir, columns=["vec_id"]).to_pandas()[
+        "vec_id"
+    ]
+    assert all_ids.is_unique and set(all_ids) == set(full.vec_id)
+
+    # search over the maintained index: exact at full probe
+    brute = Q()["knn_top10"](SF_DIR).to_pandas()["vec_id"].tolist()
+    maint = [
+        r["vec_id"]
+        for r in D.knn_ivf_delta_topk(SF_DIR, nprobe=16).take_all()
+    ]
+    assert maint == brute
+    # pruned probe returns a well-formed result drawn from probed lists only
+    rows = D.knn_ivf_delta_topk(SF_DIR, nprobe=4).take_all()
+    assert len(rows) == 10
+    sims = [r["sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
 def test_asof_join_bucket_invariant(ray_session):
     """asof_join groups by coarse user buckets; buckets=1 forces every user
     through ONE vectorized sweep call, pinning cross-user boundary handling

@@ -355,3 +355,90 @@ def test_hits_star_graph(ray_session):
     FP = L._HITS_FP
     assert leaves["auth"].iloc[0] == FP // 5
     assert res.loc[0, "hub"] == 4 * (FP // 5)
+
+
+# ----------------------------------------------------- label propagation
+def _py_lpa(n: int, edges: list[tuple[int, int]], iters: int = 4) -> dict:
+    """Pure-Python synchronous LPA with the engine's exact rules: simple
+    undirected graph, mode of neighbor labels, ties → min label, isolated
+    nodes keep theirs."""
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nbrs: dict[int, list[int]] = {v: [] for v in range(n)}
+    for a, b in und:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    lab = {v: v for v in range(n)}
+    for _ in range(iters):
+        new = {}
+        for v in range(n):
+            if not nbrs[v]:
+                new[v] = lab[v]
+                continue
+            cnt: dict[int, int] = {}
+            for o in nbrs[v]:
+                cnt[lab[o]] = cnt.get(lab[o], 0) + 1
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        lab = new
+    return lab
+
+
+def _lpa_df(nodes: list[int], edges: list[tuple[int, int]], **kw):
+    import ray.data as rd
+
+    nodes_ds = rd.from_arrow(pa.table({"doc_id": pa.array(nodes, pa.int64())}))
+    edges_ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "tgt": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    return (
+        L.lpa_labels_ds(nodes_ds, edges_ds, **kw)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
+def test_lpa_matches_python_reference(ray_session):
+    # two triangles bridged by one edge, plus an isolated node and a
+    # parallel duplicate + self-loop that the simple-graph collapse must
+    # drop; mode ≠ min-label here, so this separates LPA from CC
+    n = 8
+    edges = [
+        (0, 1), (1, 2), (2, 0),          # triangle A
+        (4, 5), (5, 6), (6, 4),          # triangle B
+        (2, 4),                           # bridge
+        (0, 1), (1, 1),                   # duplicate + self-loop (dropped)
+        (3, 0),                           # pendant off triangle A
+    ]  # node 7 isolated
+    expect = _py_lpa(n, edges)
+    got = _lpa_df(list(range(n)), edges)
+    assert got["node"].tolist() == list(range(n))
+    assert got["label"].tolist() == [expect[v] for v in range(n)]
+    # isolated node keeps its own label
+    assert expect[7] == 7
+    # bit-identical across runs (synchronous + integer counts)
+    again = _lpa_df(list(range(n)), edges)
+    assert got["label"].tolist() == again["label"].tolist()
+
+
+def test_lpa_mode_tie_breaks_to_min_label(ray_session):
+    # node 2's neighbors 0 and 1 carry distinct labels with equal count in
+    # round 1 → the tie must break to the smaller label on both engines
+    n = 3
+    edges = [(0, 2), (1, 2)]
+    expect = _py_lpa(n, edges)
+    got = _lpa_df(list(range(n)), edges)
+    assert got["label"].tolist() == [expect[v] for v in range(n)]
+
+
+def test_lpa_more_buckets_than_nodes(ray_session):
+    n = 4
+    edges = [(0, 1), (1, 2), (2, 3)]
+    expect = _py_lpa(n, edges)
+    got = _lpa_df(list(range(n)), edges, buckets=64)
+    assert got["label"].tolist() == [expect[v] for v in range(n)]
