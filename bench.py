@@ -512,6 +512,22 @@ def run_linkgraph_leg() -> dict:
         return out
     out["hits"] = round(time.perf_counter() - t0, 3)
     out["hits_rows"] = rows
+
+    t0 = time.perf_counter()
+    try:
+        edges = nodes.map_batches(
+            lambda b: LG._synth_anchor_html(b, n),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).map_batches(
+            LG.extract_links, batch_format="pyarrow", zero_copy_batch=True
+        )
+        rows = LG.lpa_labels_ds(nodes, edges).count()
+    except Exception as ex:
+        out["lpa_error"] = repr(ex)[:300]
+        return out
+    out["lpa"] = round(time.perf_counter() - t0, 3)
+    out["lpa_rows"] = rows
     return out
 
 
