@@ -1359,6 +1359,7 @@ def queries() -> dict[str, Callable]:
         "host_graph": q_host_graph,
         "link_components": q_link_components,
         "lpa_communities": q_lpa_communities,
+        "ppr_top20": q_ppr_top20,
     }
 
 
@@ -1376,6 +1377,7 @@ def oracle_sql() -> dict[str, str]:
         "host_graph": SQL_HOST_GRAPH,
         "link_components": SQL_LINK_COMPONENTS,
         "lpa_communities": _sql_lpa(),
+        "ppr_top20": _sql_ppr(),
     }
 
 
@@ -2093,5 +2095,411 @@ l{i} AS (
         )
     parts.append(
         f"\nSELECT node AS doc_id, label AS community FROM l{iters}"
+    )
+    return "\n".join(parts)
+
+
+# ----------------------------------------------------- personalized PageRank
+# Random-walk-with-restart centrality from a SEED set (Haveliwala 2002;
+# the multi-hop graph-retrieval primitive popularized for RAG by HippoRAG,
+# Gutierrez et al. 2024).  Reference intent: LightRAG's query path expands
+# 1 hop from the keyword/vector-matched entities and ranks neighbors by
+# degree (lightrag/operate.py `_get_node_data`/`_get_edge_data`); PPR is
+# the principled multi-hop generalization of that expansion — mass starts
+# at the matched seeds and diffuses over the link graph, so the top-k by
+# PPR score IS "the subgraph most relevant to this query's entities".
+#
+# Exact int64 recurrence (mirrored verbatim in the unrolled-CTE oracle),
+# s = |seeds|, restart AND dangling mass both return to the seeds:
+#     r_0(v)  = FP_ONE // s          if v in seeds else 0
+#     dm_i    = sum r_{i-1}(v) over dangling v
+#     c_i(t)  = sum_{(u,t) in E} r_{i-1}(u) // od(u)
+#     r_i(v)  = (15*FP_ONE)//(100*s) + (85*(c_i(v) + dm_i//s))//100   seeds
+#             = (85*c_i(v))//100                                  non-seeds
+# Integer arithmetic keeps the result bit-identical across Ray's
+# block-parallel sums, re-runs and the SQL oracle (same rationale as
+# pagerank_ds above).  max contribution sums stay < ~2*FP_ONE, so the
+# 85* products sit at ~1.7e14 — 4 orders under int64.
+#
+# Scale shape beyond pagerank_ds: seed membership is resolved ONCE at init
+# (seed ids broadcast once via ray.put — query seed sets are the handful of
+# entity matches, never corpus-sized) and carried as a bool column in the
+# 18 B/row rank state, so iterations never re-ship or re-probe the seed
+# set.  Senders with ZERO rank are pruned before the contribution exchange
+# — PPR mass is concentrated near the seeds, so early rounds ship only the
+# frontier's edges instead of the whole graph (the sparsity that makes
+# push-style PPR cheap at 10^9 nodes); the oracle is unaffected because
+# zero senders contribute zero.
+
+_PPR_SEED_MOD = 101  # catalog seed rule: doc_id % 101 == 3 (mirrored in SQL)
+_PPR_ITERS = _PR_ITERS
+
+_PPR_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("node", pa.int64()),
+        ("r", pa.int64()),
+        ("dang", pa.bool_()),
+        ("seed", pa.bool_()),
+    ]
+)
+
+
+def _ppr_init_ranks(nodes_ds, adj, seeds: np.ndarray, buckets: int):
+    """(node, r0, dangling, seed) — dangling = absent from adjacency srcs;
+    seed membership probed once against the sorted broadcast seed array."""
+    import pandas as pd
+    import ray
+
+    seeds_sorted = np.sort(np.asarray(seeds, np.int64))
+    s = len(seeds_sorted)
+    if s == 0:
+        raise ValueError("ppr: empty seed set")
+    seeds_ref = ray.put(seeds_sorted)
+
+    UNION = pa.schema(
+        [("bucket", pa.int32()), ("node", pa.int64()), ("is_node", pa.bool_())]
+    )
+
+    def tag_nodes(batch: pa.Table) -> pa.Table:
+        node = batch.column("doc_id").cast(pa.int64()).combine_chunks()
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(node, buckets),
+                "node": node,
+                "is_node": pa.array(np.ones(len(node), bool)),
+            },
+            schema=UNION,
+        )
+
+    def tag_srcs(batch: pa.Table) -> pa.Table:
+        uniq = np.unique(np.asarray(batch.column("src"), np.int64))
+        node = pa.array(uniq, pa.int64())
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(node, buckets),
+                "node": node,
+                "is_node": pa.array(np.zeros(len(uniq), bool)),
+            },
+            schema=UNION,
+        )
+
+    r0 = FP_ONE // s
+
+    def init_bucket(group: pd.DataFrame) -> pa.Table:
+        import ray as _ray
+
+        sd = _ray.get(seeds_ref)
+        nodes = group["node"].to_numpy(np.int64)
+        is_node = group["is_node"].to_numpy(bool)
+        universe = np.unique(nodes[is_node])
+        srcs = np.unique(nodes[~is_node])
+        dang = ~np.isin(universe, srcs)
+        pos = np.searchsorted(sd, universe)
+        pos[pos >= len(sd)] = 0
+        seed = sd[pos] == universe
+        node_arr = pa.array(universe, pa.int64())
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(node_arr, buckets),
+                "node": node_arr,
+                "r": pa.array(np.where(seed, r0, 0).astype(np.int64), pa.int64()),
+                "dang": pa.array(dang, pa.bool_()),
+                "seed": pa.array(seed, pa.bool_()),
+            },
+            schema=_PPR_SCHEMA,
+        )
+
+    union = nodes_ds.map_batches(
+        tag_nodes, batch_format="pyarrow", zero_copy_batch=True
+    ).union(adj.map_batches(tag_srcs, batch_format="pyarrow", zero_copy_batch=True))
+    return (
+        union.groupby("bucket")
+        .map_groups(init_bucket, batch_format="pandas")
+        .repartition(buckets)
+        .materialize()
+    )
+
+
+def ppr_ds(
+    nodes_ds,
+    edges_ds,
+    seeds: np.ndarray,
+    iters: int = _PPR_ITERS,
+    buckets: int = _BUCKETS,
+):
+    """Personalized PageRank over (src, tgt) edges from a seed set;
+    returns (node, r, dang, seed) with exact int64 fixed-point scores.
+    Same two-bounded-exchanges-per-round shape (and per-round block-count
+    bound) as pagerank_ds; see the section comment for the recurrence."""
+    import pandas as pd
+
+    s = len(seeds)
+    adj = _build_adjacency(edges_ds, buckets)
+    ranks = _ppr_init_ranks(nodes_ds, adj, seeds, buckets)
+
+    CONTRIB_UNION = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("node", pa.int64()),
+            ("r", pa.int64()),  # null on adjacency rows
+            ("tgt", pa.int64()),  # null on rank rows
+            ("od", pa.int64()),  # null on rank rows
+        ]
+    )
+    RANK_UNION = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("node", pa.int64()),
+            ("c", pa.int64()),  # null on universe rows
+            ("dang", pa.bool_()),  # null on contrib rows
+            ("seed", pa.bool_()),  # null on contrib rows
+        ]
+    )
+
+    def tag_rank_for_send(batch: pa.Table) -> pa.Table:
+        # only POSITIVE-rank non-dangling nodes push mass (frontier pruning)
+        live = batch.filter(
+            pc.and_(pc.invert(batch.column("dang")), pc.not_equal(batch.column("r"), 0))
+        )
+        m = live.num_rows
+        return pa.table(
+            {
+                "bucket": live.column("bucket"),
+                "node": live.column("node"),
+                "r": live.column("r"),
+                "tgt": pa.nulls(m, pa.int64()),
+                "od": pa.nulls(m, pa.int64()),
+            },
+            schema=CONTRIB_UNION,
+        )
+
+    def tag_adj(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table(
+            {
+                "bucket": batch.column("bucket"),
+                "node": batch.column("src"),
+                "r": pa.nulls(m, pa.int64()),
+                "tgt": batch.column("tgt"),
+                "od": batch.column("od"),
+            },
+            schema=CONTRIB_UNION,
+        )
+
+    def send_contribs(group: pd.DataFrame) -> pa.Table:
+        is_rank = group["tgt"].isna().to_numpy()
+        rank_nodes = group["node"].to_numpy(np.int64)[is_rank]
+        rank_vals = group["r"].to_numpy()[is_rank].astype(np.int64)
+        order = np.argsort(rank_nodes, kind="stable")
+        rank_nodes, rank_vals = rank_nodes[order], rank_vals[order]
+        src = group["node"].to_numpy(np.int64)[~is_rank]
+        tgt = group["tgt"].to_numpy()[~is_rank].astype(np.int64)
+        od = group["od"].to_numpy()[~is_rank].astype(np.int64)
+        empty = pa.table(
+            {
+                "bucket": pa.array([], pa.int32()),
+                "node": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+                "dang": pa.array([], pa.bool_()),
+                "seed": pa.array([], pa.bool_()),
+            },
+            schema=RANK_UNION,
+        )
+        if not len(src) or not len(rank_nodes):
+            return empty
+        # zero-rank senders were pruned upstream, so an unmatched src is
+        # EXPECTED here (unlike pagerank_ds's integrity raise): mask it out
+        pos = np.searchsorted(rank_nodes, src)
+        pos_c = np.minimum(pos, len(rank_nodes) - 1)
+        hit = rank_nodes[pos_c] == src
+        if not hit.any():
+            return empty
+        contrib = rank_vals[pos_c[hit]] // od[hit]
+        tgt = tgt[hit]
+        t_order = np.argsort(tgt, kind="stable")
+        tgt_s, contrib_s = tgt[t_order], contrib[t_order]
+        uniq, idx = np.unique(tgt_s, return_index=True)
+        sums = np.add.reduceat(contrib_s, idx)
+        node_arr = pa.array(uniq, pa.int64())
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(node_arr, buckets),
+                "node": node_arr,
+                "c": pa.array(sums, pa.int64()),
+                "dang": pa.nulls(len(uniq), pa.bool_()),
+                "seed": pa.nulls(len(uniq), pa.bool_()),
+            },
+            schema=RANK_UNION,
+        )
+
+    base = (15 * FP_ONE) // (100 * s)
+
+    def make_reduce_ranks(dang_share: int):
+        def reduce_ranks(group: pd.DataFrame) -> pa.Table:
+            is_univ = group["dang"].notna().to_numpy()
+            universe = group["node"].to_numpy(np.int64)[is_univ]
+            dang = group["dang"].to_numpy()[is_univ].astype(bool)
+            seed = group["seed"].to_numpy()[is_univ].astype(bool)
+            u_order = np.argsort(universe, kind="stable")
+            universe, dang, seed = universe[u_order], dang[u_order], seed[u_order]
+            cn = group["node"].to_numpy(np.int64)[~is_univ]
+            cv = group["c"].to_numpy()[~is_univ].astype(np.int64)
+            csum = np.zeros(len(universe), np.int64)
+            if len(cn):
+                c_order = np.argsort(cn, kind="stable")
+                cn_s, cv_s = cn[c_order], cv[c_order]
+                uniq, idx = np.unique(cn_s, return_index=True)
+                sums = np.add.reduceat(cv_s, idx)
+                pos = np.searchsorted(universe, uniq)
+                if not (
+                    (pos < len(universe)).all() and (universe[pos] == uniq).all()
+                ):
+                    raise RuntimeError(
+                        "ppr: contribution target outside node universe"
+                    )
+                csum[pos] = sums
+            new_r = np.where(
+                seed,
+                base + (_DAMP_NUM * (csum + dang_share)) // _DAMP_DEN,
+                (_DAMP_NUM * csum) // _DAMP_DEN,
+            ).astype(np.int64)
+            node_arr = pa.array(universe, pa.int64())
+            return pa.table(
+                {
+                    "bucket": _cc_bucket_of(node_arr, buckets),
+                    "node": node_arr,
+                    "r": pa.array(new_r, pa.int64()),
+                    "dang": pa.array(dang, pa.bool_()),
+                    "seed": pa.array(seed, pa.bool_()),
+                },
+                schema=_PPR_SCHEMA,
+            )
+
+        return reduce_ranks
+
+    def dangling_partial(batch: pa.Table) -> pa.Table:
+        mask = np.asarray(batch.column("dang"), bool)
+        vals = np.asarray(batch.column("r"), np.int64)
+        return pa.table({"s": pa.array([int(vals[mask].sum())], pa.int64())})
+
+    def tag_rank_universe(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table(
+            {
+                "bucket": batch.column("bucket"),
+                "node": batch.column("node"),
+                "c": pa.nulls(m, pa.int64()),
+                "dang": batch.column("dang"),
+                "seed": batch.column("seed"),
+            },
+            schema=RANK_UNION,
+        )
+
+    for _ in range(iters):
+        dm = ranks.map_batches(
+            dangling_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).sum("s")
+        dang_share = int(dm or 0) // s
+        contribs = (
+            ranks.map_batches(
+                tag_rank_for_send, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .union(
+                adj.map_batches(tag_adj, batch_format="pyarrow", zero_copy_batch=True)
+            )
+            .groupby("bucket")
+            .map_groups(send_contribs, batch_format="pandas")
+        )
+        ranks = (
+            contribs.union(
+                ranks.map_batches(
+                    tag_rank_universe, batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+            .groupby("bucket")
+            .map_groups(make_reduce_ranks(dang_share), batch_format="pandas")
+            .repartition(buckets)
+            .materialize()
+        )
+
+    return ranks
+
+
+def q_ppr_top20(sf_dir: str, k: int = 20):
+    """Top-k pages by personalized PageRank from the deterministic seed
+    rule doc_id % 101 == 3 (a stand-in for a query's entity matches)."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    def pick_seeds(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids[ids % _PPR_SEED_MOD == 3], pa.int64())}
+        )
+
+    seed_tbl = docs.map_batches(
+        pick_seeds, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # seed sets are tiny by construction (n/101 ids)
+    seeds = seed_tbl["doc_id"].to_numpy(np.int64)
+    ranks = ppr_ds(docs, link_edges_ds(sf_dir), seeds)
+    out = (
+        ranks.filter(expr="r > 0")
+        .select_columns(["node", "r"])
+        .sort(["r", "node"], descending=[True, False])
+        .limit(k)
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("node"), "rank_fp": batch.column("r")}
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_ppr(iters: int = _PPR_ITERS, k: int = 20) -> str:
+    parts = [
+        f"WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),\n{_SQL_EDGES},",
+        "outdeg AS (SELECT src, count(*)::BIGINT AS od FROM edges GROUP BY src),",
+        f"""ss AS (
+  SELECT count(*)::BIGINT AS s FROM documents
+  WHERE doc_id % {_PPR_SEED_MOD} = 3),
+r0 AS (
+  SELECT d.doc_id::BIGINT AS v,
+         CASE WHEN d.doc_id % {_PPR_SEED_MOD} = 3
+              THEN ({FP_ONE}::BIGINT // (SELECT s FROM ss)) ELSE 0 END AS r,
+         (o.src IS NULL) AS dang,
+         (d.doc_id % {_PPR_SEED_MOD} = 3) AS seed
+  FROM documents d LEFT JOIN outdeg o ON d.doc_id = o.src)""",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",d{i} AS (
+  SELECT COALESCE(SUM(r) FILTER (WHERE dang), 0)::BIGINT AS dm FROM r{p}),
+c{i} AS (
+  SELECT e.tgt AS v, SUM(p.r // o.od)::BIGINT AS c
+  FROM edges e
+  JOIN r{p} p ON e.src = p.v
+  JOIN outdeg o ON e.src = o.src
+  GROUP BY e.tgt),
+r{i} AS (
+  SELECT p.v,
+         (CASE WHEN p.seed
+               THEN ({15 * FP_ONE}::BIGINT // (100 * (SELECT s FROM ss)))
+                    + ({_DAMP_NUM} * (COALESCE(c.c, 0)
+                       + (SELECT dm FROM d{i}) // (SELECT s FROM ss)))
+                      // {_DAMP_DEN}
+               ELSE ({_DAMP_NUM} * COALESCE(c.c, 0)) // {_DAMP_DEN}
+          END)::BIGINT AS r,
+         p.dang, p.seed
+  FROM r{p} p LEFT JOIN c{i} c ON p.v = c.v)"""
+        )
+    parts.append(
+        f"\nSELECT v AS doc_id, r AS rank_fp FROM r{iters}"
+        f" WHERE r > 0 ORDER BY r DESC, v ASC LIMIT {k}"
     )
     return "\n".join(parts)

@@ -442,3 +442,132 @@ def test_lpa_more_buckets_than_nodes(ray_session):
     expect = _py_lpa(n, edges)
     got = _lpa_df(list(range(n)), edges, buckets=64)
     assert got["label"].tolist() == [expect[v] for v in range(n)]
+
+
+# -------------------------------------------------- personalized PageRank
+def _py_ppr(n, edges, seeds, iters=L._PPR_ITERS):
+    """The PPR recurrence from the module comment, scalar Python ints:
+    restart and dangling mass both return to the seeds."""
+    od: dict[int, int] = {}
+    for s, _ in edges:
+        od[s] = od.get(s, 0) + 1
+    sset = set(seeds)
+    s_n = len(sset)
+    r = {v: (L.FP_ONE // s_n if v in sset else 0) for v in range(n)}
+    base = (15 * L.FP_ONE) // (100 * s_n)
+    for _ in range(iters):
+        dm = sum(r[v] for v in range(n) if v not in od)
+        share = dm // s_n
+        c: dict[int, int] = {}
+        for s, t in edges:
+            c[t] = c.get(t, 0) + r[s] // od[s]
+        r = {
+            v: (
+                base + (85 * (c.get(v, 0) + share)) // 100
+                if v in sset
+                else (85 * c.get(v, 0)) // 100
+            )
+            for v in range(n)
+        }
+    return r
+
+
+def _ppr_df(nodes, edges, seeds, **kw):
+    import ray.data as rd
+
+    nodes_ds = rd.from_arrow(pa.table({"doc_id": pa.array(nodes, pa.int64())}))
+    edges_ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "tgt": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    )
+    return (
+        L.ppr_ds(nodes_ds, edges_ds, np.asarray(seeds, np.int64), **kw)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
+def test_ppr_matches_python_reference(ray_session):
+    # same hand graph as the pagerank test (hub, 2-cycle, dangling node,
+    # parallel duplicate edge), seeded at {1, 4}
+    n = 6
+    edges = [(1, 0), (1, 0), (2, 0), (1, 4), (4, 5), (5, 4), (2, 5)]
+    seeds = [1, 4]
+    expect = _py_ppr(n, edges, seeds)
+    got = _ppr_df(list(range(n)), edges, seeds)
+    assert got["node"].tolist() == list(range(n))
+    assert got["r"].tolist() == [expect[v] for v in range(n)]
+    assert got["seed"].tolist() == [False, True, False, False, True, False]
+    # node 3 is unreachable from the seeds → exactly zero mass
+    assert got.loc[3, "r"] == 0
+    # node 2 never receives (no in-edges) and is not a seed → zero
+    assert got.loc[2, "r"] == 0
+
+
+def test_ppr_mass_stays_near_seeds(ray_session):
+    # chain 0→1→2→...→9 seeded at 0: rank must be strictly decreasing
+    # along the chain (mass decays by the damping factor per hop)
+    n = 10
+    edges = [(i, i + 1) for i in range(n - 1)]
+    got = _ppr_df(list(range(n)), edges, [0])
+    expect = _py_ppr(n, edges, [0])
+    assert got["r"].tolist() == [expect[v] for v in range(n)]
+    ranks = got["r"].tolist()
+    assert ranks[0] > ranks[1] > ranks[2] > 0
+
+
+def test_ppr_all_dangling_seeds(ray_session):
+    # seeds with no outlinks: dangling mass recycles to the seeds only;
+    # non-seeds stay at zero forever
+    n = 5
+    edges: list[tuple[int, int]] = []
+    got = _ppr_df(list(range(n)), edges, [2])
+    expect = _py_ppr(n, edges, [2])
+    assert got["r"].tolist() == [expect[v] for v in range(n)]
+    assert got.loc[2, "r"] > 0
+    assert (got.drop(index=2)["r"] == 0).all()
+
+
+def test_ppr_more_buckets_than_nodes(ray_session):
+    n = 3
+    edges = [(0, 1), (1, 2), (2, 0)]
+    got = _ppr_df(list(range(n)), edges, [0], buckets=64)
+    expect = _py_ppr(n, edges, [0])
+    assert got["r"].tolist() == [expect[v] for v in range(n)]
+
+
+def test_ppr_empty_seeds_raises(ray_session):
+    import pytest
+
+    with pytest.raises(ValueError, match="empty seed set"):
+        _ppr_df([0, 1], [(0, 1)], [])
+
+
+def test_ppr_oracle_parity_sf0001(ray_session):
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    ray_df = (
+        L.q_ppr_top20(sf)
+        .to_pandas()
+        .sort_values(["rank_fp", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    sql_df = (
+        con.execute(L._sql_ppr())
+        .df()
+        .astype({"doc_id": "int64", "rank_fp": "int64"})
+        .reset_index(drop=True)
+    )
+    assert ray_df.equals(sql_df)
+    assert len(ray_df) == 20
