@@ -1360,6 +1360,7 @@ def queries() -> dict[str, Callable]:
         "link_components": q_link_components,
         "lpa_communities": q_lpa_communities,
         "ppr_top20": q_ppr_top20,
+        "graph_hops": q_graph_hops,
     }
 
 
@@ -1378,6 +1379,7 @@ def oracle_sql() -> dict[str, str]:
         "link_components": SQL_LINK_COMPONENTS,
         "lpa_communities": _sql_lpa(),
         "ppr_top20": _sql_ppr(),
+        "graph_hops": _sql_graph_hops(),
     }
 
 
@@ -2501,5 +2503,261 @@ r{i} AS (
     parts.append(
         f"\nSELECT v AS doc_id, r AS rank_fp FROM r{iters}"
         f" WHERE r > 0 ORDER BY r DESC, v ASC LIMIT {k}"
+    )
+    return "\n".join(parts)
+
+
+# ------------------------------------------------------- multi-source BFS
+# Exact k-hop neighborhood of a seed set: dist(v) = min #edges from any
+# seed, computed level-synchronously (the other graph-retrieval primitive
+# next to ppr_ds — LightRAG's query path IS a 1-hop special case of this,
+# lightrag/operate.py `_get_node_data` one-hop expansion; Pregel-style
+# frontier BFS per Malewicz et al. 2010).
+#
+# Scale shape: the state table carries ONLY the reached set (bucket, node,
+# dist) — unreached nodes never enter any exchange, so round h costs two
+# skinny bounded-bucket exchanges proportional to frontier out-edges +
+# reached set, not to the graph.  The frontier is matched against the
+# src-bucketed shared adjacency (built once, reused across rounds) with
+# the same lexsort/searchsorted kernels as ppr_ds; candidate targets
+# re-bucket by tgt and min-merge into the state.  Rounds stop early when
+# a level adds no new nodes (sound: BFS levels are monotone).
+
+_BFS_HOPS = 4
+
+_BFS_SCHEMA = pa.schema(
+    [("bucket", pa.int32()), ("node", pa.int64()), ("dist", pa.int32())]
+)
+
+
+def bfs_hops_ds(
+    edges_ds,
+    seeds: np.ndarray,
+    max_hops: int = _BFS_HOPS,
+    buckets: int = _BUCKETS,
+):
+    """(bucket, node, dist) for every node within ``max_hops`` edges of the
+    seed set (seeds at dist 0; dist = exact minimum hop count)."""
+    import pandas as pd
+    import ray.data as rd
+
+    seeds_u = np.unique(np.asarray(seeds, np.int64))
+    if len(seeds_u) == 0:
+        raise ValueError("bfs: empty seed set")
+    seed_arr = pa.array(seeds_u, pa.int64())
+    state = rd.from_arrow(
+        pa.table(
+            {
+                "bucket": _cc_bucket_of(seed_arr, buckets),
+                "node": seed_arr,
+                "dist": pa.array(np.zeros(len(seeds_u), np.int32), pa.int32()),
+            },
+            schema=_BFS_SCHEMA,
+        )
+    ).materialize()
+
+    adj = _build_adjacency(edges_ds, buckets)
+
+    FRONTIER_UNION = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("node", pa.int64()),
+            ("tgt", pa.int64()),  # null on frontier rows
+        ]
+    )
+
+    def make_tag_frontier(h: int):
+        def tag_frontier(batch: pa.Table) -> pa.Table:
+            live = batch.filter(pc.equal(batch.column("dist"), h - 1))
+            return pa.table(
+                {
+                    "bucket": live.column("bucket"),
+                    "node": live.column("node"),
+                    "tgt": pa.nulls(live.num_rows, pa.int64()),
+                },
+                schema=FRONTIER_UNION,
+            )
+
+        return tag_frontier
+
+    def tag_adj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": batch.column("bucket"),
+                "node": batch.column("src"),
+                "tgt": batch.column("tgt"),
+            },
+            schema=FRONTIER_UNION,
+        )
+
+    def expand(group: pd.DataFrame) -> pa.Table:
+        is_f = group["tgt"].isna().to_numpy()
+        fr = np.unique(group["node"].to_numpy(np.int64)[is_f])
+        empty = pa.table(
+            {"bucket": pa.array([], pa.int32()), "node": pa.array([], pa.int64())}
+        )
+        if not len(fr):
+            return empty
+        src = group["node"].to_numpy(np.int64)[~is_f]
+        if not len(src):
+            return empty
+        tgt = group["tgt"].to_numpy()[~is_f].astype(np.int64)
+        pos = np.searchsorted(fr, src)
+        pos_c = np.minimum(pos, len(fr) - 1)
+        hit = fr[pos_c] == src
+        cand = np.unique(tgt[hit])
+        node_arr = pa.array(cand, pa.int64())
+        return pa.table({"bucket": _cc_bucket_of(node_arr, buckets), "node": node_arr})
+
+    def make_tag_cand(h: int):
+        def tag_cand(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "bucket": batch.column("bucket"),
+                    "node": batch.column("node"),
+                    "dist": pa.array(
+                        np.full(batch.num_rows, h, np.int32), pa.int32()
+                    ),
+                },
+                schema=_BFS_SCHEMA,
+            )
+
+        return tag_cand
+
+    def min_merge(group: pd.DataFrame) -> pa.Table:
+        node = group["node"].to_numpy(np.int64)
+        dist = group["dist"].to_numpy(np.int32)
+        order = np.lexsort((dist, node))
+        node, dist = node[order], dist[order]
+        uniq, idx = np.unique(node, return_index=True)
+        node_arr = pa.array(uniq, pa.int64())
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(node_arr, buckets),
+                "node": node_arr,
+                "dist": pa.array(dist[idx], pa.int32()),
+            },
+            schema=_BFS_SCHEMA,
+        )
+
+    def count_at(state_ds, h: int) -> int:
+        def partial(batch: pa.Table) -> pa.Table:
+            m = pc.sum(pc.cast(pc.equal(batch.column("dist"), h), pa.int64()))
+            return pa.table({"m": pa.array([m.as_py() or 0], pa.int64())})
+
+        return int(
+            state_ds.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ).sum("m")
+            or 0
+        )
+
+    for h in range(1, max_hops + 1):
+        cands = (
+            state.map_batches(
+                make_tag_frontier(h), batch_format="pyarrow", zero_copy_batch=True
+            )
+            .union(
+                adj.map_batches(tag_adj, batch_format="pyarrow", zero_copy_batch=True)
+            )
+            .groupby("bucket")
+            .map_groups(expand, batch_format="pandas")
+        )
+        state = (
+            cands.map_batches(
+                make_tag_cand(h), batch_format="pyarrow", zero_copy_batch=True
+            )
+            .union(state)
+            .groupby("bucket")
+            .map_groups(min_merge, batch_format="pandas")
+            .repartition(buckets)
+            .materialize()
+        )
+        if count_at(state, h) == 0:
+            break  # empty level: every later level is empty too
+
+    return state
+
+
+def q_graph_hops(sf_dir: str, max_hops: int = _BFS_HOPS):
+    """Hop-distance histogram of the link graph from the deterministic
+    seed rule doc_id % 101 == 3 (same seeds as ppr_top20): one row per
+    reached level (dist, n_nodes) plus dist = -1 for unreached pages.
+    The per-level counts are a tiny bounded aggregate (≤ max_hops + 2
+    rows); only they are driver-materialized."""
+    import pandas as pd
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def pick_seeds(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids[ids % _PPR_SEED_MOD == 3], pa.int64())}
+        )
+
+    seeds = (
+        docs.map_batches(pick_seeds, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()["doc_id"]
+        .to_numpy(np.int64)
+    )
+    hops = bfs_hops_ds(link_edges_ds(sf_dir), seeds, max_hops=max_hops)
+
+    def level_partial(batch: pa.Table) -> pa.Table:
+        dist = np.asarray(batch.column("dist"), np.int64)
+        uniq, counts = np.unique(dist, return_counts=True)
+        return pa.table(
+            {
+                "dist": pa.array(uniq, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    levels = (
+        hops.map_batches(level_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dist")
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n_nodes"})
+        .sort_values("dist")
+    )
+    unreached = _doc_count(sf_dir) - int(levels["n_nodes"].sum())
+    out = pd.concat(
+        [pd.DataFrame({"dist": [-1], "n_nodes": [unreached]}), levels],
+        ignore_index=True,
+    )
+    return out.astype({"dist": "int64", "n_nodes": "int64"})
+
+
+def _sql_graph_hops(max_hops: int = _BFS_HOPS) -> str:
+    parts = [
+        f"WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),\n{_SQL_EDGES},",
+        f"""r0 AS (
+  SELECT DISTINCT doc_id::BIGINT AS v, 0 AS dist FROM documents
+  WHERE doc_id % {_PPR_SEED_MOD} = 3)""",
+    ]
+    for i in range(1, max_hops + 1):
+        p = i - 1
+        parts.append(
+            f""",c{i} AS (
+  SELECT DISTINCT e.tgt AS v
+  FROM edges e JOIN r{p} f ON e.src = f.v AND f.dist = {p}),
+r{i} AS (
+  SELECT v, dist FROM r{p}
+  UNION ALL
+  SELECT c.v, {i} AS dist
+  FROM c{i} c LEFT JOIN r{p} r ON c.v = r.v
+  WHERE r.v IS NULL)"""
+        )
+    parts.append(
+        f"""
+SELECT dist::BIGINT AS dist, count(*)::BIGINT AS n_nodes
+FROM r{max_hops} GROUP BY dist
+UNION ALL
+SELECT -1::BIGINT AS dist,
+       ((SELECT n FROM nn) - (SELECT count(*) FROM r{max_hops}))::BIGINT
+ORDER BY dist"""
     )
     return "\n".join(parts)

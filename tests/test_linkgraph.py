@@ -571,3 +571,109 @@ def test_ppr_oracle_parity_sf0001(ray_session):
     )
     assert ray_df.equals(sql_df)
     assert len(ray_df) == 20
+
+
+# ------------------------------------------------------- multi-source BFS
+def _py_bfs(edges, seeds, max_hops=L._BFS_HOPS):
+    """Level-synchronous BFS, plain Python sets."""
+    out: dict[int, list[int]] = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    dist = {v: 0 for v in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in out.get(u, ()):
+                if v not in dist:
+                    nxt.add(v)
+        for v in nxt:
+            dist[v] = h
+        frontier = nxt
+        if not frontier:
+            break
+    return dist
+
+
+def _bfs_df(edges, seeds, **kw):
+    import ray.data as rd
+
+    edges_ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "tgt": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    )
+    return (
+        L.bfs_hops_ds(edges_ds, np.asarray(seeds, np.int64), **kw)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
+def test_bfs_matches_python_reference(ray_session):
+    # hand graph: diamond + chain + unreachable back-edge + parallel dup edge
+    edges = [(0, 1), (0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (5, 0), (6, 5)]
+    got = _bfs_df(edges, [0])
+    expect = _py_bfs(edges, [0])
+    assert dict(zip(got["node"], got["dist"])) == expect
+    # 5 and 6 only point INTO the seed component — never reached
+    assert 5 not in got["node"].tolist() and 6 not in got["node"].tolist()
+
+
+def test_bfs_min_dist_wins(ray_session):
+    # node 3 reachable in 1 hop (via 0→3) and 3 hops (0→1→2→3): dist = 1
+    edges = [(0, 3), (0, 1), (1, 2), (2, 3)]
+    got = _bfs_df(edges, [0])
+    assert dict(zip(got["node"], got["dist"])) == {0: 0, 1: 1, 2: 2, 3: 1}
+
+
+def test_bfs_multi_seed_and_early_exit(ray_session):
+    # two seeds, frontier dies at hop 1 → early exit leaves state correct
+    edges = [(0, 1), (7, 8)]
+    got = _bfs_df(edges, [0, 7], max_hops=4)
+    assert dict(zip(got["node"], got["dist"])) == {0: 0, 1: 1, 7: 0, 8: 1}
+
+
+def test_bfs_hop_cap(ray_session):
+    # chain longer than max_hops: nodes past the cap stay unreached
+    edges = [(i, i + 1) for i in range(10)]
+    got = _bfs_df(edges, [0], max_hops=3)
+    assert dict(zip(got["node"], got["dist"])) == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_more_buckets_than_nodes(ray_session):
+    edges = [(0, 1), (1, 2), (2, 0)]
+    got = _bfs_df(edges, [1], buckets=64)
+    assert dict(zip(got["node"], got["dist"])) == {0: 2, 1: 0, 2: 1}
+
+
+def test_bfs_empty_seeds_raises(ray_session):
+    import pytest
+
+    with pytest.raises(ValueError, match="empty seed set"):
+        _bfs_df([(0, 1)], [])
+
+
+def test_graph_hops_oracle_parity_sf0001(ray_session):
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    ray_df = L.q_graph_hops(sf).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    sql_df = (
+        con.execute(L._sql_graph_hops())
+        .df()
+        .astype({"dist": "int64", "n_nodes": "int64"})
+        .reset_index(drop=True)
+    )
+    assert ray_df.equals(sql_df)
+    # histogram is total: counts sum to the corpus size
+    assert int(ray_df["n_nodes"].sum()) == 500
