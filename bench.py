@@ -528,6 +528,41 @@ def run_linkgraph_leg() -> dict:
         return out
     out["lpa"] = round(time.perf_counter() - t0, 3)
     out["lpa_rows"] = rows
+
+    # seeded retrieval primitives: same deterministic seed rule as the
+    # catalog queries (doc_id % 101 == 3 → ~n/101 seeds)
+    seeds = np.arange(3, n, 101, dtype=np.int64)
+    t0 = time.perf_counter()
+    try:
+        edges = nodes.map_batches(
+            lambda b: LG._synth_anchor_html(b, n),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).map_batches(
+            LG.extract_links, batch_format="pyarrow", zero_copy_batch=True
+        )
+        rows = LG.ppr_ds(nodes, edges, seeds).count()
+    except Exception as ex:
+        out["ppr_error"] = repr(ex)[:300]
+        return out
+    out["ppr"] = round(time.perf_counter() - t0, 3)
+    out["ppr_rows"] = rows
+
+    t0 = time.perf_counter()
+    try:
+        edges = nodes.map_batches(
+            lambda b: LG._synth_anchor_html(b, n),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).map_batches(
+            LG.extract_links, batch_format="pyarrow", zero_copy_batch=True
+        )
+        rows = LG.bfs_hops_ds(edges, seeds).count()
+    except Exception as ex:
+        out["bfs_hops_error"] = repr(ex)[:300]
+        return out
+    out["bfs_hops"] = round(time.perf_counter() - t0, 3)
+    out["bfs_hops_rows"] = rows
     return out
 
 
