@@ -1361,6 +1361,7 @@ def queries() -> dict[str, Callable]:
         "lpa_communities": q_lpa_communities,
         "ppr_top20": q_ppr_top20,
         "graph_hops": q_graph_hops,
+        "random_walks": q_random_walks,
     }
 
 
@@ -1380,6 +1381,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _sql_lpa(),
         "ppr_top20": _sql_ppr(),
         "graph_hops": _sql_graph_hops(),
+        "random_walks": _sql_random_walks(),
     }
 
 
@@ -2760,4 +2762,244 @@ SELECT -1::BIGINT AS dist,
        ((SELECT n FROM nn) - (SELECT count(*) FROM r{max_hops}))::BIGINT
 ORDER BY dist"""
     )
+    return "\n".join(parts)
+
+
+# ------------------------------------------------------ random-walk corpus
+# Deterministic truncated random walks over the link graph — the training-
+# corpus generator for graph embeddings (DeepWalk, Perozzi et al. 2014;
+# node2vec p=q=1 case, Grover & Leskovec 2016): one walk per seed node,
+# each step picking an out-neighbor by a pseudo-random but REPRODUCIBLE
+# rule shared verbatim with the SQL oracle,
+#     pick(cur, walk_id, t) = ((cur % M)*C1 + (walk_id % M)*C2 + t*C3) % M
+#     next = the (pick % od(cur))-th out-neighbor of cur in ascending tgt
+#            order (duplicates kept)
+# with M = 2^31 - 1 and small LCG constants, so every intermediate product
+# stays under 2^62 — total int64 arithmetic on both engines, no float, no
+# library RNG.  Walks stop early at dangling nodes.
+#
+# Scale shape: the walk frontier is one row per LIVE walk (walk_id, cur) —
+# each of the fixed _WALK_LEN steps is one skinny bounded-bucket exchange
+# (frontier re-bucketed by cur) + a cogroup against the src-bucketed shared
+# adjacency; inside a group the pick resolves by lexsort(src, tgt) + a
+# searchsorted offset (after the lexsort a node's out-edges are contiguous
+# and idx-dense, so position = src_start + pick % od — no per-row Python).
+# Emitted (walk_id, step, node) rows stream to the result per step and
+# never re-enter an exchange.
+
+_WALK_LEN = 6
+_WALK_M = 2147483647
+_WALK_C1, _WALK_C2, _WALK_C3 = 1103515245, 12345, 2654435761
+
+_WALK_SCHEMA = pa.schema(
+    [("walk_id", pa.int64()), ("step", pa.int64()), ("node", pa.int64())]
+)
+
+
+def random_walks_ds(
+    edges_ds,
+    seeds: np.ndarray,
+    walk_len: int = _WALK_LEN,
+    buckets: int = _BUCKETS,
+):
+    """(walk_id, step, node) walk corpus: one walk per seed (walk_id =
+    seed id, step 0 = the seed), deterministic neighbor picks per the
+    module-comment rule, early stop at dangling nodes."""
+    import pandas as pd
+    import ray.data as rd
+
+    seeds_u = np.unique(np.asarray(seeds, np.int64))
+    if len(seeds_u) == 0:
+        raise ValueError("random_walks: empty seed set")
+
+    adj = _build_adjacency(edges_ds, buckets)
+
+    FRONTIER_UNION = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("walk_id", pa.int64()),  # null on adjacency rows
+            ("cur", pa.int64()),  # frontier: current node; adj: src
+            ("tgt", pa.int64()),  # null on frontier rows
+        ]
+    )
+
+    seed_arr = pa.array(seeds_u, pa.int64())
+    frontier = rd.from_arrow(
+        pa.table(
+            {
+                "bucket": _cc_bucket_of(seed_arr, buckets),
+                "walk_id": seed_arr,
+                "cur": seed_arr,
+                "tgt": pa.nulls(len(seeds_u), pa.int64()),
+            },
+            schema=FRONTIER_UNION,
+        )
+    ).materialize()
+
+    out_parts = [
+        rd.from_arrow(
+            pa.table(
+                {
+                    "walk_id": seed_arr,
+                    "step": pa.array(np.zeros(len(seeds_u), np.int64), pa.int64()),
+                    "node": seed_arr,
+                },
+                schema=_WALK_SCHEMA,
+            )
+        )
+    ]
+
+    def tag_adj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": batch.column("bucket"),
+                "walk_id": pa.nulls(batch.num_rows, pa.int64()),
+                "cur": batch.column("src"),
+                "tgt": batch.column("tgt"),
+            },
+            schema=FRONTIER_UNION,
+        )
+
+    def make_step(t: int):
+        def step(group: pd.DataFrame) -> pa.Table:
+            is_walk = group["walk_id"].notna().to_numpy()
+            wid = group["walk_id"].to_numpy()[is_walk].astype(np.int64)
+            cur = group["cur"].to_numpy(np.int64)[is_walk]
+            src = group["cur"].to_numpy(np.int64)[~is_walk]
+            tgt = group["tgt"].to_numpy()[~is_walk].astype(np.int64)
+            empty = pa.table(
+                {
+                    "bucket": pa.array([], pa.int32()),
+                    "walk_id": pa.array([], pa.int64()),
+                    "cur": pa.array([], pa.int64()),
+                    "tgt": pa.array([], pa.int64()),
+                },
+                schema=FRONTIER_UNION,
+            )
+            if not len(wid) or not len(src):
+                return empty
+            order = np.lexsort((tgt, src))
+            src_s, tgt_s = src[order], tgt[order]
+            # walks at dangling nodes (src absent) stop here
+            left = np.searchsorted(src_s, cur, side="left")
+            right = np.searchsorted(src_s, cur, side="right")
+            od = right - left
+            live = od > 0
+            if not live.any():
+                return empty
+            wid, cur, left, od = wid[live], cur[live], left[live], od[live]
+            pick = (
+                (cur % _WALK_M) * _WALK_C1
+                + (wid % _WALK_M) * _WALK_C2
+                + t * _WALK_C3
+            ) % _WALK_M % od
+            nxt = tgt_s[left + pick]
+            nxt_arr = pa.array(nxt, pa.int64())
+            return pa.table(
+                {
+                    "bucket": _cc_bucket_of(nxt_arr, buckets),
+                    "walk_id": pa.array(wid, pa.int64()),
+                    "cur": nxt_arr,
+                    "tgt": pa.nulls(len(wid), pa.int64()),
+                },
+                schema=FRONTIER_UNION,
+            )
+
+        return step
+
+    def to_rows(t: int):
+        def conv(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "walk_id": batch.column("walk_id"),
+                    "step": pa.array(
+                        np.full(batch.num_rows, t, np.int64), pa.int64()
+                    ),
+                    "node": batch.column("cur"),
+                },
+                schema=_WALK_SCHEMA,
+            )
+
+        return conv
+
+    for t in range(1, walk_len + 1):
+        frontier = (
+            frontier.union(
+                adj.map_batches(tag_adj, batch_format="pyarrow", zero_copy_batch=True)
+            )
+            .groupby("bucket")
+            .map_groups(make_step(t), batch_format="pandas")
+            .repartition(buckets)
+            .materialize()
+        )
+        if frontier.count() == 0:
+            break
+        out_parts.append(
+            frontier.map_batches(
+                to_rows(t), batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+
+    out = out_parts[0]
+    for part in out_parts[1:]:
+        out = out.union(part)
+    return out
+
+
+def q_random_walks(sf_dir: str, walk_len: int = _WALK_LEN):
+    """Walk corpus from the deterministic seed rule doc_id % 101 == 3
+    (one walk per seed, length ≤ walk_len + 1 rows incl. the seed)."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def pick_seeds(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids[ids % _PPR_SEED_MOD == 3], pa.int64())}
+        )
+
+    seeds = (
+        docs.map_batches(pick_seeds, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()["doc_id"]
+        .to_numpy(np.int64)
+    )
+    return random_walks_ds(link_edges_ds(sf_dir), seeds, walk_len=walk_len)
+
+
+def _sql_random_walks(walk_len: int = _WALK_LEN) -> str:
+    pick = (
+        "((w.node % {M}) * {C1} + (w.walk_id % {M}) * {C2} + {t} * {C3})"
+        " % {M}"
+    )
+    parts = [
+        f"WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),\n{_SQL_EDGES},",
+        """adj AS (
+  SELECT src, tgt,
+         row_number() OVER (PARTITION BY src ORDER BY tgt) - 1 AS idx,
+         count(*) OVER (PARTITION BY src) AS od
+  FROM edges),""",
+        f"""w0 AS (
+  SELECT doc_id::BIGINT AS walk_id, 0::BIGINT AS step,
+         doc_id::BIGINT AS node
+  FROM documents WHERE doc_id % {_PPR_SEED_MOD} = 3)""",
+    ]
+    for t in range(1, walk_len + 1):
+        p = t - 1
+        expr = pick.format(
+            M=_WALK_M, C1=_WALK_C1, C2=_WALK_C2, C3=_WALK_C3, t=t
+        )
+        parts.append(
+            f""",w{t} AS (
+  SELECT w.walk_id, {t}::BIGINT AS step, a.tgt AS node
+  FROM w{p} w
+  JOIN adj a ON a.src = w.node AND a.idx = {expr} % a.od
+  WHERE w.step = {p})"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT walk_id, step, node FROM w{t}" for t in range(walk_len + 1)
+    )
+    parts.append(f"\n{selects}\nORDER BY walk_id, step")
     return "\n".join(parts)

@@ -677,3 +677,103 @@ def test_graph_hops_oracle_parity_sf0001(ray_session):
     assert ray_df.equals(sql_df)
     # histogram is total: counts sum to the corpus size
     assert int(ray_df["n_nodes"].sum()) == 500
+
+
+# ------------------------------------------------------ random-walk corpus
+def _py_walks(edges, seeds, walk_len=L._WALK_LEN):
+    """The module-comment pick rule, scalar Python ints."""
+    adj: dict[int, list[int]] = {}
+    for s, t in sorted(edges, key=lambda e: (e[0], e[1])):
+        adj.setdefault(s, []).append(t)
+    rows = []
+    for wid in sorted(set(seeds)):
+        cur = wid
+        rows.append((wid, 0, cur))
+        for t in range(1, walk_len + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            pick = (
+                (cur % L._WALK_M) * L._WALK_C1
+                + (wid % L._WALK_M) * L._WALK_C2
+                + t * L._WALK_C3
+            ) % L._WALK_M % len(nbrs)
+            cur = nbrs[pick]
+            rows.append((wid, t, cur))
+    return sorted(rows)
+
+
+def _walks_rows(edges, seeds, **kw):
+    import ray.data as rd
+
+    edges_ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "tgt": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    )
+    df = L.random_walks_ds(edges_ds, np.asarray(seeds, np.int64), **kw).to_pandas()
+    return sorted(map(tuple, df[["walk_id", "step", "node"]].to_numpy()))
+
+
+def test_walks_match_python_reference(ray_session):
+    # hub with fan-out, a 2-cycle, a dangling sink, duplicate parallel edges
+    edges = [(0, 1), (0, 2), (0, 2), (0, 5), (1, 2), (2, 1), (5, 6)]
+    assert _walks_rows(edges, [0, 5]) == _py_walks(edges, [0, 5])
+
+
+def test_walks_stop_at_dangling(ray_session):
+    # 0 → 1 → sink: walk emits steps 0..2 then stops short of walk_len
+    edges = [(0, 1), (1, 2)]
+    got = _walks_rows(edges, [0], walk_len=6)
+    assert got == [(0, 0, 0), (0, 1, 1), (0, 2, 2)]
+
+
+def test_walks_isolated_seed(ray_session):
+    # seed with no out-edges: corpus is just the step-0 row
+    edges = [(1, 2)]
+    assert _walks_rows(edges, [0]) == [(0, 0, 0)]
+
+
+def test_walks_bucket_invariance(ray_session):
+    edges = [(i, (i * 3 + 1) % 7) for i in range(7) if (i * 3 + 1) % 7 != i]
+    a = _walks_rows(edges, [0, 3], buckets=4)
+    b = _walks_rows(edges, [0, 3], buckets=64)
+    assert a == b == _py_walks(edges, [0, 3])
+
+
+def test_walks_empty_seeds_raises(ray_session):
+    import pytest
+
+    with pytest.raises(ValueError, match="empty seed set"):
+        _walks_rows([(0, 1)], [])
+
+
+def test_random_walks_oracle_parity_sf0001(ray_session):
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    ray_df = (
+        L.q_random_walks(sf)
+        .to_pandas()
+        .sort_values(["walk_id", "step"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    sql_df = (
+        con.execute(L._sql_random_walks())
+        .df()
+        .astype({"walk_id": "int64", "step": "int64", "node": "int64"})
+        .sort_values(["walk_id", "step"])
+        .reset_index(drop=True)
+    )
+    assert ray_df.equals(sql_df)
+    # every walk starts at its seed
+    starts = ray_df[ray_df["step"] == 0]
+    assert (starts["walk_id"] == starts["node"]).all()
