@@ -1362,6 +1362,7 @@ def queries() -> dict[str, Callable]:
         "ppr_top20": q_ppr_top20,
         "graph_hops": q_graph_hops,
         "random_walks": q_random_walks,
+        "walk_skipgrams": q_walk_skipgrams,
     }
 
 
@@ -1382,6 +1383,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_top20": _sql_ppr(),
         "graph_hops": _sql_graph_hops(),
         "random_walks": _sql_random_walks(),
+        "walk_skipgrams": _sql_walk_skipgrams(),
     }
 
 
@@ -3003,3 +3005,137 @@ def _sql_random_walks(walk_len: int = _WALK_LEN) -> str:
     )
     parts.append(f"\n{selects}\nORDER BY walk_id, step")
     return "\n".join(parts)
+
+
+# ----------------------------------------------------- skip-gram pairs
+# (center, context) co-occurrence counts over the walk corpus — the
+# training-pair generator that turns DeepWalk walks into word2vec input
+# (Perozzi et al. 2014 §4.2: each node within _SKIPGRAM_WINDOW hops of a
+# walk position is a context, both directions).  Composes random_walks_ds;
+# the oracle splices the walk CTE chain and counts with a windowed
+# self-join.
+#
+# Scale shape: walk rows cogroup ONCE by walk-id hash bucket (a walk's
+# ≤ _WALK_LEN+1 rows land together; pairs are generated inside the group
+# by offset-shifted vectorized compares, never a per-walk Python loop),
+# and pair counts pre-aggregate inside the same group before ONE bounded
+# pair-hash-bucket exchange + reduceat sum — the classic combiner shape:
+# the exchange carries unique (center, context) partials, not raw pairs.
+
+_SKIPGRAM_WINDOW = 2
+
+
+def walk_skipgrams_ds(walks_ds, window: int = _SKIPGRAM_WINDOW, buckets: int = _BUCKETS):
+    """(center, context, n_cooc) counts over a (walk_id, step, node)
+    walk table; contexts are both directions within ``window`` steps."""
+    import pandas as pd
+
+    def tag_walks(batch: pa.Table) -> pa.Table:
+        wid = batch.column("walk_id").combine_chunks()
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(wid, buckets),
+                "walk_id": wid,
+                "step": batch.column("step"),
+                "node": batch.column("node"),
+            }
+        )
+
+    def gen_pairs(group: pd.DataFrame) -> pa.Table:
+        wid = group["walk_id"].to_numpy(np.int64)
+        step = group["step"].to_numpy(np.int64)
+        node = group["node"].to_numpy(np.int64)
+        order = np.lexsort((step, wid))
+        wid, step, node = wid[order], step[order], node[order]
+        centers, contexts = [], []
+        for d in range(1, window + 1):
+            if d >= len(wid):
+                break
+            same = (wid[d:] == wid[:-d]) & (step[d:] == step[:-d] + d)
+            a, b = node[:-d][same], node[d:][same]
+            centers.append(a)
+            contexts.append(b)
+            centers.append(b)  # symmetric window: both directions
+            contexts.append(a)
+        if not centers:
+            return pa.table(
+                {
+                    "pbucket": pa.array([], pa.int32()),
+                    "center": pa.array([], pa.int64()),
+                    "context": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        center = np.concatenate(centers)
+        context = np.concatenate(contexts)
+        p_order = np.lexsort((context, center))
+        center, context = center[p_order], context[p_order]
+        key_change = np.empty(len(center), bool)
+        key_change[0] = True
+        key_change[1:] = (center[1:] != center[:-1]) | (context[1:] != context[:-1])
+        idx = np.flatnonzero(key_change)
+        counts = np.diff(np.append(idx, len(center))).astype(np.int64)
+        center_arr = pa.array(center[idx], pa.int64())
+        with np.errstate(over="ignore"):  # wrap is fine: partition hash only
+            mixed = pa.array(
+                (center[idx] * 1000003 + context[idx]) % (2**31 - 1), pa.int64()
+            )
+        return pa.table(
+            {
+                "pbucket": _cc_bucket_of(mixed, buckets),
+                "center": center_arr,
+                "context": pa.array(context[idx], pa.int64()),
+                "c": pa.array(counts, pa.int64()),
+            }
+        )
+
+    def sum_pairs(group: pd.DataFrame) -> pa.Table:
+        center = group["center"].to_numpy(np.int64)
+        context = group["context"].to_numpy(np.int64)
+        c = group["c"].to_numpy(np.int64)
+        order = np.lexsort((context, center))
+        center, context, c = center[order], context[order], c[order]
+        key_change = np.empty(len(center), bool)
+        key_change[0] = True
+        key_change[1:] = (center[1:] != center[:-1]) | (context[1:] != context[:-1])
+        idx = np.flatnonzero(key_change)
+        sums = np.add.reduceat(c, idx)
+        return pa.table(
+            {
+                "center": pa.array(center[idx], pa.int64()),
+                "context": pa.array(context[idx], pa.int64()),
+                "n_cooc": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return (
+        walks_ds.map_batches(tag_walks, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(gen_pairs, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(sum_pairs, batch_format="pandas")
+    )
+
+
+def q_walk_skipgrams(sf_dir: str, window: int = _SKIPGRAM_WINDOW):
+    """Skip-gram pair counts over the q_random_walks corpus, every pair
+    (small by construction: ≤ 2·window rows per walk position)."""
+    walks = q_random_walks(sf_dir)
+    return walk_skipgrams_ds(walks, window=window)
+
+
+def _sql_walk_skipgrams(window: int = _SKIPGRAM_WINDOW) -> str:
+    walk_sql = _sql_random_walks()
+    # strip the trailing SELECT ... ORDER BY and re-wrap as a walks CTE
+    body, _, selects = walk_sql.rpartition("\n\n")
+    selects = selects.replace("\nORDER BY walk_id, step", "")
+    return f"""{body},
+walks AS ({selects})
+SELECT a.node AS center, b.node AS context, count(*)::BIGINT AS n_cooc
+FROM walks a
+JOIN walks b
+  ON a.walk_id = b.walk_id
+ AND b.step <> a.step
+ AND abs(b.step - a.step) <= {window}
+GROUP BY a.node, b.node
+ORDER BY center, context"""

@@ -777,3 +777,91 @@ def test_random_walks_oracle_parity_sf0001(ray_session):
     # every walk starts at its seed
     starts = ray_df[ray_df["step"] == 0]
     assert (starts["walk_id"] == starts["node"]).all()
+
+
+# ----------------------------------------------------- skip-gram pairs
+def _py_skipgrams(walk_rows, window=L._SKIPGRAM_WINDOW):
+    """Ordered co-occurrence counts over (walk_id, step, node) rows."""
+    by_walk: dict[int, dict[int, int]] = {}
+    for wid, step, node in walk_rows:
+        by_walk.setdefault(wid, {})[step] = node
+    counts: dict[tuple[int, int], int] = {}
+    for steps in by_walk.values():
+        for i, a in steps.items():
+            for d in range(1, window + 1):
+                if i + d in steps:
+                    b = steps[i + d]
+                    counts[(a, b)] = counts.get((a, b), 0) + 1
+                    counts[(b, a)] = counts.get((b, a), 0) + 1
+    return counts
+
+
+def _skipgram_counts(walk_rows, **kw):
+    import ray.data as rd
+
+    walks_ds = rd.from_arrow(
+        pa.table(
+            {
+                "walk_id": pa.array([r[0] for r in walk_rows], pa.int64()),
+                "step": pa.array([r[1] for r in walk_rows], pa.int64()),
+                "node": pa.array([r[2] for r in walk_rows], pa.int64()),
+            }
+        )
+    )
+    df = L.walk_skipgrams_ds(walks_ds, **kw).to_pandas()
+    return {
+        (int(r.center), int(r.context)): int(r.n_cooc)
+        for r in df.itertuples()
+    }
+
+
+def test_skipgrams_match_python_reference(ray_session):
+    # two walks sharing nodes (repeat visits accumulate counts); window 2
+    walks = [
+        (0, 0, 10), (0, 1, 11), (0, 2, 12), (0, 3, 10),
+        (7, 0, 11), (7, 1, 10),
+    ]
+    assert _skipgram_counts(walks) == _py_skipgrams(walks)
+
+
+def test_skipgrams_window_one(ray_session):
+    walks = [(0, 0, 1), (0, 1, 2), (0, 2, 3)]
+    got = _skipgram_counts(walks, window=1)
+    assert got == {(1, 2): 1, (2, 1): 1, (2, 3): 1, (3, 2): 1}
+
+
+def test_skipgrams_short_walk_no_pairs(ray_session):
+    # single-row walk emits nothing
+    assert _skipgram_counts([(5, 0, 5)]) == {}
+
+
+def test_skipgrams_bucket_invariance(ray_session):
+    walks = [(w, s, (w * 7 + s * 3) % 5) for w in range(6) for s in range(4)]
+    a = _skipgram_counts(walks, buckets=4)
+    b = _skipgram_counts(walks, buckets=64)
+    assert a == b == _py_skipgrams(walks)
+
+
+def test_walk_skipgrams_oracle_parity_sf0001(ray_session):
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    ray_df = (
+        L.q_walk_skipgrams(sf)
+        .to_pandas()
+        .sort_values(["center", "context"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    sql_df = (
+        con.execute(L._sql_walk_skipgrams())
+        .df()
+        .astype({"center": "int64", "context": "int64", "n_cooc": "int64"})
+        .sort_values(["center", "context"])
+        .reset_index(drop=True)
+    )
+    assert ray_df.equals(sql_df)
