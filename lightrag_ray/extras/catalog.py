@@ -206,6 +206,14 @@ def q_knn_ivf_delta(sf_dir: str):
     return dedup.knn_ivf_delta_topk(sf_dir, k=10, nprobe=4)
 
 
+def q_pq_codes(sf_dir: str):
+    return dedup.pq_codes(sf_dir)
+
+
+def q_knn_pq(sf_dir: str):
+    return dedup.knn_pq_topk(sf_dir, k=10, rerank=100)
+
+
 def q_semdedup(sf_dir: str):
     # eps=0.55 (duplicate when cosine >= 0.45 — the embedding_near_dup
     # threshold) so the keep/drop election is actually exercised on the
@@ -1017,6 +1025,8 @@ def queries() -> dict[str, Callable]:
         "ivf_assignments": q_ivf_assignments,  # rows-only (k-means quantizer)
         "ivf_delta_assign": q_ivf_delta_assign,  # rows-only (incremental IVF; contract-tested vs full assign)
         "knn_ivf_delta_top10": q_knn_ivf_delta,  # rows-only (maintained-index ANN; exact = knn_top10 at full probe)
+        "pq_codes": q_pq_codes,  # rows-only (PQ encode; exactness pinned by overcomplete-codebook test)
+        "knn_pq_top10": q_knn_pq,  # rows-only (PQ ADC + exact rerank; exact = knn_top10)
         "langid": q_langid,
         "length_quantiles": textstats.length_quantiles,
         "heavy_hitters": textstats.heavy_hitters,

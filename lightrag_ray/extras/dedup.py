@@ -2443,3 +2443,222 @@ def semdedup(
     return assigned.groupby("list_id").map_groups(
         _semdedup_group_kernel(eps, max_cluster), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-scale path for vector search
+# (Jégou, Douze & Schmid 2011, "Product Quantization for Nearest Neighbor
+# Search"): each unit vector splits into _PQ_M subvectors, each quantized
+# to one of _PQ_KSUB codewords from a per-subspace k-means codebook, so a
+# dim-64 float32 vector (256 B) compresses to _PQ_M uint8 codes (8 B) —
+# the compression that lets a 100-TB embedding corpus's index live in
+# cluster RAM.  Search is ADC (asymmetric distance computation): the query
+# stays full-precision, per-subspace dot-product tables (_PQ_M × _PQ_KSUB
+# floats) are computed ONCE on the driver and broadcast, and each batch
+# scores rows with m table gathers + a sum — no decode, no matmul.
+# Approximate top-``rerank`` candidates then exact-rerank against their
+# raw embeddings (same candidate→exact shape as knn_lsh_topk /
+# knn_ivf_topk; brute-force knn_top10 stays the oracle).
+#
+# Determinism: codebooks train on the same streamed splitmix64 sample as
+# the IVF quantizer (one pass, no driver full-table read) with a seeded
+# per-subspace k-means, so codes are bit-identical across runs, batch
+# splits and block orders.  Reference intent: lightrag/kg/faiss_impl.py
+# wraps FAISS flat indexes; PQ is the standard FAISS compression tier
+# (IndexPQ) re-expressed Ray-Data-first.
+
+_PQ_M = 8  # subspaces
+_PQ_KSUB = 16  # codewords per subspace (4-bit codes)
+
+
+def pq_train_codebooks(
+    sf_dir: str,
+    m: int = _PQ_M,
+    ksub: int = _PQ_KSUB,
+    max_train: int = 4096,
+    n_iters: int = 10,
+) -> np.ndarray:
+    """(m, ksub, dsub) float64 codebooks: per-subspace seeded Lloyd k-means
+    over the unit-normalized streamed training sample.  Runs ONCE on the
+    driver; callers ship the result via ``ray.put``.  When the sample has
+    fewer than ``ksub`` rows the spare codeword slots repeat codeword 0
+    (harmless: argmin ties resolve to the first index)."""
+    mat = _ivf_training_sample(sf_dir, max_train)
+    norms = np.linalg.norm(mat, axis=1)
+    unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
+    dim = unit.shape[1]
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub), np.float64)
+    for j in range(m):
+        sub = np.ascontiguousarray(unit[:, j * dsub : (j + 1) * dsub])
+        k_eff = min(ksub, len(sub))
+        rng = np.random.default_rng(np.random.PCG64(20260819 + j))
+        cents = sub[rng.choice(len(sub), size=k_eff, replace=False)].copy()
+        for _ in range(n_iters):
+            # ||x-c||² argmin ≡ argmin of ||c||² - 2x·c (x constant per row)
+            d = (cents**2).sum(1)[None, :] - 2.0 * (sub @ cents.T)
+            assign = d.argmin(1)
+            for c in range(k_eff):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(0)
+        books[j, :k_eff] = cents
+        books[j, k_eff:] = cents[0]
+    return books
+
+
+_PQ_BOOKS: dict = {}  # driver-side only: (sf_dir, m, ksub) → ndarray
+
+
+def _pq_codebooks(sf_dir: str, m: int = _PQ_M, ksub: int = _PQ_KSUB) -> np.ndarray:
+    key = (sf_dir, m, ksub)
+    if key not in _PQ_BOOKS:
+        _PQ_BOOKS[key] = pq_train_codebooks(sf_dir, m, ksub)
+    return _PQ_BOOKS[key]
+
+
+def _pq_encode_mat(unit: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 codes for unit rows — m small matmuls, no per-row
+    Python."""
+    m, ksub, dsub = books.shape
+    codes = np.empty((len(unit), m), np.uint8)
+    for j in range(m):
+        sub = unit[:, j * dsub : (j + 1) * dsub]
+        d = (books[j] ** 2).sum(1)[None, :] - 2.0 * (sub @ books[j].T)
+        codes[:, j] = d.argmin(1)
+    return codes
+
+
+def _make_pq_encode_fn(books_ref):
+    import ray
+
+    def encode(batch: pa.Table) -> pa.Table:
+        books = ray.get(books_ref)
+        ids = np.asarray(batch.column("vec_id"), np.int64)
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
+        codes = _pq_encode_mat(unit, books)
+        m = codes.shape[1]
+        code_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.reshape(-1), pa.uint8()), m
+        )
+        return pa.table({"vec_id": pa.array(ids, pa.int64()), "code": code_col})
+
+    return encode
+
+
+def pq_codes(sf_dir: str, m: int = _PQ_M, ksub: int = _PQ_KSUB):
+    """embeddings → (vec_id, code: fixed_size_list<uint8>[m]) — the PQ
+    index-build pass: codebooks broadcast once, corpus streams through the
+    encode kernel."""
+    import ray
+    import ray.data as rd
+
+    books_ref = ray.put(_pq_codebooks(sf_dir, m, ksub))
+    return rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(
+        _make_pq_encode_fn(books_ref), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def knn_pq_topk(
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    m: int = _PQ_M,
+    ksub: int = _PQ_KSUB,
+    rerank: int = 50,
+):
+    """Top-k cosine neighbors via PQ ADC + exact rerank: per-subspace
+    dot-tables broadcast once; each batch scores with m uint8 gathers + a
+    sum (the 8-bytes-per-vector regime); the approximate top-``rerank``
+    candidates fetch their raw embeddings through a predicate-pushdown read
+    and exact-rerank.  Recall rises with ``rerank``; brute-force
+    ``knn_top10`` is the oracle."""
+    import pyarrow.parquet as pq_mod
+    import ray
+    import ray.data as rd
+
+    books = _pq_codebooks(sf_dir, m, ksub)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    q_table = pq_mod.read_table(
+        path, columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", query_vec_id)],
+    )
+    if q_table.num_rows != 1:
+        raise ValueError(f"vec_id {query_vec_id}: {q_table.num_rows} rows")
+    q_vec = np.array(q_table.column("embedding")[0].as_py(), dtype=np.float64)
+    q_unit = q_vec / np.linalg.norm(q_vec)
+    dsub = len(q_unit) // m
+    # ADC tables: approx cos(x, q) = Σ_j  q_sub_j · codeword(code_j)
+    tables = np.stack(
+        [q_unit[j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)]
+    )  # (m, ksub)
+    tables_ref = ray.put(tables)
+    books_ref = ray.put(books)
+
+    def adc_score(batch: pa.Table) -> pa.Table:
+        t = ray.get(tables_ref)
+        bks = ray.get(books_ref)
+        ids = np.asarray(batch.column("vec_id"), np.int64)
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
+        codes = _pq_encode_mat(unit, bks)
+        approx = np.zeros(len(unit), np.float64)
+        for j in range(t.shape[0]):
+            approx += t[j, codes[:, j]]
+        keep = ids != query_vec_id
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], pa.int64()),
+                "approx": pa.array(approx[keep], pa.float64()),
+            }
+        )
+
+    cand = (
+        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(adc_score, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["approx", "vec_id"], descending=[True, False])
+        .limit(rerank)
+        .to_pandas()
+    )
+    cand_ids = np.sort(cand["vec_id"].to_numpy(np.int64))
+    ids_ref = ray.put(cand_ids)
+    q_ref = ray.put(q_unit)
+
+    def exact_rerank(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        q = ray.get(q_ref)
+        ids = np.asarray(batch.column("vec_id"), np.int64)
+        pos = np.searchsorted(want, ids)
+        pos_c = np.minimum(pos, len(want) - 1)
+        keep = want[pos_c] == ids
+        if not keep.any():
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        sel = batch.filter(pa.array(keep))
+        mat = np.array(sel.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
+        return pa.table(
+            {
+                "vec_id": sel.column("vec_id"),
+                "sim": pa.array(np.round(unit @ q, 4), pa.float64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(exact_rerank, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["sim", "vec_id"], descending=[True, False])
+        .limit(k)
+    )

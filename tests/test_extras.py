@@ -1216,3 +1216,80 @@ def test_lsh_delta_pairs_crafted_base_delta_dup(ray_session, tmp_path):
     out = D.lsh_delta_pairs(str(tmp_path), threshold=0.5).to_pandas()
     assert [(r.doc_a, r.doc_b) for r in out.itertuples()] == [(3, 10)]
     assert out["est_jaccard"].iloc[0] == 1.0
+
+
+def test_pq_codes_deterministic_and_total(ray_session):
+    """PQ encode: every vector gets an m-byte code, codes are bit-identical
+    across runs and batch-split choices (seeded codebooks + streamed
+    deterministic training sample)."""
+    from lightrag_ray.extras.dedup import _PQ_M, pq_codes
+
+    a = pq_codes(SF_DIR).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    b = pq_codes(SF_DIR).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert len(a) == 500 and a["vec_id"].is_unique
+    assert all(len(c) == _PQ_M for c in a["code"])
+    assert [list(c) for c in a["code"]] == [list(c) for c in b["code"]]
+
+
+def test_pq_adc_recall_vs_brute_force(ray_session):
+    """ADC + exact-rerank recall vs the brute-force oracle is monotone in
+    the rerank depth and ≥ the measured floor at each depth (deterministic
+    pipeline, so these are stable, not flaky, bounds)."""
+    from lightrag_ray.extras.dedup import knn_pq_topk
+    from lightrag_ray.pipelines.queries import queries as Q
+
+    brute = set(Q()["knn_top10"](SF_DIR).to_pandas()["vec_id"])
+    r50 = set(knn_pq_topk(SF_DIR, rerank=50).to_pandas()["vec_id"])
+    r100 = set(knn_pq_topk(SF_DIR, rerank=100).to_pandas()["vec_id"])
+    r200 = set(knn_pq_topk(SF_DIR, rerank=200).to_pandas()["vec_id"])
+    rec = [len(s & brute) / 10 for s in (r50, r100, r200)]
+    assert rec[0] <= rec[1] <= rec[2]
+    assert rec[0] >= 0.6 and rec[1] >= 0.8 and rec[2] == 1.0
+
+
+def test_pq_exact_with_overcomplete_codebooks(ray_session, tmp_path):
+    """When the codebook is overcomplete (ksub ≥ distinct training rows and
+    the training sample IS the corpus), Lloyd's fixed point puts every
+    subvector on its own codeword, encode is lossless, and PQ top-k equals
+    brute force EXACTLY — the end-to-end correctness pin for the
+    encode/ADC/rerank plumbing."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lightrag_ray.extras import dedup as D
+
+    rng = np.random.default_rng(7)
+    n, dim = 12, 16
+    mat = rng.normal(size=(n, dim))
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in mat],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    pq.write_table(table, os.path.join(tmp_path, "embeddings.parquet"))
+    sf = str(tmp_path)
+
+    books = D.pq_train_codebooks(sf, m=4, ksub=16, max_train=n)
+    norms = np.linalg.norm(mat, axis=1)
+    unit = mat / norms[:, None]
+    codes = D._pq_encode_mat(unit, books)
+    # lossless: decoding the codes reproduces the unit vectors
+    dsub = dim // 4
+    recon = np.concatenate(
+        [books[j][codes[:, j]] for j in range(4)], axis=1
+    )
+    assert np.allclose(recon, unit, atol=1e-9)
+
+    q_unit = unit[0]
+    exact = np.round(unit @ q_unit, 4)
+    order = np.lexsort((np.arange(n), -exact))
+    expect = [i for i in order if i != 0][:5]
+    got = D.knn_pq_topk(sf, query_vec_id=0, k=5, m=4, ksub=16).to_pandas()
+    assert got["vec_id"].tolist() == expect
