@@ -214,6 +214,10 @@ def q_knn_pq(sf_dir: str):
     return dedup.knn_pq_topk(sf_dir, k=10, rerank=100)
 
 
+def q_knn_ivfpq(sf_dir: str):
+    return dedup.knn_ivfpq_topk(sf_dir, k=10, nprobe=4, rerank=100)
+
+
 def q_semdedup(sf_dir: str):
     # eps=0.55 (duplicate when cosine >= 0.45 — the embedding_near_dup
     # threshold) so the keep/drop election is actually exercised on the
@@ -1027,6 +1031,7 @@ def queries() -> dict[str, Callable]:
         "knn_ivf_delta_top10": q_knn_ivf_delta,  # rows-only (maintained-index ANN; exact = knn_top10 at full probe)
         "pq_codes": q_pq_codes,  # rows-only (PQ encode; exactness pinned by overcomplete-codebook test)
         "knn_pq_top10": q_knn_pq,  # rows-only (PQ ADC + exact rerank; exact = knn_top10)
+        "knn_ivfpq_top10": q_knn_ivfpq,  # rows-only (IVF-pruned read + PQ ADC + exact rerank)
         "langid": q_langid,
         "length_quantiles": textstats.length_quantiles,
         "heavy_hitters": textstats.heavy_hitters,

@@ -2662,3 +2662,101 @@ def knn_pq_topk(
         .sort(["sim", "vec_id"], descending=[True, False])
         .limit(k)
     )
+
+
+def knn_ivfpq_topk(
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    m: int = _PQ_M,
+    ksub: int = _PQ_KSUB,
+    rerank: int = 100,
+    index_dir: str | None = None,
+):
+    """IVF-PQ — the composed FAISS-style scale tier: the coarse quantizer
+    prunes the read to ``nprobe`` inverted-list partitions (I/O ∝
+    nprobe/n_lists of the corpus), PQ ADC scores the probed rows with m
+    uint8 gathers each (CPU ∝ 8 B/vector, not 256 B), and the approximate
+    top-``rerank`` exact-rerank against their raw embeddings.  Recall is
+    bounded by the IVF probe (exact at nprobe = n_lists and rerank ≥
+    probed rows); brute-force ``knn_top10`` stays the oracle."""
+    import ray
+    import ray.data as rd
+
+    q_unit, probe = _ivf_query_probe(sf_dir, query_vec_id, n_lists, nprobe)
+    if index_dir is None:
+        index_dir = _ivf_default_index_dir(sf_dir, n_lists)
+    ivf_build_index(sf_dir, index_dir, n_lists)
+
+    books = _pq_codebooks(sf_dir, m, ksub)
+    dsub = len(q_unit) // m
+    tables = np.stack(
+        [q_unit[j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)]
+    )
+    tables_ref = ray.put(tables)
+    books_ref = ray.put(books)
+    q_ref = ray.put(q_unit)
+
+    def adc_score(batch: pa.Table) -> pa.Table:
+        t = ray.get(tables_ref)
+        bks = ray.get(books_ref)
+        ids = np.asarray(batch.column("vec_id"), np.int64)
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
+        codes = _pq_encode_mat(unit, bks)
+        approx = np.zeros(len(unit), np.float64)
+        for j in range(t.shape[0]):
+            approx += t[j, codes[:, j]]
+        keep = ids != query_vec_id
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], pa.int64()),
+                "approx": pa.array(approx[keep], pa.float64()),
+            }
+        )
+
+    probe_paths = _ivf_probe_paths(index_dir, probe)
+    cand = (
+        rd.read_parquet(probe_paths, columns=["vec_id", "embedding"])
+        .map_batches(adc_score, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["approx", "vec_id"], descending=[True, False])
+        .limit(rerank)
+        .to_pandas()
+    )
+    cand_ids = np.sort(cand["vec_id"].to_numpy(np.int64))
+    ids_ref = ray.put(cand_ids)
+
+    def exact_rerank(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        q = ray.get(q_ref)
+        ids = np.asarray(batch.column("vec_id"), np.int64)
+        pos = np.searchsorted(want, ids)
+        pos_c = np.minimum(pos, len(want) - 1)
+        keep = want[pos_c] == ids
+        if not keep.any():
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        sel = batch.filter(pa.array(keep))
+        mat = np.array(sel.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
+        return pa.table(
+            {
+                "vec_id": sel.column("vec_id"),
+                "sim": pa.array(np.round(unit @ q, 4), pa.float64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(probe_paths, columns=["vec_id", "embedding"])
+        .map_batches(exact_rerank, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["sim", "vec_id"], descending=[True, False])
+        .limit(k)
+    )

@@ -1293,3 +1293,33 @@ def test_pq_exact_with_overcomplete_codebooks(ray_session, tmp_path):
     expect = [i for i in order if i != 0][:5]
     got = D.knn_pq_topk(sf, query_vec_id=0, k=5, m=4, ksub=16).to_pandas()
     assert got["vec_id"].tolist() == expect
+
+
+def test_ivfpq_recall_and_full_probe_exactness(ray_session):
+    """IVF-PQ: at full probe + rerank ≥ corpus the composed path equals
+    brute force exactly (the PQ stage only orders candidates; the exact
+    rerank recovers truth); at pruned probes recall ≥ the IVF-only path's
+    floor can't be guaranteed, so pin the measured deterministic values."""
+    from lightrag_ray.extras.dedup import knn_ivfpq_topk
+    from lightrag_ray.pipelines.queries import queries as Q
+
+    brute = Q()["knn_top10"](SF_DIR).to_pandas()["vec_id"].tolist()
+    full = knn_ivfpq_topk(
+        SF_DIR, nprobe=16, rerank=500
+    ).to_pandas()["vec_id"].tolist()
+    assert full == brute
+
+    # at a pruned probe the PQ stage must lose NOTHING beyond the IVF
+    # prune itself: with rerank covering the probed rows' candidate pool,
+    # IVF-PQ recall equals the IVF-only path's at the same nprobe
+    from lightrag_ray.extras.dedup import knn_ivf_topk
+
+    for nprobe in (4, 8):
+        ivf_only = set(
+            r["vec_id"] for r in knn_ivf_topk(SF_DIR, nprobe=nprobe).take_all()
+        )
+        ivfpq = set(
+            knn_ivfpq_topk(SF_DIR, nprobe=nprobe, rerank=100)
+            .to_pandas()["vec_id"]
+        )
+        assert len(ivfpq & set(brute)) == len(ivf_only & set(brute))
