@@ -248,6 +248,11 @@ def synth_replicated_documents(num_files: int = 16) -> str:
                 "doc_id": pa.array(out_ids, pa.int64()),
                 "text": pa.array(out_texts, pa.string()),
                 "lang": pa.array(out_langs, pa.string()),
+                # n_chars = len(text), the testdata documents convention
+                # (q_bestrep_dedup_lsh reads it for the keep-longest argmax)
+                "n_chars": pa.array(
+                    [len(t) for t in out_texts], pa.int64()
+                ),
             }
         )
 
