@@ -1363,6 +1363,7 @@ def queries() -> dict[str, Callable]:
         "graph_hops": q_graph_hops,
         "random_walks": q_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
+        "walk_ppmi": q_walk_ppmi,
     }
 
 
@@ -1384,6 +1385,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_hops": _sql_graph_hops(),
         "random_walks": _sql_random_walks(),
         "walk_skipgrams": _sql_walk_skipgrams(),
+        "walk_ppmi": _sql_walk_ppmi(),
     }
 
 
@@ -3124,13 +3126,18 @@ def q_walk_skipgrams(sf_dir: str, window: int = _SKIPGRAM_WINDOW):
     return walk_skipgrams_ds(walks, window=window)
 
 
-def _sql_walk_skipgrams(window: int = _SKIPGRAM_WINDOW) -> str:
-    walk_sql = _sql_random_walks()
+def _sql_walks_prefix(walk_len: int = _WALK_LEN) -> str:
+    """The random-walk CTE chain re-wrapped as a ``walks`` CTE (shared by
+    the skip-gram and PPMI oracles)."""
+    walk_sql = _sql_random_walks(walk_len)
     # strip the trailing SELECT ... ORDER BY and re-wrap as a walks CTE
     body, _, selects = walk_sql.rpartition("\n\n")
     selects = selects.replace("\nORDER BY walk_id, step", "")
-    return f"""{body},
-walks AS ({selects})
+    return f"{body},\nwalks AS ({selects})"
+
+
+def _sql_walk_skipgrams(window: int = _SKIPGRAM_WINDOW) -> str:
+    return f"""{_sql_walks_prefix()}
 SELECT a.node AS center, b.node AS context, count(*)::BIGINT AS n_cooc
 FROM walks a
 JOIN walks b
@@ -3139,3 +3146,128 @@ JOIN walks b
  AND abs(b.step - a.step) <= {window}
 GROUP BY a.node, b.node
 ORDER BY center, context"""
+
+
+# --------------------------------------------------------------- walk PPMI
+# Positive pointwise mutual information over the skip-gram counts — the
+# count-based association signal whose factorization skip-gram-with-
+# negative-sampling implicitly computes (Levy & Goldberg 2014, "Neural
+# Word Embedding as Implicit Matrix Factorization"): high-PPMI pairs are
+# the node pairs a DeepWalk embedding would place together.  PMI is
+# quantized to WHOLE BITS with the same integer idiom as the unigram LM
+# (webquality.py): ``bits = bitlen(n_cooc) + bitlen(T) - bitlen(c_center)
+# - bitlen(c_context)`` — a monotone integer proxy for
+# ``log2(n·T/(ca·cb))`` that uses SUMS of bit lengths, never bit lengths
+# of products, so nothing can overflow int64 at any corpus size; PPMI
+# clamps at 0.  Mirrored exactly in the oracle via length(bin(x)).
+#
+# Scale shape: all pairs of a given center hash to ONE bucket, so the
+# center marginal is computed inside the same group that tags it (no
+# separate marginal table or broadcast); a second bucket exchange by
+# context does the same for the context marginal; T is one skinny driver
+# aggregate.  Two bounded exchanges total over the unique-pair table.
+
+def walk_ppmi_ds(walks_ds, window: int = _SKIPGRAM_WINDOW, buckets: int = _BUCKETS):
+    """(center, context, n_cooc, ppmi_bits) over a walk table."""
+    import pandas as pd
+
+    from lightrag_ray.extras.webquality import _bit_length_u64
+
+    pairs = walk_skipgrams_ds(walks_ds, window=window, buckets=buckets).materialize()
+    t_total = int(pairs.sum("n_cooc") or 0)
+    bits_t = t_total.bit_length()
+
+    def tag_center(batch: pa.Table) -> pa.Table:
+        center = batch.column("center").combine_chunks()
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(center, buckets),
+                "center": center,
+                "context": batch.column("context"),
+                "n_cooc": batch.column("n_cooc"),
+            }
+        )
+
+    def attach_ca(group: pd.DataFrame) -> pa.Table:
+        center = group["center"].to_numpy(np.int64)
+        context = group["context"].to_numpy(np.int64)
+        n = group["n_cooc"].to_numpy(np.int64)
+        order = np.argsort(center, kind="stable")
+        center, context, n = center[order], context[order], n[order]
+        uniq, idx = np.unique(center, return_index=True)
+        sums = np.add.reduceat(n, idx)
+        ca = sums[np.searchsorted(uniq, center)]
+        ctx_arr = pa.array(context, pa.int64())
+        return pa.table(
+            {
+                "bucket": _cc_bucket_of(ctx_arr, buckets),
+                "center": pa.array(center, pa.int64()),
+                "context": ctx_arr,
+                "n_cooc": pa.array(n, pa.int64()),
+                "ca": pa.array(ca, pa.int64()),
+            }
+        )
+
+    def attach_cb_and_score(group: pd.DataFrame) -> pa.Table:
+        center = group["center"].to_numpy(np.int64)
+        context = group["context"].to_numpy(np.int64)
+        n = group["n_cooc"].to_numpy(np.int64)
+        ca = group["ca"].to_numpy(np.int64)
+        order = np.argsort(context, kind="stable")
+        center, context, n, ca = (
+            center[order], context[order], n[order], ca[order],
+        )
+        uniq, idx = np.unique(context, return_index=True)
+        sums = np.add.reduceat(n, idx)
+        cb = sums[np.searchsorted(uniq, context)]
+        bits = (
+            _bit_length_u64(n).astype(np.int64)
+            + bits_t
+            - _bit_length_u64(ca).astype(np.int64)
+            - _bit_length_u64(cb).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "center": pa.array(center, pa.int64()),
+                "context": pa.array(context, pa.int64()),
+                "n_cooc": pa.array(n, pa.int64()),
+                "ppmi_bits": pa.array(np.maximum(bits, 0), pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(tag_center, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(attach_ca, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(attach_cb_and_score, batch_format="pandas")
+    )
+
+
+def q_walk_ppmi(sf_dir: str, window: int = _SKIPGRAM_WINDOW):
+    """PPMI-scored skip-gram pairs over the q_random_walks corpus."""
+    walks = q_random_walks(sf_dir)
+    return walk_ppmi_ds(walks, window=window)
+
+
+def _sql_walk_ppmi(window: int = _SKIPGRAM_WINDOW) -> str:
+    return f"""{_sql_walks_prefix()},
+sg AS (
+  SELECT a.node AS center, b.node AS context, count(*)::BIGINT AS n_cooc
+  FROM walks a
+  JOIN walks b
+    ON a.walk_id = b.walk_id
+   AND b.step <> a.step
+   AND abs(b.step - a.step) <= {window}
+  GROUP BY a.node, b.node),
+ca AS (SELECT center, CAST(sum(n_cooc) AS BIGINT) AS c FROM sg GROUP BY center),
+cb AS (SELECT context, CAST(sum(n_cooc) AS BIGINT) AS c FROM sg GROUP BY context),
+tot AS (SELECT CAST(sum(n_cooc) AS BIGINT) AS t FROM sg)
+SELECT sg.center, sg.context, sg.n_cooc,
+       greatest(0,
+                length(bin(sg.n_cooc)) + length(bin((SELECT t FROM tot)))
+                - length(bin(ca.c)) - length(bin(cb.c)))::BIGINT AS ppmi_bits
+FROM sg
+JOIN ca ON sg.center = ca.center
+JOIN cb ON sg.context = cb.context
+ORDER BY sg.center, sg.context"""

@@ -865,3 +865,100 @@ def test_walk_skipgrams_oracle_parity_sf0001(ray_session):
         .reset_index(drop=True)
     )
     assert ray_df.equals(sql_df)
+
+
+# --------------------------------------------------------------- walk PPMI
+def _py_ppmi(walk_rows, window=L._SKIPGRAM_WINDOW):
+    counts = _py_skipgrams(walk_rows, window)
+    T = sum(counts.values())
+    ca: dict[int, int] = {}
+    cb: dict[int, int] = {}
+    for (a, b), n in counts.items():
+        ca[a] = ca.get(a, 0) + n
+        cb[b] = cb.get(b, 0) + n
+    return {
+        k: (
+            n,
+            max(
+                0,
+                n.bit_length()
+                + T.bit_length()
+                - ca[k[0]].bit_length()
+                - cb[k[1]].bit_length(),
+            ),
+        )
+        for k, n in counts.items()
+    }
+
+
+def _ppmi_rows(walk_rows, **kw):
+    import ray.data as rd
+
+    walks_ds = rd.from_arrow(
+        pa.table(
+            {
+                "walk_id": pa.array([r[0] for r in walk_rows], pa.int64()),
+                "step": pa.array([r[1] for r in walk_rows], pa.int64()),
+                "node": pa.array([r[2] for r in walk_rows], pa.int64()),
+            }
+        )
+    )
+    df = L.walk_ppmi_ds(walks_ds, **kw).to_pandas()
+    return {
+        (int(r.center), int(r.context)): (int(r.n_cooc), int(r.ppmi_bits))
+        for r in df.itertuples()
+    }
+
+
+def test_ppmi_matches_python_reference(ray_session):
+    walks = [
+        (0, 0, 10), (0, 1, 11), (0, 2, 12), (0, 3, 10),
+        (7, 0, 11), (7, 1, 10), (9, 0, 12), (9, 1, 11),
+    ]
+    assert _ppmi_rows(walks) == _py_ppmi(walks)
+
+
+def test_ppmi_clamps_at_zero(ray_session):
+    # a hub context co-occurring with everything gets PMI ≤ 0 → clamped
+    walks = [(w, s, 99 if s % 2 else w) for w in range(8) for s in range(4)]
+    got = _ppmi_rows(walks)
+    expect = _py_ppmi(walks)
+    assert got == expect
+    assert any(v[1] == 0 for v in got.values())  # the clamp actually fires
+
+
+def test_ppmi_bucket_invariance(ray_session):
+    walks = [(w, s, (w * 5 + s) % 6) for w in range(5) for s in range(5)]
+    assert _ppmi_rows(walks, buckets=4) == _ppmi_rows(walks, buckets=64)
+
+
+def test_walk_ppmi_oracle_parity_sf0001(ray_session):
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    ray_df = (
+        L.q_walk_ppmi(sf)
+        .to_pandas()
+        .sort_values(["center", "context"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    sql_df = (
+        con.execute(L._sql_walk_ppmi())
+        .df()
+        .astype(
+            {
+                "center": "int64",
+                "context": "int64",
+                "n_cooc": "int64",
+                "ppmi_bits": "int64",
+            }
+        )
+        .sort_values(["center", "context"])
+        .reset_index(drop=True)
+    )
+    assert ray_df.equals(sql_df)
