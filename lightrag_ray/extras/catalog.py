@@ -987,6 +987,11 @@ def queries() -> dict[str, Callable]:
         "lsh_delta_pairs": q_lsh_delta_pairs,  # rows-only (incremental LSH maintenance; ≡ full-run subset, tested)
         "semdedup": q_semdedup,  # rows-only (k-means SemDeDup; brute-force agreement test)
         "semdedup_corpus": q_semdedup_corpus,  # rows-only (SemDeDup-pruned corpus)
+        "ivf_delta_assign": q_ivf_delta_assign,  # rows-only (incremental IVF; contract-tested vs full assign)
+        "knn_ivf_delta_top10": q_knn_ivf_delta,  # rows-only (maintained-index ANN; exact = knn_top10 at full probe)
+        "pq_codes": q_pq_codes,  # rows-only (PQ encode; exactness pinned by overcomplete-codebook test)
+        "knn_pq_top10": q_knn_pq,  # rows-only (PQ ADC + exact rerank; exact = knn_top10)
+        "knn_ivfpq_top10": q_knn_ivfpq,  # rows-only (IVF-pruned read + PQ ADC + exact rerank)
         **webquality.queries(),
         **webcrawl.queries(),
         **linkgraph.queries(),
@@ -1027,11 +1032,6 @@ def queries() -> dict[str, Callable]:
         "knn_lsh_top10": q_knn_lsh,  # rows-only (ANN; exact = knn_top10)
         "knn_ivf_top10": q_knn_ivf,  # rows-only (IVF ANN; exact = knn_top10)
         "ivf_assignments": q_ivf_assignments,  # rows-only (k-means quantizer)
-        "ivf_delta_assign": q_ivf_delta_assign,  # rows-only (incremental IVF; contract-tested vs full assign)
-        "knn_ivf_delta_top10": q_knn_ivf_delta,  # rows-only (maintained-index ANN; exact = knn_top10 at full probe)
-        "pq_codes": q_pq_codes,  # rows-only (PQ encode; exactness pinned by overcomplete-codebook test)
-        "knn_pq_top10": q_knn_pq,  # rows-only (PQ ADC + exact rerank; exact = knn_top10)
-        "knn_ivfpq_top10": q_knn_ivfpq,  # rows-only (IVF-pruned read + PQ ADC + exact rerank)
         "langid": q_langid,
         "length_quantiles": textstats.length_quantiles,
         "heavy_hitters": textstats.heavy_hitters,
