@@ -32,9 +32,18 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def _as_pandas(res) -> pd.DataFrame:
+    # queries() may return a Dataset, a pyarrow.Table, or a pandas frame
+    # (the driver contract) — mirror tools/sweep.py's tolerant conversion
+    ours = res if hasattr(res, "columns") else res.to_pandas()
+    if not hasattr(ours, "sort_values"):
+        ours = ours.to_pandas()
+    return ours
+
+
 @pytest.mark.parametrize("name", sorted(C.oracle_sql()))
 def test_extras_oracle(ray_session, con, name):
-    ours = _normalize(C.queries()[name](SF_DIR).to_pandas())
+    ours = _normalize(_as_pandas(C.queries()[name](SF_DIR)))
     oracle = _normalize(con.execute(C.oracle_sql()[name]).fetchdf())
     assert len(ours) == len(oracle), name
     pd.testing.assert_frame_equal(ours, oracle, check_dtype=False)
