@@ -412,6 +412,33 @@ def run_webcrawl_legs() -> dict:
     return out
 
 
+def run_tokenizer_legs() -> dict:
+    """BPE tokenizer training + learned-vocab encode at bench scale: the
+    corpus streams once through the pretokenize-and-count combiner (the
+    only corpus-sized pass — the merge loop runs over the vocabulary-
+    bounded histogram), then the trained rank table is broadcast and the
+    corpus re-encoded by an actor pool.  Both legs run on the replicated
+    2.4M-page corpus."""
+    from lightrag_ray.extras import bpe_train as BT
+
+    sf_like = synth_replicated_documents()
+    out = {}
+    for name, fn in (
+        ("bpe_train", lambda sf: BT.q_bpe_merges(sf, n_merges=200)),
+        ("bpe_encode_stats", lambda sf: BT.q_bpe_encode_stats(sf, n_merges=200)),
+    ):
+        t0 = time.perf_counter()
+        try:
+            res = fn(sf_like)
+            n = res.num_rows if hasattr(res, "num_rows") else res.count()
+        except Exception as ex:  # one failing leg must not kill the bench
+            out[f"{name}_error"] = repr(ex)[:300]
+            continue
+        out[name] = round(time.perf_counter() - t0, 3)
+        out[f"{name}_rows"] = n
+    return out
+
+
 def run_linkgraph_leg() -> dict:
     """Fixed-point PageRank over a link graph at bench scale: the node
     space is the replicated corpus's doc-id range (2.4M at the default
@@ -728,6 +755,7 @@ def main() -> None:
     webq_legs = {} if headline_only else run_webquality_legs()
     webcrawl_legs = {} if headline_only else run_webcrawl_legs()
     linkgraph_legs = {} if headline_only else run_linkgraph_leg()
+    tokenizer_legs = {} if headline_only else run_tokenizer_legs()
     llm_legs = {} if headline_only else run_llm_legs(eff)
     query_legs = {} if headline_only else run_query_legs(headline)
     ray.shutdown()
@@ -766,6 +794,11 @@ def main() -> None:
                     },
                     **{
                         k: v
+                        for k, v in tokenizer_legs.items()
+                        if not k.endswith(("_rows", "_error"))
+                    },
+                    **{
+                        k: v
                         for k, v in llm_legs.items()
                         if k.startswith("kg_build_llm_async")
                         and not k.endswith(("_error", "_docs_per_sec"))
@@ -780,6 +813,7 @@ def main() -> None:
                 "llm_legs": llm_legs,
                 "query_legs": query_legs,
                 "linkgraph_legs": linkgraph_legs,
+                "tokenizer_legs": tokenizer_legs,
                 "dedup_legs": dedup_legs,
                 "webquality_legs": webq_legs,
                 "webcrawl_legs": webcrawl_legs,

@@ -133,20 +133,28 @@ class BPETokenizer:
 
     def __init__(
         self,
-        vocab_path: str,
+        vocab_path: str | None = None,
         pattern: str = O200K_PATTERN,
         cache_size: int = 65536,
+        ranks: dict[bytes, int] | None = None,
     ):
         import regex
 
-        self._ranks: dict[bytes, int] = {}
-        with open(vocab_path, "rb") as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                token_b64, rank = line.split()
-                self._ranks[base64.b64decode(token_b64)] = int(rank)
+        if (vocab_path is None) == (ranks is None):
+            raise ValueError("pass exactly one of vocab_path / ranks")
+        if ranks is not None:
+            # in-memory rank table (e.g. a corpus-trained vocabulary
+            # broadcast via ray.put — extras/bpe_train.py)
+            self._ranks = dict(ranks)
+        else:
+            self._ranks = {}
+            with open(vocab_path, "rb") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    token_b64, rank = line.split()
+                    self._ranks[base64.b64decode(token_b64)] = int(rank)
         self._bytes_of = {rank: tok for tok, rank in self._ranks.items()}
         self._pat = regex.compile(pattern)
         # per-piece LRU: natural-language pieces repeat massively (Zipf), so
