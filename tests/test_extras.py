@@ -1319,8 +1319,10 @@ def test_ivfpq_recall_and_full_probe_exactness(ray_session):
     assert full == brute
 
     # at a pruned probe the PQ stage must lose NOTHING beyond the IVF
-    # prune itself: with rerank covering the probed rows' candidate pool,
-    # IVF-PQ recall equals the IVF-only path's at the same nprobe
+    # prune itself — PROVIDED rerank covers the probed rows' candidate
+    # pool (rerank=500 ≥ corpus here): then the exact rerank recovers the
+    # IVF-only result exactly.  (A smaller rerank may drop true neighbors
+    # the ADC ordering misranks — that path is deliberately approximate.)
     from lightrag_ray.extras.dedup import knn_ivf_topk
 
     for nprobe in (4, 8):
@@ -1328,7 +1330,7 @@ def test_ivfpq_recall_and_full_probe_exactness(ray_session):
             r["vec_id"] for r in knn_ivf_topk(SF_DIR, nprobe=nprobe).take_all()
         )
         ivfpq = set(
-            knn_ivfpq_topk(SF_DIR, nprobe=nprobe, rerank=100)
+            knn_ivfpq_topk(SF_DIR, nprobe=nprobe, rerank=500)
             .to_pandas()["vec_id"]
         )
-        assert len(ivfpq & set(brute)) == len(ivf_only & set(brute))
+        assert ivfpq == ivf_only
