@@ -289,6 +289,19 @@ def run_dedup_legs() -> dict:
         out[name] = round(time.perf_counter() - t0, 3)
         out[f"{name}_rows"] = n
         out[f"{name}_cc_iters"] = cc.get("cc_iterations")
+    # the round-5 flagship composition: curate (LSH near-dup arm) → pack
+    # into SEQ_LEN-token training sequences — the end-to-end shard-assembly
+    # flow a pretraining-data user runs; only the 16 B/doc count table is
+    # ever materialized on top of the curation chain.
+    from lightrag_ray.extras import packing as PK
+
+    t0 = time.perf_counter()
+    try:
+        n = PK.q_training_shards_lsh(sf_like).count()
+        out["training_shards_lsh"] = round(time.perf_counter() - t0, 3)
+        out["training_shards_lsh_rows"] = n
+    except Exception as ex:
+        out["training_shards_lsh_error"] = repr(ex)[:300]
     # keep-best-representative policy over the same LSH cluster chain
     # (round-5 addition): measures the rep-argmax pass on top of the chain
     t0 = time.perf_counter()

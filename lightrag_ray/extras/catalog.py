@@ -983,6 +983,9 @@ def queries() -> dict[str, Callable]:
     # reached (CORRECTNESS_r04 covered the first 50 of 79) are registered
     # FIRST so round 5 records them; the long-green rest follows.
     return {
+        "training_shards": packing.q_training_shards,  # round-5 flagship: curate ∘ pack, spliced end-to-end oracle
+        "training_shards_lsh": packing.q_training_shards_lsh,  # rows-only (LSH near-dup arm; exact ≡ training_shards)
+        "training_shards_bpe": packing.q_training_shards_bpe,  # rows-only (learned-BPE token counts)
         "bpe_merges": bpe_train.q_bpe_merges,  # rows-only (iterative trainer; naive-parity + determinism tests)
         "bpe_encode_stats": bpe_train.q_bpe_encode_stats,  # rows-only (learned-vocab encode; round-trip tested)
         "bestrep_dedup": q_bestrep_dedup,  # round-5: keep-longest duplicate policy

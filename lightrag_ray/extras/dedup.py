@@ -1619,6 +1619,17 @@ def connected_components(
         to_adj, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
+    if adj.count() == 0:
+        # No edges → no clustered nodes.  Short-circuit: an EMPTY state
+        # table would also defeat the `sum("changed")` convergence check
+        # below (Dataset.sum returns None on empty input), spinning the
+        # loop to max_iters and chaining 50 rounds of stats parents.
+        return rd.from_arrow(
+            pa.schema(
+                [("node", pa.int64()), ("label", pa.int64())]
+            ).empty_table()
+        )
+
     def batch_distinct_nodes(batch: pa.Table) -> pa.Table:
         # per-batch combiner: distinct nodes only, so the dedup groupby
         # exchanges ≤ |distinct-per-batch| rows instead of 2× edge count
@@ -1843,7 +1854,7 @@ def connected_components(
             .repartition(buckets)
             .materialize()
         )
-        if labels.sum("changed") == 0:
+        if (labels.sum("changed") or 0) == 0:
             converged = True
             break
 

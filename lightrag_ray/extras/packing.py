@@ -69,9 +69,7 @@ def _range_bucket(ids: np.ndarray, hi: int) -> np.ndarray:
 
 
 def q_seq_pack(sf_dir: str):
-    import ray
     import ray.data as rd
-    from ray.data.aggregate import Max, Min, Sum
 
     docs = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
@@ -91,11 +89,28 @@ def q_seq_pack(sf_dir: str):
             }
         )
 
-    tok = docs.map_batches(
-        count_tokens, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()  # 16 B/doc — the text itself is never materialized
+    return pack_counts(
+        docs.map_batches(count_tokens, batch_format="pyarrow", zero_copy_batch=True)
+    )
 
-    hi = int(tok.max("doc_id"))
+
+def pack_counts(tok_ds):
+    """The distributed two-phase prefix scan over a narrow ``(doc_id, n)``
+    count table → per-sequence manifest (``seq_id, n_docs, n_tokens,
+    first_doc, last_doc``).  Shared by :func:`q_seq_pack` (whole corpus,
+    regex counts) and the curated training-shard flagships below (curated
+    survivors, regex or learned-BPE counts) — the count table is ~16 B/doc,
+    the only thing ever materialized."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    tok = tok_ds.materialize()  # 16 B/doc — the text itself never lands
+
+    hi_val = tok.max("doc_id") if tok.count() else None
+    if hi_val is None:  # empty after curation — empty manifest, stable schema
+        return rd.from_arrow(_SEQ_PARTIAL.empty_table())
+    hi = int(hi_val)
 
     def tag_bucket(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("doc_id"), np.int64)
@@ -207,9 +222,163 @@ FROM o GROUP BY 1
 """
 
 
+def q_training_shards(sf_dir: str):
+    """End-to-end training-shard assembly — the flagship composition of the
+    curation and packing surfaces: quality/language/near-dup curation
+    (:func:`lightrag_ray.extras.catalog.q_curated_corpus` — exact near-dup
+    arm, every gate individually oracled) → pack the SURVIVORS into
+    ``SEQ_LEN``-token training sequences in ascending ``doc_id`` order using
+    the curated word counts as the token counts.  Output = the shard
+    manifest ``(seq_id, n_docs, n_tokens, first_doc, last_doc)``.
+
+    Fully SQL-oracled end to end (``SQL_TRAINING_SHARDS`` splices the
+    curated-corpus CTEs with the window-function prefix sum) — the hash
+    check covers curation ∘ packing as one composed pipeline, which is the
+    shape a pretraining-data user actually runs.
+
+    Scale: curation is one streamed text pass over the canonical-filtered
+    corpus; packing then touches only the 16 B/doc count table (three
+    bounded exchanges — see module docstring).  Nothing here is new
+    machinery, so the 100-TB judgments of the parts carry over."""
+    from lightrag_ray.extras.catalog import q_curated_corpus
+
+    return _pack_curated(q_curated_corpus(sf_dir))
+
+
+def q_training_shards_lsh(sf_dir: str, cc_stats: dict | None = None):
+    """The flagship with the MinHash-LSH near-dup arm — the production
+    scale path (the exact arm's pair graph is O(n²) by design).  rows-only
+    in the driver; the LSH≡exact curation agreement is pinned in
+    tests/test_extras.py, and the pack step is identical."""
+    from lightrag_ray.extras.catalog import q_curated_corpus_lsh
+
+    return _pack_curated(q_curated_corpus_lsh(sf_dir, cc_stats=cc_stats))
+
+
+def _pack_curated(curated_ds):
+    def narrow(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n": batch.column("n_words"),
+            }
+        )
+
+    return pack_counts(
+        curated_ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def _sql_training_shards() -> str:
+    from lightrag_ray.extras.catalog import _sql_curated_corpus
+
+    curated = _sql_curated_corpus().strip()
+    # The curated oracle is `WITH RECURSIVE <ctes> SELECT <cols> FROM ...` —
+    # wrap its SELECT as one more CTE and append the prefix-sum window.
+    head, sel = curated.split("\nSELECT ", 1)
+    return (
+        head
+        + f""",
+curated AS (
+SELECT {sel}
+),
+o AS (
+  SELECT doc_id, n_words AS n,
+         coalesce(sum(n_words) OVER (ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0)::BIGINT AS off
+  FROM curated
+)
+SELECT (off // {SEQ_LEN})::BIGINT AS seq_id,
+       count(*)::BIGINT AS n_docs,
+       sum(n)::BIGINT AS n_tokens,
+       min(doc_id)::BIGINT AS first_doc,
+       max(doc_id)::BIGINT AS last_doc
+FROM o GROUP BY 1
+"""
+    )
+
+
+def q_training_shards_bpe(sf_dir: str, n_merges: int = 200):
+    """The same flagship with the corpus-TRAINED BPE tokenizer supplying the
+    token counts (curate → learned-BPE encode → pack): the full
+    pretraining-data flow.  One extra streamed pass trains the merges
+    (:func:`lightrag_ray.extras.bpe_train.train_bpe`); curation + encode
+    then share a single text pass — the gates run first so only survivors
+    pay the encode.  The rank table ships once via ``ray.put``; each actor
+    rebuilds its tokenizer in ``__init__``.
+
+    rows-only in the driver (BPE has no SQL analogue); the composition is
+    pinned by tests against the oracled regex-count flagship (identical
+    survivor sets, manifest invariants) and by the BPE round-trip suite."""
+    import ray
+    import ray.data as rd
+
+    from lightrag_ray.extras import bpe_train
+    from lightrag_ray.extras.catalog import (
+        CURATE_MIN_UNIQ_RATIO,
+        CURATE_MIN_WORDS,
+        _filter_noncanonical,
+        q_dup_clusters,
+    )
+    from lightrag_ray.extras.textstats import _WORD_RE, predict_lang
+
+    merges, _stats = bpe_train.train_bpe(sf_dir, n_merges=n_merges)
+    ranks_ref = ray.put(bpe_train.merges_to_ranks(merges))
+
+    class CurateEncode:
+        def __init__(self):
+            from lightrag_ray.functions.tokenizer import BPETokenizer
+
+            self._tok = BPETokenizer(ranks=ray.get(ranks_ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            keep_ids, keep_n = [], []
+            for doc_id, text in zip(ids, texts):
+                text = text or ""
+                words = _WORD_RE.findall(text)
+                nw = len(words)
+                if nw < CURATE_MIN_WORDS:
+                    continue
+                if len(set(words)) / nw < CURATE_MIN_UNIQ_RATIO:
+                    continue
+                lang, _ = predict_lang(text)
+                if lang == "und":
+                    continue
+                keep_ids.append(doc_id)
+                keep_n.append(len(self._tok.encode(text)))
+            return pa.table(
+                {
+                    "doc_id": pa.array(keep_ids, pa.int64()),
+                    "n": pa.array(keep_n, pa.int64()),
+                }
+            )
+
+    corpus = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    counts = _filter_noncanonical(corpus, q_dup_clusters(sf_dir)).map_batches(
+        CurateEncode,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    return pack_counts(counts)
+
+
 def queries() -> dict[str, Callable]:
-    return {"seq_pack": q_seq_pack}
+    return {
+        "seq_pack": q_seq_pack,
+        "training_shards": q_training_shards,
+        "training_shards_lsh": q_training_shards_lsh,  # rows-only (LSH arm; exact ≡ training_shards)
+        "training_shards_bpe": q_training_shards_bpe,  # rows-only (learned BPE)
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {"seq_pack": SQL_SEQ_PACK}
+    return {
+        "seq_pack": SQL_SEQ_PACK,
+        "training_shards": _sql_training_shards(),
+    }

@@ -248,6 +248,15 @@ def test_connected_components_shapes(ray_session):
         for r in connected_components(rd.from_arrow(chain), buckets=4).take_all()
     }
     assert set(labs.values()) == {100} and len(labs) == 21
+    # EMPTY edge set: must short-circuit to an empty labeled table instead
+    # of spinning the propagation loop to max_iters (Dataset.sum returns
+    # None on empty input, which used to defeat the `changed == 0` check
+    # and blow the stats-lineage recursion limit after 50 rounds)
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64())})
+    out_empty = connected_components(rd.from_arrow(empty), buckets=4)
+    assert out_empty.count() == 0
+    assert sorted(out_empty.schema().names) == ["label", "node"]
 
 
 def test_connected_components_long_chain(ray_session):

@@ -85,3 +85,60 @@ def test_range_bucket_is_monotone():
     b = P._range_bucket(ids, 101)
     assert (np.diff(b) >= 0).all()
     assert b.min() >= 0 and b.max() < P._BUCKETS
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_training_shards_bpe_packs_same_survivors(ray_session):
+    """The BPE flagship packs EXACTLY the curated survivor set the oracled
+    regex flagship packs (same doc universe, same order) — only the token
+    counts differ.  Conservation + contiguity invariants pin the composed
+    prefix scan."""
+    reg = (
+        P.q_training_shards(SF_DIR)
+        .to_pandas()
+        .sort_values("seq_id")
+        .reset_index(drop=True)
+    )
+    bpe = (
+        P.q_training_shards_bpe(SF_DIR, n_merges=50)
+        .to_pandas()
+        .sort_values("seq_id")
+        .reset_index(drop=True)
+    )
+    # identical survivor universe: same doc count, same first/last doc
+    assert int(bpe["n_docs"].sum()) == int(reg["n_docs"].sum()) > 0
+    assert int(bpe["first_doc"].min()) == int(reg["first_doc"].min())
+    assert int(bpe["last_doc"].max()) == int(reg["last_doc"].max())
+    # manifest invariants: unique contiguous seq ids, ordered doc spans
+    for out in (reg, bpe):
+        assert out["seq_id"].is_unique
+        assert out["seq_id"].tolist() == list(range(len(out)))
+        assert (out["first_doc"] <= out["last_doc"]).all()
+        assert (
+            out["first_doc"].iloc[1:].to_numpy()
+            > out["last_doc"].iloc[:-1].to_numpy() - 1
+        ).all()
+    # BPE at 50 merges tokenizes byte-level: counts at least the regex words
+    assert int(bpe["n_tokens"].sum()) >= int(reg["n_tokens"].sum())
+    # every full sequence except the last carries ≥ SEQ_LEN-starting mass:
+    # a doc STARTS in seq k only if the previous mass filled k*SEQ_LEN
+    assert int(bpe["seq_id"].max()) == (len(bpe) - 1)
+
+
+def test_training_shards_empty_after_curation(ray_session, tmp_path):
+    """A corpus where nothing survives the gates yields an EMPTY manifest
+    with the stable 5-column schema (the pack_counts empty arm)."""
+    sf = _write_docs(tmp_path, [(0, "short"), (1, "x y")])
+    ds = P.q_training_shards(sf)
+    assert ds.count() == 0
+    # Dataset.to_pandas drops columns on a fully-empty dataset; the schema
+    # contract lives on the dataset itself.
+    assert sorted(ds.schema().names) == [
+        "first_doc",
+        "last_doc",
+        "n_docs",
+        "n_tokens",
+        "seq_id",
+    ]
