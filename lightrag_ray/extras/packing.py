@@ -94,23 +94,13 @@ def q_seq_pack(sf_dir: str):
     )
 
 
-def pack_counts(tok_ds):
-    """The distributed two-phase prefix scan over a narrow ``(doc_id, n)``
-    count table → per-sequence manifest (``seq_id, n_docs, n_tokens,
-    first_doc, last_doc``).  Shared by :func:`q_seq_pack` (whole corpus,
-    regex counts) and the curated training-shard flagships below (curated
-    survivors, regex or learned-BPE counts) — the count table is ~16 B/doc,
-    the only thing ever materialized."""
-    import ray
-    import ray.data as rd
-    from ray.data.aggregate import Max, Min, Sum
-
-    tok = tok_ds.materialize()  # 16 B/doc — the text itself never lands
-
-    hi_val = tok.max("doc_id") if tok.count() else None
-    if hi_val is None:  # empty after curation — empty manifest, stable schema
-        return rd.from_arrow(_SEQ_PARTIAL.empty_table())
-    hi = int(hi_val)
+def _bucket_offsets(tok, hi: int):
+    """Phase 1+2 of the parallel scan: range-bucket the ``(doc_id, n)``
+    count table and compute each bucket's EXCLUSIVE starting token offset
+    (per-batch combiner → ≤``_BUCKETS``-row groupby → O(buckets) driver
+    cumsum).  Returns ``(rows, offsets)``: the bucketed rows dataset and the
+    per-bucket offset array."""
+    from ray.data.aggregate import Sum
 
     def tag_bucket(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("doc_id"), np.int64)
@@ -129,7 +119,7 @@ def pack_counts(tok_ds):
 
     rows = tok.map_batches(tag_bucket, batch_format="pyarrow", zero_copy_batch=True)
 
-    # 2. per-bucket token totals → exclusive starting offsets on the driver
+    # per-bucket token totals → exclusive starting offsets on the driver
     # (≤ _BUCKETS rows — the O(buckets) middle step of the parallel scan).
     def partial_sums(batch: pa.Table) -> pa.Table:
         b = np.asarray(batch.column("bucket"), np.int64)
@@ -157,6 +147,28 @@ def pack_counts(tok_ds):
         ):
             totals[bkt] = tot
     offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    return rows, offsets
+
+
+def pack_counts(tok_ds):
+    """The distributed two-phase prefix scan over a narrow ``(doc_id, n)``
+    count table → per-sequence manifest (``seq_id, n_docs, n_tokens,
+    first_doc, last_doc``).  Shared by :func:`q_seq_pack` (whole corpus,
+    regex counts) and the curated training-shard flagships below (curated
+    survivors, regex or learned-BPE counts) — the count table is ~16 B/doc,
+    the only thing ever materialized."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    tok = tok_ds.materialize()  # 16 B/doc — the text itself never lands
+
+    hi_val = tok.max("doc_id") if tok.count() else None
+    if hi_val is None:  # empty after curation — empty manifest, stable schema
+        return rd.from_arrow(_SEQ_PARTIAL.empty_table())
+    hi = int(hi_val)
+
+    rows, offsets = _bucket_offsets(tok, hi)
     off_ref = ray.put(offsets)
 
     # 3. per-bucket local scan + per-sequence partials; boundary sequences
@@ -315,57 +327,373 @@ def q_training_shards_bpe(sf_dir: str, n_merges: int = 200):
     import ray.data as rd
 
     from lightrag_ray.extras import bpe_train
-    from lightrag_ray.extras.catalog import (
-        CURATE_MIN_UNIQ_RATIO,
-        CURATE_MIN_WORDS,
-        _filter_noncanonical,
-        q_dup_clusters,
-    )
-    from lightrag_ray.extras.textstats import _WORD_RE, predict_lang
+    from lightrag_ray.extras.catalog import _filter_noncanonical, q_dup_clusters
 
     merges, _stats = bpe_train.train_bpe(sf_dir, n_merges=n_merges)
     ranks_ref = ray.put(bpe_train.merges_to_ranks(merges))
-
-    class CurateEncode:
-        def __init__(self):
-            from lightrag_ray.functions.tokenizer import BPETokenizer
-
-            self._tok = BPETokenizer(ranks=ray.get(ranks_ref))
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column("doc_id").to_pylist()
-            texts = batch.column("text").to_pylist()
-            keep_ids, keep_n = [], []
-            for doc_id, text in zip(ids, texts):
-                text = text or ""
-                words = _WORD_RE.findall(text)
-                nw = len(words)
-                if nw < CURATE_MIN_WORDS:
-                    continue
-                if len(set(words)) / nw < CURATE_MIN_UNIQ_RATIO:
-                    continue
-                lang, _ = predict_lang(text)
-                if lang == "und":
-                    continue
-                keep_ids.append(doc_id)
-                keep_n.append(len(self._tok.encode(text)))
-            return pa.table(
-                {
-                    "doc_id": pa.array(keep_ids, pa.int64()),
-                    "n": pa.array(keep_n, pa.int64()),
-                }
-            )
 
     corpus = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     counts = _filter_noncanonical(corpus, q_dup_clusters(sf_dir)).map_batches(
-        CurateEncode,
+        _CurateEncodeCounts,
+        fn_constructor_args=(ranks_ref,),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=(1, 8),
     )
     return pack_counts(counts)
+
+
+def _passes_curation(text: str) -> bool:
+    """The curation gates of :func:`catalog._curated_corpus`, shared by the
+    counting and assembly passes so both see the SAME survivor set."""
+    from lightrag_ray.extras.catalog import CURATE_MIN_UNIQ_RATIO, CURATE_MIN_WORDS
+    from lightrag_ray.extras.textstats import _WORD_RE, predict_lang
+
+    words = _WORD_RE.findall(text)
+    nw = len(words)
+    if nw < CURATE_MIN_WORDS:
+        return False
+    if len(set(words)) / nw < CURATE_MIN_UNIQ_RATIO:
+        return False
+    return predict_lang(text)[0] != "und"
+
+
+class _CurateEncodeCounts:
+    """Actor-pool stage: curation gates + learned-BPE token COUNT per
+    surviving document — the narrow phase-1 pass of the shard flow.  The
+    tokenizer is rebuilt once per actor from the broadcast rank table."""
+
+    def __init__(self, ranks_ref):
+        import ray
+
+        from lightrag_ray.functions.tokenizer import BPETokenizer
+
+        self._tok = BPETokenizer(ranks=ray.get(ranks_ref))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        keep_ids, keep_n = [], []
+        for doc_id, text in zip(ids, texts):
+            text = text or ""
+            if not _passes_curation(text):
+                continue
+            keep_ids.append(doc_id)
+            keep_n.append(len(self._tok.encode(text)))
+        return pa.table(
+            {
+                "doc_id": pa.array(keep_ids, pa.int64()),
+                "n": pa.array(keep_n, pa.int64()),
+            }
+        )
+
+
+SEQS_PER_SHARD = 1024
+
+
+def write_training_shards(
+    sf_dir: str,
+    out_dir: str,
+    n_merges: int = 200,
+    seqs_per_shard: int = SEQS_PER_SHARD,
+) -> dict:
+    """Materialize the curated corpus as REAL training shards: fixed-length
+    ``SEQ_LEN`` sequences of learned-BPE token ids, written as Hive-
+    partitioned Parquet (one ``shard=K`` directory per ``seqs_per_shard``
+    consecutive sequences) plus a per-shard ``lineage.parquet`` and a done
+    marker — the resumable sink of the training-data flow (the manifest
+    flagships above only SIZE the shards; this writes them).
+
+    Two streamed corpus passes, no corpus-sized driver state:
+
+    1. curate + learned-BPE COUNT per survivor (16 B/doc) → per-bucket
+       starting token offsets via the two-phase scan (`_bucket_offsets`).
+    2. the corpus streams again through a per-bucket assembly `map_groups`:
+       each range bucket re-runs the gates + encode in doc order (both
+       passes share :func:`_passes_curation` and the broadcast rank table,
+       so the survivor sets are identical), lays its token stream out from
+       the bucket's broadcast start offset, and emits COMPLETE sequences
+       straight into the partitioned Parquet sink — the token mass is never
+       materialized or shuffled.  The ≤2 partial fragments at each bucket
+       edge (≤ 2×``_BUCKETS`` rows total, ~1 MB) go to a small collector
+       actor keyed by bucket (idempotent under task retry); the driver
+       merges them and appends one extra file per affected shard.
+
+    The final (globally last) sequence may be shorter than ``SEQ_LEN`` — it
+    is written and flagged in the returned totals, the convention a shard
+    consumer expects.  Resume: if the done marker exists with the same
+    params the write is skipped and the recorded totals returned (the unit
+    is idempotent — same model as pipelines/kg_build).
+    """
+    import json
+    import shutil
+
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from lightrag_ray.extras import bpe_train
+    from lightrag_ray.extras.catalog import _filter_noncanonical, q_dup_clusters
+
+    params = {"sf_dir": sf_dir, "n_merges": n_merges, "seq_len": SEQ_LEN,
+              "seqs_per_shard": seqs_per_shard}
+    marker = os.path.join(out_dir, "_manifest", "done.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            meta = json.load(f)
+        if meta.get("params") == params:
+            return meta
+        shutil.rmtree(out_dir, ignore_errors=True)  # params changed: rebuild
+
+    merges, _stats = bpe_train.train_bpe(sf_dir, n_merges=n_merges)
+    ranks_ref = ray.put(bpe_train.merges_to_ranks(merges))
+
+    # `hi` must be identical in both passes: the RAW corpus doc-id max
+    # (survivor-independent), read from the pruned single-column scan.
+    pages = os.path.join(sf_dir, "documents.parquet")
+    hi = int(rd.read_parquet(pages, columns=["doc_id"]).max("doc_id"))
+
+    # materialize the CLUSTERS (one skinny row per duplicate doc), never the
+    # corpus text — both passes re-read the pages and re-apply the cheap
+    # broadcast/anti-join canonical gate against the same cluster table
+    clusters = q_dup_clusters(sf_dir).materialize()
+
+    def curated_corpus():
+        return _filter_noncanonical(
+            rd.read_parquet(pages, columns=["doc_id", "text"]), clusters
+        )
+
+    counts = curated_corpus().map_batches(
+        _CurateEncodeCounts,
+        fn_constructor_args=(ranks_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    ).materialize()
+
+    n_docs_total = counts.count()
+    if n_docs_total == 0:
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        meta = {"params": params, "n_seqs": 0, "n_docs": 0, "n_tokens": 0,
+                "n_shards": 0, "out_dir": out_dir, "ragged_tail": False}
+        with open(marker, "w") as f:
+            json.dump(meta, f)
+        return meta
+
+    _rows, offsets = _bucket_offsets(counts, hi)
+    off_ref = ray.put(offsets)
+    n_tokens_total = int(counts.sum("n"))
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("seq_id", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("tokens", pa.list_(pa.int32())),
+            ("shard", pa.int64()),
+        ]
+    )
+
+    @ray.remote(num_cpus=0)
+    class FragmentCollector:
+        """Holds the ≤2 bucket-edge fragments per bucket (~1 MB total).
+        Keyed by bucket so a retried assembly task OVERWRITES its own
+        fragments instead of double-counting them."""
+
+        def __init__(self):
+            self._frags: dict[int, list] = {}
+
+        def put(self, bucket: int, rows: list) -> None:
+            self._frags[bucket] = rows
+
+        def all(self) -> list:
+            return [r for rows in self._frags.values() for r in rows]
+
+    collector = FragmentCollector.remote()
+
+    def tag_text_bucket(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(_range_bucket(ids, hi), pa.int32()),
+                "doc_id": batch.column("doc_id").combine_chunks()
+                if hasattr(batch.column("doc_id"), "combine_chunks")
+                else batch.column("doc_id"),
+                "text": batch.column("text").combine_chunks()
+                if hasattr(batch.column("text"), "combine_chunks")
+                else batch.column("text"),
+            }
+        )
+
+    def assemble(group: pd.DataFrame) -> pa.Table:
+        from lightrag_ray.functions.tokenizer import BPETokenizer
+
+        tok = BPETokenizer(ranks=ray.get(ranks_ref))
+        bucket = int(group["bucket"].iloc[0])
+        start = int(ray.get(off_ref)[bucket])
+        order = np.argsort(group["doc_id"].to_numpy(np.int64), kind="stable")
+        texts = group["text"].to_numpy(object)[order]
+
+        pieces, doc_starts, pos = [], [], start
+        for text in texts:
+            text = text or ""
+            if not _passes_curation(text):
+                continue
+            ids = tok.encode(text)
+            doc_starts.append(pos)
+            pieces.append(np.asarray(ids, np.int32))
+            pos += len(ids)
+        if not pieces:
+            ray.get(collector.put.remote(bucket, []))
+            return OUT_SCHEMA.empty_table()
+        stream = np.concatenate(pieces)
+        starts_arr = np.asarray(doc_starts, np.int64)
+        end = start + len(stream)
+
+        out_seq, out_ndocs, out_tokens, frag_rows = [], [], [], []
+        s0, s1 = start // SEQ_LEN, (end - 1) // SEQ_LEN
+        for s in range(s0, s1 + 1):
+            lo, hi_tok = max(start, s * SEQ_LEN), min(end, (s + 1) * SEQ_LEN)
+            piece = stream[lo - start : hi_tok - start]
+            nd = int(
+                np.searchsorted(starts_arr, hi_tok, side="left")
+                - np.searchsorted(starts_arr, lo, side="left")
+            )
+            if lo == s * SEQ_LEN and hi_tok == (s + 1) * SEQ_LEN:
+                out_seq.append(s)
+                out_ndocs.append(nd)
+                out_tokens.append(piece)
+            else:
+                frag_rows.append(
+                    {"seq_id": s, "frag_off": lo - s * SEQ_LEN,
+                     "n_docs": nd, "tokens": piece.tolist()}
+                )
+        # fragments go to the collector (keyed by bucket: retry-idempotent);
+        # the ray.get makes the handoff durable before the task reports done
+        ray.get(collector.put.remote(bucket, frag_rows))
+        sid = np.asarray(out_seq, np.int64)
+        return pa.table(
+            {
+                "seq_id": pa.array(sid, pa.int64()),
+                "n_docs": pa.array(out_ndocs, pa.int64()),
+                "tokens": pa.array(
+                    [t.tolist() for t in out_tokens], pa.list_(pa.int32())
+                ),
+                "shard": pa.array(sid // seqs_per_shard, pa.int64()),
+            },
+            schema=OUT_SCHEMA,
+        )
+
+    shards_dir = os.path.join(out_dir, "shards")
+    # one streaming pass: complete sequences flow straight into the
+    # Hive-partitioned sink; nothing token-sized is ever materialized
+    curated_corpus().map_batches(
+        tag_text_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("bucket").map_groups(
+        assemble, batch_format="pandas"
+    ).write_parquet(shards_dir, partition_cols=["shard"])
+
+    # merge the collected bucket-edge fragments on the driver (≤ 2×_BUCKETS
+    # rows) and append one extra file per affected shard
+    frags = ray.get(collector.all.remote())
+    by_seq: dict[int, list] = {}
+    for r in frags:
+        by_seq.setdefault(int(r["seq_id"]), []).append(r)
+    shard_rows: dict[int, list] = {}
+    for s, rows_ in sorted(by_seq.items()):
+        rows_.sort(key=lambda r: r["frag_off"])
+        toks = [t for r in rows_ for t in r["tokens"]]
+        shard_rows.setdefault(s // seqs_per_shard, []).append(
+            {"seq_id": s, "n_docs": sum(r["n_docs"] for r in rows_),
+             "tokens": toks, "shard": s // seqs_per_shard}
+        )
+    import pyarrow.parquet as pq_mod
+
+    for shard, rows_ in shard_rows.items():
+        d = os.path.join(shards_dir, f"shard={shard}")
+        os.makedirs(d, exist_ok=True)
+        # hive layout: the partition column lives in the PATH, not the file
+        # (matching the files the sink wrote), so drop it from the rows
+        pq_mod.write_table(
+            pa.Table.from_pylist(
+                [{k: v for k, v in r.items() if k != "shard"} for r in rows_],
+                schema=pa.schema(
+                    [("seq_id", pa.int64()), ("n_docs", pa.int64()),
+                     ("tokens", pa.list_(pa.int32()))]
+                ),
+            ),
+            os.path.join(d, "edge_sequences.parquet"),
+        )
+
+    n_seqs = (n_tokens_total + SEQ_LEN - 1) // SEQ_LEN
+
+    # per-shard lineage from the already-materialized count table (no
+    # re-read of the token output): the manifest rows aggregated per shard
+    from ray.data.aggregate import Max, Min, Sum
+
+    def shard_of(batch: pa.Table) -> pa.Table:
+        sid = np.asarray(batch.column("seq_id"), np.int64)
+        return batch.append_column(
+            "shard", pa.array((sid // seqs_per_shard).astype(np.int64), pa.int64())
+        )
+
+    lineage = (
+        pack_counts(counts)
+        .map_batches(shard_of, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Min("first_doc", alias_name="first_doc"),
+            Max("last_doc", alias_name="last_doc"),
+        )
+    )
+    lineage_dir = os.path.join(out_dir, "lineage.parquet")
+    lineage.write_parquet(lineage_dir)
+
+    meta = {
+        "params": params,
+        "n_seqs": int(n_seqs),
+        "n_docs": int(n_docs_total),
+        "n_tokens": int(n_tokens_total),
+        "n_shards": int((n_seqs + seqs_per_shard - 1) // seqs_per_shard),
+        "out_dir": out_dir,
+        "shards_dir": shards_dir,
+        "lineage_dir": lineage_dir,
+        "ragged_tail": bool(n_tokens_total % SEQ_LEN),
+    }
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, marker)  # atomic: the unit is done only once this lands
+    return meta
+
+
+def q_shard_lineage(sf_dir: str):
+    """Catalog entry: write (or resume) the training shards under a
+    deterministic per-sf_dir scratch path and return the per-shard lineage
+    rows.  rows-only in the driver; byte-level shard correctness (exact
+    SEQ_LEN slicing, fragment merge, totals conservation, resume skip) is
+    pinned in tests/test_packing.py."""
+    import hashlib
+    import tempfile
+
+    import ray.data as rd
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"lightrag_ray_shards_{tag}")
+    meta = write_training_shards(sf_dir, out, n_merges=50)
+    if meta["n_seqs"] == 0:
+        return rd.from_arrow(
+            pa.schema(
+                [("shard", pa.int64()), ("n_docs", pa.int64()),
+                 ("n_tokens", pa.int64()), ("first_doc", pa.int64()),
+                 ("last_doc", pa.int64())]
+            ).empty_table()
+        )
+    return rd.read_parquet(meta["lineage_dir"])
 
 
 def queries() -> dict[str, Callable]:
@@ -374,6 +702,7 @@ def queries() -> dict[str, Callable]:
         "training_shards": q_training_shards,
         "training_shards_lsh": q_training_shards_lsh,  # rows-only (LSH arm; exact ≡ training_shards)
         "training_shards_bpe": q_training_shards_bpe,  # rows-only (learned BPE)
+        "shard_lineage": q_shard_lineage,  # rows-only (writes real token shards; byte-level tests)
     }
 
 

@@ -142,3 +142,87 @@ def test_training_shards_empty_after_curation(ray_session, tmp_path):
         "n_tokens",
         "seq_id",
     ]
+
+
+def test_write_training_shards_byte_exact(ray_session, tmp_path):
+    """The written shard files hold EXACTLY the concatenated learned-BPE
+    encodes of the curated survivors in doc_id order, cut every SEQ_LEN —
+    a byte-level check that pins fragment placement and merge order, not
+    just conservation totals.  Also pins the resume skip."""
+    import time
+
+    import pandas as pd
+    import ray.data as rd
+
+    from lightrag_ray.extras import bpe_train
+    from lightrag_ray.extras import catalog as C
+    from lightrag_ray.extras.packing import write_training_shards
+    from lightrag_ray.functions.tokenizer import BPETokenizer
+
+    out = str(tmp_path / "shards-out")
+    meta = write_training_shards(SF_DIR, out, n_merges=50, seqs_per_shard=4)
+
+    # expected stream: curated survivors (the ORACLED gate) in doc_id order,
+    # encoded with the same trained merge table
+    surv = (
+        C.q_curated_corpus(SF_DIR)
+        .to_pandas()
+        .sort_values("doc_id")["doc_id"]
+        .tolist()
+    )
+    docs = (
+        rd.read_parquet(
+            os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .to_pandas()
+        .set_index("doc_id")["text"]
+    )
+    merges, _ = bpe_train.train_bpe(SF_DIR, n_merges=50)
+    tok = BPETokenizer(ranks=bpe_train.merges_to_ranks(merges))
+    expected = [t for d in surv for t in tok.encode(docs.loc[d] or "")]
+
+    df = (
+        rd.read_parquet(meta["shards_dir"])
+        .to_pandas()
+        .sort_values("seq_id")
+        .reset_index(drop=True)
+    )
+    actual = [t for toks in df["tokens"] for t in toks]
+    assert actual == expected
+    assert int(df["n_docs"].sum()) == len(surv) == meta["n_docs"]
+    # every sequence except the ragged tail is exactly SEQ_LEN
+    lens = df["tokens"].map(len)
+    assert (lens.iloc[:-1] == P.SEQ_LEN).all()
+    assert meta["ragged_tail"] == (lens.iloc[-1] != P.SEQ_LEN)
+    # shard partitioning: seq_id // seqs_per_shard
+    # hive partition values read back as strings
+    assert (df["shard"].astype("int64") == df["seq_id"] // 4).all()
+    # lineage rows agree with the oracled manifest flagship per shard
+    lin = (
+        rd.read_parquet(meta["lineage_dir"])
+        .to_pandas()
+        .sort_values("shard")
+        .reset_index(drop=True)
+    )
+    man = P.q_training_shards_bpe(SF_DIR, n_merges=50).to_pandas()
+    man["shard"] = man["seq_id"] // 4
+    agg = (
+        man.groupby("shard")
+        .agg(
+            n_docs=("n_docs", "sum"),
+            n_tokens=("n_tokens", "sum"),
+            first_doc=("first_doc", "min"),
+            last_doc=("last_doc", "max"),
+        )
+        .reset_index()
+    )
+    pd.testing.assert_frame_equal(
+        lin[["shard", "n_docs", "n_tokens", "first_doc", "last_doc"]]
+        .astype("int64")
+        .reset_index(drop=True),
+        agg.astype("int64"),
+    )
+    # resume: a second call returns the recorded meta without recomputing
+    t0 = time.perf_counter()
+    meta2 = write_training_shards(SF_DIR, out, n_merges=50, seqs_per_shard=4)
+    assert meta2 == meta and time.perf_counter() - t0 < 1.0
