@@ -226,6 +226,228 @@ GROUP BY 1, 2
 """
 
 
+_COOC_BUCKETS = 64
+
+
+def _name_bucket(names, buckets: int = _COOC_BUCKETS) -> "pa.Array":
+    """Deterministic md5-based bucket per entity name — internal transport
+    only (the oracle never sees it), cached over the batch's unique names."""
+    import hashlib
+
+    uniq: dict[str, int] = {}
+    out = np.empty(len(names), np.int32)
+    for i, s in enumerate(names):
+        b = uniq.get(s)
+        if b is None:
+            b = int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big") % buckets
+            uniq[s] = b
+        out[i] = b
+    return pa.array(out, pa.int32())
+
+
+def q_entity_cooc_pmi(sf_dir: str):
+    """Corpus-wide entity co-occurrence PMI — the "how related are these two
+    entities" signal behind LightRAG's relation weighting (cf.
+    lightrag/operate.py edge weight accumulation), computed document-wise:
+    for every unordered entity pair extracted in the same document,
+    ``n_docs_both`` and the whole-bit positive PMI
+    ``bits(n_ab) + bits(T) − bits(n_a) − bits(n_b)`` (clamped at 0) — the
+    integer-exact PMI idiom shared with walk_ppmi so the DuckDB oracle
+    hash-matches bit for bit.
+
+    Scale shape: mentions are per-doc distinct and never split across
+    batches, so PAIR GENERATION is batch-local (np.triu per doc slice, ≤
+    C(cap,2) pairs/doc) with an in-batch combiner; one pair groupby and one
+    name groupby (both vocab-bounded), then marginals attach via two
+    bucketed cogroups of (marginal ∪ pair) rows — the walk_ppmi transport,
+    never a row-count-coupled join."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from lightrag_ray.extras.webquality import _bit_length_u64
+
+    ment = (
+        _mentions_ds(sf_dir)
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["kind"], "e")).select(["doc_id", "name"]),
+            batch_format="pyarrow",
+        )
+        .materialize()  # narrow (doc_id, name); read for T, marginals, pairs
+    )
+
+    # T: docs with ≥1 entity.  Mentions for one doc never split across
+    # batches (per-__call__ emission), so per-batch distinct counts sum.
+    def distinct_docs(batch: pa.Table) -> pa.Table:
+        n = len(np.unique(np.asarray(batch.column("doc_id"), np.int64)))
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    t_total = int(
+        ment.map_batches(distinct_docs, batch_format="pyarrow").sum("n") or 0
+    )
+    bits_t = t_total.bit_length()
+
+    # per-entity doc counts (rows are per-doc distinct already)
+    from ray.data.aggregate import Count
+
+    na = ment.groupby("name").aggregate(Count(alias_name="c"))
+
+    # batch-local unordered pair generation + in-batch combiner
+    def gen_pairs(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        names = np.asarray(batch.column("name"), object)
+        order = np.argsort(ids, kind="stable")
+        ids, names = ids[order], names[order]
+        starts = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
+        bounds = np.concatenate((starts, [len(ids)]))
+        agg: dict[tuple, int] = {}
+        for k in range(len(starts)):
+            doc_names = np.sort(names[bounds[k] : bounds[k + 1]])
+            iu, ju = np.triu_indices(len(doc_names), k=1)
+            for a, b in zip(doc_names[iu], doc_names[ju]):
+                key = (a, b)
+                agg[key] = agg.get(key, 0) + 1
+        keys = sorted(agg)
+        return pa.table(
+            {
+                "a": pa.array([k[0] for k in keys], pa.string()),
+                "b": pa.array([k[1] for k in keys], pa.string()),
+                "n": pa.array([agg[k] for k in keys], pa.int64()),
+            }
+        )
+
+    pairs = (
+        ment.map_batches(gen_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["a", "b"])
+        .aggregate(Sum("n", alias_name="n_docs_both"))
+    )
+
+    # attach marginals: union (marginal ∪ pair) rows cogrouped per name
+    # bucket — the walk_ppmi transport, two bounded exchanges
+    UNION_SCHEMA = pa.schema(
+        [("bucket", pa.int32()), ("key", pa.string()), ("other", pa.string()),
+         ("n", pa.int64()), ("c", pa.int64()), ("ca", pa.int64())]
+    )
+
+    def marg_rows(batch: pa.Table) -> pa.Table:
+        names = batch.column("name").to_pylist()
+        return pa.table(
+            {
+                "bucket": _name_bucket(names),
+                "key": pa.array(names, pa.string()),
+                "other": pa.nulls(len(names), pa.string()),
+                "n": pa.nulls(len(names), pa.int64()),
+                "c": batch.column("c").cast(pa.int64()),
+                "ca": pa.nulls(len(names), pa.int64()),
+            },
+            schema=UNION_SCHEMA,
+        )
+
+    def pair_rows_a(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_pylist()
+        return pa.table(
+            {
+                "bucket": _name_bucket(a),
+                "key": pa.array(a, pa.string()),
+                "other": batch.column("b"),
+                "n": batch.column("n_docs_both").cast(pa.int64()),
+                "c": pa.nulls(len(a), pa.int64()),
+                "ca": pa.nulls(len(a), pa.int64()),
+            },
+            schema=UNION_SCHEMA,
+        )
+
+    def attach(group: pd.DataFrame) -> pa.Table:
+        # pass 1: attach ca = doc count of the `a` endpoint, then re-key the
+        # pair row on its OTHER endpoint (b) for the second cogroup
+        is_marg = group["c"].notna().to_numpy()
+        cmap = dict(
+            zip(group["key"].to_numpy(object)[is_marg],
+                group["c"].to_numpy(object)[is_marg])
+        )
+        rows = group[~is_marg]
+        if not len(rows):
+            return UNION_SCHEMA.empty_table()
+        keys = rows["key"].to_numpy(object)
+        looked = np.array([int(cmap[k]) for k in keys], np.int64)
+        out_key = [str(k) for k in rows["other"].to_numpy(object)]
+        return pa.table(
+            {
+                "bucket": _name_bucket(out_key),
+                "key": pa.array(out_key, pa.string()),
+                "other": pa.array([str(k) for k in keys], pa.string()),
+                "n": pa.array(rows["n"].to_numpy(np.int64), pa.int64()),
+                "c": pa.nulls(len(rows), pa.int64()),
+                "ca": pa.array(looked, pa.int64()),
+            },
+            schema=UNION_SCHEMA,
+        )
+
+    def attach_final(group: pd.DataFrame) -> pa.Table:
+        is_marg = group["c"].notna().to_numpy()
+        cmap = dict(
+            zip(group["key"].to_numpy(object)[is_marg],
+                group["c"].to_numpy(object)[is_marg])
+        )
+        rows = group[~is_marg]
+        if not len(rows):
+            return pa.schema(
+                [("entity_a", pa.string()), ("entity_b", pa.string()),
+                 ("n_docs_both", pa.int64()), ("pmi_bits", pa.int64())]
+            ).empty_table()
+        keys = rows["key"].to_numpy(object)  # = b after the re-key
+        cb = np.array([int(cmap[k]) for k in keys], np.int64)
+        ca = rows["ca"].to_numpy(np.int64)
+        n = rows["n"].to_numpy(np.int64)
+        bits = (
+            _bit_length_u64(n).astype(np.int64)
+            + bits_t
+            - _bit_length_u64(ca).astype(np.int64)
+            - _bit_length_u64(cb).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "entity_a": pa.array(
+                    [str(x) for x in rows["other"].to_numpy(object)], pa.string()
+                ),
+                "entity_b": pa.array([str(k) for k in keys], pa.string()),
+                "n_docs_both": pa.array(n, pa.int64()),
+                "pmi_bits": pa.array(np.maximum(bits, 0), pa.int64()),
+            }
+        )
+
+    marg = na.map_batches(marg_rows, batch_format="pyarrow")
+    leg1 = (
+        marg.union(pairs.map_batches(pair_rows_a, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(attach, batch_format="pandas")
+    )
+    return (
+        marg.union(leg1)
+        .groupby("bucket")
+        .map_groups(attach_final, batch_format="pandas")
+    )
+
+
+SQL_ENTITY_COOC_PMI = f"""
+WITH {_SQL_WORDS_1CHUNK},
+m AS (SELECT DISTINCT doc_id, word AS name FROM ents),
+prs AS (
+  SELECT a.name AS entity_a, b.name AS entity_b, count(*)::BIGINT AS n_docs_both
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.name < b.name
+  GROUP BY 1, 2
+),
+na AS (SELECT name, count(*)::BIGINT AS c FROM m GROUP BY name),
+tot AS (SELECT count(DISTINCT doc_id)::BIGINT AS t FROM m)
+SELECT p.entity_a, p.entity_b, p.n_docs_both,
+       greatest(0, length(bin(p.n_docs_both)) + length(bin((SELECT t FROM tot)))
+                 - length(bin(na1.c)) - length(bin(na2.c)))::BIGINT AS pmi_bits
+FROM prs p
+JOIN na na1 ON p.entity_a = na1.name
+JOIN na na2 ON p.entity_b = na2.name
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup / fingerprints
 
@@ -399,6 +621,7 @@ def queries() -> dict[str, Callable]:
         "entity_mentions": q_entity_mentions,
         "kg_nodes_simple": q_kg_nodes_simple,
         "kg_edges_simple": q_kg_edges_simple,
+        "entity_cooc_pmi": q_entity_cooc_pmi,
         "exact_dedup": q_exact_dedup,
         "doc_fingerprint": q_doc_fingerprint,
         "text_quality": q_text_quality,
@@ -413,6 +636,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_mentions": SQL_ENTITY_MENTIONS,
         "kg_nodes_simple": SQL_KG_NODES_SIMPLE,
         "kg_edges_simple": SQL_KG_EDGES_SIMPLE,
+        "entity_cooc_pmi": SQL_ENTITY_COOC_PMI,
         "exact_dedup": SQL_EXACT_DEDUP,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "text_quality": SQL_TEXT_QUALITY,
