@@ -1023,8 +1023,122 @@ FROM l JOIN t USING (lang)
 """
 
 
+DOMAIN_MIX_BUDGET = 1_000_000
+
+
+def q_domain_mixture(sf_dir: str):
+    """Domain (host) mixture weights for a training run: allocate a fixed
+    budget of ``DOMAIN_MIX_BUDGET`` training slots across hosts proportional
+    to token mass, rounded by the largest-remainder (Hamilton) method so
+    the slots sum EXACTLY to the budget — the integer-exact form of the
+    per-domain sampling-weight step every pretraining mixture needs
+    (cf. the Pile / DoReMi domain weighting; no float shares, so the DuckDB
+    row_number oracle hash-matches bit for bit).
+
+    Scale shape: per-host token mass comes from :func:`_host_stats` (one
+    streamed corpus pass with a per-batch host combiner → host-bounded
+    groupby).  Quota arithmetic runs per batch in Python ints (the
+    ``budget × tokens`` product overflows int64 at web scale — the
+    host_quality_gate precedent).  The +1 winners are chosen WITHOUT any
+    broadcast or rank materialization: one distributed sort of the
+    host-bounded parts table by (remainder DESC, host ASC), a constant-
+    memory driver scan that only COUNTS rows until the deficit is reached
+    to learn the threshold pair, then a stateless vectorized filter marks
+    winners — O(1) driver state at any host count.
+    """
+    import numpy as np
+
+    hs = _host_stats(sf_dir).materialize()
+    tot = int(hs.sum("sum_words") or 0)
+    OUT_SCHEMA = pa.schema(
+        [("host", pa.string()), ("n_tokens", pa.int64()), ("slots", pa.int64())]
+    )
+    if tot == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(OUT_SCHEMA.empty_table())
+    budget = DOMAIN_MIX_BUDGET
+
+    def parts(batch: pa.Table) -> pa.Table:
+        hosts = batch.column("host").to_pylist()
+        w = [int(x) for x in batch.column("sum_words").to_pylist()]
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "n_tokens": pa.array(w, pa.int64()),
+                "base": pa.array([(budget * x) // tot for x in w], pa.int64()),
+                "rem": pa.array([(budget * x) % tot for x in w], pa.int64()),
+            }
+        )
+
+    p = hs.map_batches(parts, batch_format="pyarrow").materialize()
+    deficit = budget - int(p.sum("base") or 0)
+
+    # threshold pair = the deficit-th row of the (rem DESC, host ASC) order;
+    # the driver streams COUNTS only (constant memory), never the table
+    thr = None
+    if deficit > 0:
+        seen = 0
+        for b in p.sort(["rem", "host"], descending=[True, False]).iter_batches(
+            batch_format="pyarrow", batch_size=65536
+        ):
+            if seen + b.num_rows >= deficit:
+                i = deficit - seen - 1
+                thr = (int(b.column("rem")[i].as_py()),
+                       str(b.column("host")[i].as_py()))
+                break
+            seen += b.num_rows
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        base = np.asarray(batch.column("base"), np.int64)
+        if thr is None:
+            slots = base
+        else:
+            rem = np.asarray(batch.column("rem"), np.int64)
+            host = np.asarray(batch.column("host").to_pylist(), object)
+            win = (rem > thr[0]) | ((rem == thr[0]) & (host <= thr[1]))
+            slots = base + win.astype(np.int64)
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "n_tokens": batch.column("n_tokens"),
+                "slots": pa.array(slots, pa.int64()),
+            },
+            schema=OUT_SCHEMA,
+        )
+
+    return p.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_DOMAIN_MIXTURE = f"""
+WITH q AS (
+  SELECT doc_id,
+         'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+         len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_words
+  FROM documents
+),
+hw AS (SELECT host, CAST(sum(n_words) AS HUGEINT) AS w FROM q GROUP BY host),
+tot AS (SELECT CAST(sum(w) AS HUGEINT) AS t FROM hw),
+parts AS (
+  SELECT host, w,
+         ({DOMAIN_MIX_BUDGET}::HUGEINT * w) // t AS base,
+         ({DOMAIN_MIX_BUDGET}::HUGEINT * w) % t AS rem
+  FROM hw, tot
+),
+d AS (SELECT {DOMAIN_MIX_BUDGET} - sum(base) AS deficit FROM parts),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, host ASC) AS rk FROM parts
+)
+SELECT host, w::BIGINT AS n_tokens,
+       (base + CASE WHEN rk <= (SELECT deficit FROM d) THEN 1 ELSE 0 END)::BIGINT
+           AS slots
+FROM ranked
+"""
+
+
 def queries() -> dict[str, Callable]:
     return {
+        "domain_mixture": q_domain_mixture,  # round-5: largest-remainder slot allocation
         "host_quality_gate": q_host_quality_gate,  # round-5 addition: first so the driver reaches it
         "repetition_stats": q_repetition_stats,
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -1039,6 +1153,7 @@ def queries() -> dict[str, Callable]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "domain_mixture": SQL_DOMAIN_MIXTURE,
         "host_quality_gate": SQL_HOST_QUALITY_GATE,
         "repetition_stats": SQL_REPETITION_STATS,
         "boilerplate_ngrams": SQL_BOILERPLATE_NGRAMS,

@@ -258,3 +258,30 @@ def test_host_quality_gate_over_guard_uses_cogroup_arm(
     )
     pd.testing.assert_frame_equal(base, fb[base.columns], check_dtype=False)
     assert 0 < len(base) < 40  # the gate actually discriminates
+
+
+def test_domain_mixture_hand_computed(ray_session, tmp_path):
+    """Largest-remainder allocation: slots sum EXACTLY to the budget, the
+    +1 winners are the largest remainders with host-ASC tie-break."""
+    # hosts are doc_id % 7: three docs on three distinct hosts, one word each
+    sf = _write_docs(tmp_path, ["alpha", "beta", "gamma"])
+    out = (
+        W.q_domain_mixture(sf)
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    assert int(out["slots"].sum()) == W.DOMAIN_MIX_BUDGET
+    # tot=3: base = 333333 each, rem = 1 each, deficit = 1 → the host-ASC
+    # tie-break gives the single +1 to site0
+    assert out.loc[out["host"] == "site0.example.com", "slots"].iloc[0] == 333334
+    assert (out.loc[out["host"] != "site0.example.com", "slots"] == 333333).all()
+    assert (out["n_tokens"] == 1).all()
+
+
+def test_domain_mixture_empty_corpus(ray_session, tmp_path):
+    sf = _write_docs(tmp_path, [])
+    ds = W.q_domain_mixture(sf)
+    assert ds.count() == 0
+    assert sorted(ds.schema().names) == ["host", "n_tokens", "slots"]
