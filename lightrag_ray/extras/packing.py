@@ -150,13 +150,15 @@ def _bucket_offsets(tok, hi: int):
     return rows, offsets
 
 
-def pack_counts(tok_ds):
+def pack_counts(tok_ds, base_offset: int = 0):
     """The distributed two-phase prefix scan over a narrow ``(doc_id, n)``
     count table → per-sequence manifest (``seq_id, n_docs, n_tokens,
     first_doc, last_doc``).  Shared by :func:`q_seq_pack` (whole corpus,
     regex counts) and the curated training-shard flagships below (curated
     survivors, regex or learned-BPE counts) — the count table is ~16 B/doc,
-    the only thing ever materialized."""
+    the only thing ever materialized.  ``base_offset`` shifts the whole
+    layout (the incremental-append path packs a delta AFTER an existing
+    corpus's sequences)."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Max, Min, Sum
@@ -169,7 +171,7 @@ def pack_counts(tok_ds):
     hi = int(hi_val)
 
     rows, offsets = _bucket_offsets(tok, hi)
-    off_ref = ray.put(offsets)
+    off_ref = ray.put(offsets + base_offset)
 
     # 3. per-bucket local scan + per-sequence partials; boundary sequences
     # are merged by the final (tiny) seq_id groupby.
@@ -460,6 +462,68 @@ def write_training_shards(
     # broadcast/anti-join canonical gate against the same cluster table
     clusters = q_dup_clusters(sf_dir).materialize()
 
+    shards_dir = os.path.join(out_dir, "shards")
+    lineage_dir = os.path.join(out_dir, "lineage.parquet")
+    n_docs_total, n_tokens_total = _pack_write_pass(
+        pages, clusters, ranks_ref, hi, 0, shards_dir, lineage_dir,
+        seqs_per_shard, "edge_sequences.parquet",
+    )
+    if n_docs_total == 0:
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        meta = {"params": params, "n_seqs": 0, "n_docs": 0, "n_tokens": 0,
+                "n_shards": 0, "out_dir": out_dir, "ragged_tail": False,
+                "appends": []}
+        with open(marker, "w") as f:
+            json.dump(meta, f)
+        return meta
+
+    vocab_path = os.path.join(out_dir, "vocab.tiktoken")
+    bpe_train.write_tiktoken_vocab(bpe_train.merges_to_ranks(merges), vocab_path)
+
+    n_seqs = (n_tokens_total + SEQ_LEN - 1) // SEQ_LEN
+    meta = {
+        "params": params,
+        "n_seqs": int(n_seqs),
+        "n_docs": int(n_docs_total),
+        "n_tokens": int(n_tokens_total),
+        "n_shards": int((n_seqs + seqs_per_shard - 1) // seqs_per_shard),
+        "out_dir": out_dir,
+        "shards_dir": shards_dir,
+        "lineage_dir": lineage_dir,
+        "vocab_path": vocab_path,
+        "ragged_tail": bool(n_tokens_total % SEQ_LEN),
+        "appends": [],
+    }
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, marker)  # atomic: the unit is done only once this lands
+    return meta
+
+
+def _pack_write_pass(
+    pages: str,
+    clusters,
+    ranks_ref,
+    hi: int,
+    base_offset: int,
+    shards_dir: str,
+    lineage_dir: str,
+    seqs_per_shard: int,
+    edge_name: str,
+) -> tuple[int, int]:
+    """The shared two-pass pack-and-write flow of :func:`write_training_shards`
+    (``base_offset`` 0) and :func:`append_training_shards` (``base_offset`` =
+    existing corpus's sequence-aligned token count).  Writes complete
+    sequences + merged edge fragments + lineage rows; returns
+    ``(n_docs, n_tokens)`` for the pass (0, 0 if nothing survived)."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from lightrag_ray.extras.catalog import _filter_noncanonical
+
     def curated_corpus():
         return _filter_noncanonical(
             rd.read_parquet(pages, columns=["doc_id", "text"]), clusters
@@ -475,15 +539,10 @@ def write_training_shards(
 
     n_docs_total = counts.count()
     if n_docs_total == 0:
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        meta = {"params": params, "n_seqs": 0, "n_docs": 0, "n_tokens": 0,
-                "n_shards": 0, "out_dir": out_dir, "ragged_tail": False}
-        with open(marker, "w") as f:
-            json.dump(meta, f)
-        return meta
+        return 0, 0
 
     _rows, offsets = _bucket_offsets(counts, hi)
-    off_ref = ray.put(offsets)
+    off_ref = ray.put(offsets + base_offset)
     n_tokens_total = int(counts.sum("n"))
 
     OUT_SCHEMA = pa.schema(
@@ -585,7 +644,6 @@ def write_training_shards(
             schema=OUT_SCHEMA,
         )
 
-    shards_dir = os.path.join(out_dir, "shards")
     # one streaming pass: complete sequences flow straight into the
     # Hive-partitioned sink; nothing token-sized is ever materialized
     curated_corpus().map_batches(
@@ -623,10 +681,8 @@ def write_training_shards(
                      ("tokens", pa.list_(pa.int32()))]
                 ),
             ),
-            os.path.join(d, "edge_sequences.parquet"),
+            os.path.join(d, edge_name),
         )
-
-    n_seqs = (n_tokens_total + SEQ_LEN - 1) // SEQ_LEN
 
     # per-shard lineage from the already-materialized count table (no
     # re-read of the token output): the manifest rows aggregated per shard
@@ -639,7 +695,7 @@ def write_training_shards(
         )
 
     lineage = (
-        pack_counts(counts)
+        pack_counts(counts, base_offset=base_offset)
         .map_batches(shard_of, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("shard")
         .aggregate(
@@ -649,25 +705,77 @@ def write_training_shards(
             Max("last_doc", alias_name="last_doc"),
         )
     )
-    lineage_dir = os.path.join(out_dir, "lineage.parquet")
     lineage.write_parquet(lineage_dir)
+    return int(n_docs_total), int(n_tokens_total)
 
-    meta = {
-        "params": params,
-        "n_seqs": int(n_seqs),
-        "n_docs": int(n_docs_total),
-        "n_tokens": int(n_tokens_total),
-        "n_shards": int((n_seqs + seqs_per_shard - 1) // seqs_per_shard),
-        "out_dir": out_dir,
-        "shards_dir": shards_dir,
-        "lineage_dir": lineage_dir,
-        "ragged_tail": bool(n_tokens_total % SEQ_LEN),
-    }
-    os.makedirs(os.path.dirname(marker), exist_ok=True)
+
+def append_training_shards(delta_sf_dir: str, out_dir: str) -> dict:
+    """Incrementally append a DELTA corpus (a crawl refresh) to an existing
+    shard directory — the shard-sink counterpart of the engine's
+    incremental LSH / IVF maintenance: base shard files are NEVER rewritten.
+
+    The delta starts at the next SEQ_LEN boundary after the base corpus
+    (``base_offset = n_seqs × SEQ_LEN``), so the base's ragged tail (if
+    any) stays as written — the standard append convention; the wasted tail
+    slots are recorded.  The tokenizer is NOT retrained: the vocabulary
+    persisted at base-write time (``vocab.tiktoken``) is loaded and
+    broadcast, so base and delta shards share one id space (the
+    ivf_delta precedent — quantizer persisted WITH the index).  Delta
+    curation gates run within the delta (base-vs-delta near-dup joins are
+    the job of the incremental LSH index, ``dedup.lsh_delta_pairs``).
+    Complete sequences and lineage rows append as new uniquely-named files
+    in the same Hive layout; edge fragments get a generation-tagged file
+    name so repeated appends never collide.  The done marker updates
+    atomically with an ``appends`` log entry — re-running the same delta
+    append is detected and skipped (idempotent unit)."""
+    import json
+
+    import ray
+    import ray.data as rd
+
+    from lightrag_ray.extras.catalog import q_dup_clusters
+    from lightrag_ray.functions.tokenizer import BPETokenizer
+
+    marker = os.path.join(out_dir, "_manifest", "done.json")
+    with open(marker) as f:
+        meta = json.load(f)
+    if meta["n_seqs"] == 0:
+        raise ValueError("append_training_shards: base shard dir is empty")
+    if any(a["delta_sf_dir"] == delta_sf_dir for a in meta.get("appends", [])):
+        return meta  # this delta already applied — idempotent skip
+
+    ranks = BPETokenizer(vocab_path=meta["vocab_path"])._ranks
+    ranks_ref = ray.put(ranks)
+    seqs_per_shard = int(meta["params"]["seqs_per_shard"])
+    base_offset = int(meta["n_seqs"]) * SEQ_LEN
+    gen = len(meta.get("appends", [])) + 1
+
+    pages = os.path.join(delta_sf_dir, "documents.parquet")
+    hi = int(rd.read_parquet(pages, columns=["doc_id"]).max("doc_id"))
+    clusters = q_dup_clusters(delta_sf_dir).materialize()
+
+    n_docs, n_tokens = _pack_write_pass(
+        pages, clusters, ranks_ref, hi, base_offset,
+        meta["shards_dir"], meta["lineage_dir"], seqs_per_shard,
+        f"edge_sequences_g{gen}.parquet",
+    )
+
+    new_total = base_offset + n_tokens  # tail slots between old ragged end
+    # and base_offset are padding by convention — recorded, not stored
+    n_seqs = (new_total + SEQ_LEN - 1) // SEQ_LEN if n_tokens else meta["n_seqs"]
+    meta["appends"] = meta.get("appends", []) + [
+        {"delta_sf_dir": delta_sf_dir, "n_docs": n_docs, "n_tokens": n_tokens,
+         "start_seq": int(meta["n_seqs"]) if n_tokens else None}
+    ]
+    meta["n_seqs"] = int(n_seqs)
+    meta["n_docs"] = int(meta["n_docs"]) + n_docs
+    meta["n_tokens"] = int(meta["n_tokens"]) + n_tokens
+    meta["n_shards"] = int((n_seqs + seqs_per_shard - 1) // seqs_per_shard)
+    meta["ragged_tail"] = bool(new_total % SEQ_LEN) if n_tokens else meta["ragged_tail"]
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
-    os.replace(tmp, marker)  # atomic: the unit is done only once this lands
+    os.replace(tmp, marker)
     return meta
 
 

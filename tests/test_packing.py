@@ -226,3 +226,78 @@ def test_write_training_shards_byte_exact(ray_session, tmp_path):
     t0 = time.perf_counter()
     meta2 = write_training_shards(SF_DIR, out, n_merges=50, seqs_per_shard=4)
     assert meta2 == meta and time.perf_counter() - t0 < 1.0
+
+
+def test_append_training_shards_incremental(ray_session, tmp_path):
+    """Crawl-refresh append: base shard files stay byte-identical, the delta
+    packs from the next SEQ_LEN boundary with the PERSISTED vocabulary (no
+    retrain), lineage accumulates, and re-applying the same delta is an
+    idempotent no-op."""
+    import glob
+    import hashlib
+
+    import ray.data as rd
+
+    from lightrag_ray.extras.packing import (
+        append_training_shards,
+        write_training_shards,
+    )
+    from lightrag_ray.functions.tokenizer import BPETokenizer
+
+    out = str(tmp_path / "shards-base")
+    meta = write_training_shards(SF_DIR, out, n_merges=50, seqs_per_shard=4)
+    base_seqs = meta["n_seqs"]
+
+    def snap():
+        return {
+            p: hashlib.md5(open(p, "rb").read()).hexdigest()
+            for p in glob.glob(os.path.join(meta["shards_dir"], "**", "*.parquet"),
+                               recursive=True)
+        }
+
+    base_files = snap()
+
+    # delta corpus = the same pages with shifted doc ids (a refresh batch)
+    delta = str(tmp_path / "delta")
+    os.makedirs(delta)
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    import pyarrow.compute as pc
+
+    t = t.set_column(0, "doc_id", pc.add(t.column("doc_id"), 1_000_000))
+    pq.write_table(t, os.path.join(delta, "documents.parquet"))
+
+    meta2 = append_training_shards(delta, out)
+    assert meta2["n_docs"] == 2 * meta["n_docs"]
+    assert meta2["appends"][0]["start_seq"] == base_seqs
+
+    after = snap()
+    # base files untouched, byte for byte
+    for p, h in base_files.items():
+        assert after[p] == h
+    assert len(after) > len(base_files)
+
+    # delta content: same texts → same survivor encodes, packed from
+    # seq_id = base_seqs with the persisted (not retrained) vocabulary
+    df = (
+        rd.read_parquet(meta["shards_dir"])
+        .to_pandas()
+        .sort_values("seq_id")
+        .reset_index(drop=True)
+    )
+    base_df = df[df["seq_id"] < base_seqs]
+    delta_df = df[df["seq_id"] >= base_seqs].reset_index(drop=True)
+    assert delta_df["seq_id"].tolist() == list(
+        range(base_seqs, base_seqs + len(delta_df))
+    )
+    base_stream = [t_ for toks in base_df["tokens"] for t_ in toks]
+    delta_stream = [t_ for toks in delta_df["tokens"] for t_ in toks]
+    assert delta_stream == base_stream  # identical texts, identical vocab
+    # lineage accumulated to cover the delta shards too
+    lin = rd.read_parquet(meta["lineage_dir"]).to_pandas()
+    assert int(lin["n_docs"].sum()) == meta2["n_docs"]
+
+    # idempotent re-apply: marker log detects the delta, nothing changes
+    meta3 = append_training_shards(delta, out)
+    assert meta3 == meta2
+    assert snap() == after
