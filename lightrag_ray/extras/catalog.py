@@ -1012,6 +1012,7 @@ def queries() -> dict[str, Callable]:
         **packing.queries(),
         "corpus_dedup": q_corpus_dedup,
         "corpus_dedup_lsh": q_corpus_dedup_lsh,  # rows-only (LSH-fed; exact = corpus_dedup)
+        "curation_funnel": q_curation_funnel,  # round-5: per-gate ablation counts
         "curated_corpus": q_curated_corpus,
         "curated_corpus_lsh": q_curated_corpus_lsh,  # rows-only (LSH arm; exact = curated_corpus)
         "dsir_select": q_dsir_select,
@@ -1085,6 +1086,7 @@ def oracle_sql() -> dict[str, str]:
         "distinctive_terms": SQL_DISTINCTIVE_TERMS,
         "dup_clusters": SQL_DUP_CLUSTERS,
         "corpus_dedup": SQL_CORPUS_DEDUP,
+        "curation_funnel": _sql_curation_funnel(),
         "curated_corpus": _sql_curated_corpus(),
         "dsir_select": SQL_DSIR_SELECT,
         "langid": textstats.SQL_LANGID,
@@ -1402,6 +1404,98 @@ def _curated_corpus(sf_dir: str, clusters_ds):
     )
     return _filter_noncanonical(corpus, clusters_ds).map_batches(
         curate, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_curation_funnel(sf_dir: str):
+    """Gate-ablation funnel for the curation pipeline: every document
+    evaluated against ALL FOUR gates independently (canonical near-dup
+    member / word-count / unique-ratio / known-language) and counted per
+    gate combination — the observability table a curation operator reads to
+    see which gate is doing the cutting and how the gates overlap (a doc
+    failing two gates appears once, in its combination row).
+
+    One streamed corpus pass: the near-dup drop set broadcasts once
+    (``_collect_drop_set``), each batch computes the four 0/1 gate columns
+    vectorized and pre-bins into ≤16 partial rows (per-batch combiner), and
+    the final groupby exchanges ≤16 rows per block.  Fully SQL-oracled
+    (the same gate expressions as the curated-corpus oracle, grouped)."""
+    import os
+
+    import numpy as np
+    import ray.data as rd
+
+    from lightrag_ray.extras.textstats import _WORD_RE, predict_lang
+
+    drop_ref = _collect_drop_set(q_dup_clusters(sf_dir))
+
+    def gates(batch):
+        import numpy as np  # noqa: F811 — worker-side
+        import pyarrow as pa  # noqa: F811 — worker-side
+
+        keep = np.asarray(_drop_mask(batch, drop_ref))  # canonical bit
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        words_ok = np.zeros(n, np.int64)
+        uniq_ok = np.zeros(n, np.int64)
+        lang_ok = np.zeros(n, np.int64)
+        for i, text in enumerate(texts):
+            words = _WORD_RE.findall(text or "")
+            nw = len(words)
+            words_ok[i] = nw >= CURATE_MIN_WORDS
+            uniq_ok[i] = nw > 0 and len(set(words)) / nw >= CURATE_MIN_UNIQ_RATIO
+            lang_ok[i] = predict_lang(text or "")[0] != "und"
+        mask = (
+            keep.astype(np.int64) * 8 + words_ok * 4 + uniq_ok * 2 + lang_ok
+        )
+        counts = np.bincount(mask, minlength=16)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "canonical": pa.array((nz >> 3) & 1, pa.int64()),
+                "words_ok": pa.array((nz >> 2) & 1, pa.int64()),
+                "uniq_ok": pa.array((nz >> 1) & 1, pa.int64()),
+                "lang_ok": pa.array(nz & 1, pa.int64()),
+                "n_docs": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .map_batches(gates, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["canonical", "words_ok", "uniq_ok", "lang_ok"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+def _sql_curation_funnel() -> str:
+    from lightrag_ray.extras.textstats import SQL_LANGID_CTES
+
+    return (
+        "WITH RECURSIVE " + _SQL_CC_CTES + ", " + SQL_LANGID_CTES + f""",
+qual AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\w+')) AS n_words,
+         len(list_distinct(regexp_extract_all(text, '\\w+'))) AS n_uniq
+  FROM documents
+)
+SELECT CAST(c.doc_id IS NULL OR c.cluster_id = d.doc_id AS BIGINT) AS canonical,
+       CAST(q.n_words >= {CURATE_MIN_WORDS} AS BIGINT) AS words_ok,
+       CAST(q.n_words > 0
+            AND q.n_uniq::DOUBLE / q.n_words >= {CURATE_MIN_UNIQ_RATIO}
+            AS BIGINT) AS uniq_ok,
+       CAST(l.lang_pred <> 'und' AS BIGINT) AS lang_ok,
+       count(*)::BIGINT AS n_docs
+FROM documents d
+JOIN langpred l USING (doc_id)
+JOIN qual q USING (doc_id)
+LEFT JOIN clusters c USING (doc_id)
+GROUP BY 1, 2, 3, 4
+"""
     )
 
 
