@@ -983,6 +983,12 @@ def _q_entity_cooc_pmi(sf_dir: str):
     return q_entity_cooc_pmi(sf_dir)
 
 
+def _q_entity_resolution(sf_dir: str):
+    from lightrag_ray.pipelines.queries import q_entity_resolution
+
+    return q_entity_resolution(sf_dir)
+
+
 def queries() -> dict[str, Callable]:
     # Registration order = the driver's check order (it walks the catalog
     # with a per-round budget).  Entries the round-4 driver run never
@@ -990,6 +996,7 @@ def queries() -> dict[str, Callable]:
     # FIRST so round 5 records them; the long-green rest follows.
     return {
         "entity_cooc_pmi": _q_entity_cooc_pmi,  # round-5: corpus-wide entity-pair PMI (SQL-oracled; also in the base catalog)
+        "entity_resolution": _q_entity_resolution,  # round-5: alias CC → canonical names (SQL-oracled)
         "training_shards": packing.q_training_shards,  # round-5 flagship: curate ∘ pack, spliced end-to-end oracle
         "training_shards_lsh": packing.q_training_shards_lsh,  # rows-only (LSH near-dup arm; exact ≡ training_shards)
         "training_shards_bpe": packing.q_training_shards_bpe,  # rows-only (learned-BPE token counts)

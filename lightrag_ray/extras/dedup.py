@@ -1606,10 +1606,16 @@ def connected_components(
     )
 
     def to_adj(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         a = batch.column(col_a).cast(pa.int64())
         b = batch.column(col_b).cast(pa.int64())
         node = pa.chunked_array([a, b]).combine_chunks()
         nbr = pa.chunked_array([b, a]).combine_chunks()
+        if len(node) and pc.min(node).as_py() < 0:
+            # -1 is the propagation loop's absent-side sentinel (nullable
+            # int64 would turn float64 in pandas groups and corrupt >2^53 ids)
+            raise ValueError("connected_components: node ids must be >= 0")
         return pa.table(
             {"bucket": _cc_bucket_of(node, buckets), "node": node, "nbr": nbr},
             schema=ADJ_SCHEMA,
@@ -1671,14 +1677,14 @@ def connected_components(
         # vectorized label lookup (sorted label array + searchsorted) — a
         # per-row dict ``.map`` here cost tens of seconds per CC iteration
         # at ~10M adjacency rows.
-        is_label = group["nbr"].isna().to_numpy()
+        is_label = group["nbr"].to_numpy(np.int64) == -1
         all_nodes = group["node"].to_numpy(np.int64)
         lab_nodes = all_nodes[is_label]
-        lab_vals = group["label"].to_numpy()[is_label].astype(np.int64)
+        lab_vals = group["label"].to_numpy(np.int64)[is_label]
         order = np.argsort(lab_nodes, kind="stable")
         lab_nodes, lab_vals = lab_nodes[order], lab_vals[order]
         src = all_nodes[~is_label]
-        recv = group["nbr"].to_numpy()[~is_label].astype(np.int64)
+        recv = group["nbr"].to_numpy(np.int64)[~is_label]
         pos = np.searchsorted(lab_nodes, src)
         # every edge endpoint has a label row in its own bucket by
         # construction; a miss means the bucketing broke — fail loud.
@@ -1805,14 +1811,21 @@ def connected_components(
     n_iters_run = 0
     for _ in range(max_iters):
         n_iters_run += 1
-        # adjacency + current labels, cogrouped per bucket
+        # adjacency + current labels, cogrouped per bucket.  The absent
+        # side is the -1 SENTINEL, never an Arrow null: a nullable int64
+        # column becomes float64 in the pandas map_groups conversion, which
+        # silently destroys the low bits of node ids above 2^53 (doc ids
+        # never get there; hash-derived ids — entity_resolution's md5 keys —
+        # do).  Node ids are non-negative by contract (asserted in to_adj).
         def lab_rows(batch: pa.Table) -> pa.Table:
             return pa.table(
                 {
                     "bucket": batch.column("bucket"),
                     "node": batch.column("node"),
                     "label": batch.column("label"),
-                    "nbr": pa.nulls(batch.num_rows, pa.int64()),
+                    "nbr": pa.array(
+                        np.full(batch.num_rows, -1, np.int64), pa.int64()
+                    ),
                 },
             )
 
@@ -1821,7 +1834,9 @@ def connected_components(
                 {
                     "bucket": batch.column("bucket"),
                     "node": batch.column("node"),
-                    "label": pa.nulls(batch.num_rows, pa.int64()),
+                    "label": pa.array(
+                        np.full(batch.num_rows, -1, np.int64), pa.int64()
+                    ),
                     "nbr": batch.column("nbr"),
                 },
             )

@@ -429,6 +429,382 @@ def q_entity_cooc_pmi(sf_dir: str):
     )
 
 
+def _one_edit_leq(a: str, b: str) -> bool:
+    """Exact ``levenshtein(a, b) <= 1`` — the DuckDB oracle's predicate,
+    implemented directly (equal; one substitution; or one insertion) so the
+    Ray side never needs a DP table."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def _entity_vocab_ds(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        q_entity_mentions(sf_dir)
+        .groupby("entity_name")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["entity_name"])
+    )
+
+
+def q_entity_aliases(sf_dir: str):
+    """Fuzzy alias candidates over the extracted entity vocabulary — the
+    blocking step of entity linking (cf. the reference's exact
+    normalize-then-merge in lightrag/operate.py: this finds the near-miss
+    names normalization cannot unify).  Pairs with the SAME FIRST CHARACTER,
+    length difference ≤ 1 and levenshtein ≤ 1, emitted once (name_a <
+    name_b).
+
+    The first-char block is the recall/scale tradeoff (a leading-char edit
+    is not found) and is IDENTICAL in the oracle, so parity holds.  Scale:
+    the vocabulary groupby is vocab-bounded; within a block the comparison
+    is restricted to equal and ±1 lengths (sorted slices), so cost is
+    Σ n_l·(n_l + n_{l+1}) per block — salt a pathological block on
+    (first_char, length) if a real vocabulary ever concentrates."""
+    return _aliases_from_vocab(_entity_vocab_ds(sf_dir))
+
+
+def _aliases_from_vocab(vocab_ds):
+    import pandas as pd
+
+    def block_key(batch: pa.Table) -> pa.Table:
+        names = batch.column("entity_name").to_pylist()
+        return pa.table(
+            {
+                "blk": pa.array([n[:1] for n in names], pa.string()),
+                "name": pa.array(names, pa.string()),
+            }
+        )
+
+    def pairs_in_block(group: pd.DataFrame) -> pa.Table:
+        names = sorted(group["name"].tolist())
+        by_len: dict[int, list] = {}
+        for n in names:
+            by_len.setdefault(len(n), []).append(n)
+        out_a, out_b = [], []
+        for ln, bucket in by_len.items():
+            for cand in (bucket, by_len.get(ln + 1, [])):
+                for a in bucket:
+                    for b in cand:
+                        if a < b and _one_edit_leq(a, b):
+                            out_a.append(a)
+                            out_b.append(b)
+        return pa.table(
+            {
+                "name_a": pa.array(out_a, pa.string()),
+                "name_b": pa.array(out_b, pa.string()),
+            }
+        )
+
+    return (
+        vocab_ds.map_batches(block_key, batch_format="pyarrow")
+        .groupby("blk")
+        .map_groups(pairs_in_block, batch_format="pandas")
+    )
+
+
+_SQL_ALIAS_CTES = f"""{_SQL_WORDS_1CHUNK},
+v AS (SELECT DISTINCT word AS name FROM ents),
+al AS (
+  SELECT a.name AS name_a, b.name AS name_b
+  FROM v a JOIN v b
+    ON substr(a.name, 1, 1) = substr(b.name, 1, 1)
+   AND abs(length(a.name) - length(b.name)) <= 1
+   AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= 1
+)"""
+
+SQL_ENTITY_ALIASES = f"""
+WITH {_SQL_ALIAS_CTES}
+SELECT name_a, name_b FROM al
+"""
+
+
+def q_entity_resolution(sf_dir: str):
+    """Entity linking: connected components over the alias-pair graph, each
+    component resolved to its lexicographically smallest member; every
+    vocabulary name maps to its canonical form (itself when un-aliased) —
+    the step that turns near-miss surface forms into one graph node.
+
+    Transport: alias names get deterministic md5-63-bit ids for the
+    bucketed CC engine (``extras/dedup.connected_components``), with an
+    EXPLICIT injectivity check (distinct-name count per id — a collision
+    raises instead of silently merging strangers; P(collision) ≈ V²/2⁶⁴).
+    The id↔name map and the label table are alias-graph-bounded (names
+    within one edit of another name are a small fraction of any real
+    vocabulary); the final vocab-wide resolve is a bucketed cogroup of
+    (map ∪ vocab) rows — no broadcast."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from lightrag_ray.extras.dedup import connected_components
+
+    vocab = _entity_vocab_ds(sf_dir).materialize()  # names only, vocab-bounded
+    aliases = _aliases_from_vocab(vocab).materialize()
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        import hashlib  # noqa: F811 — worker-side
+
+        a = batch.column("name_a").to_pylist()
+        b = batch.column("name_b").to_pylist()
+
+        def hid(n):
+            return int.from_bytes(hashlib.md5(n.encode()).digest()[:8], "big") >> 1
+
+        return pa.table(
+            {
+                "doc_a": pa.array([hid(x) for x in a], pa.int64()),
+                "doc_b": pa.array([hid(x) for x in b], pa.int64()),
+            }
+        )
+
+    def id_name_rows(batch: pa.Table) -> pa.Table:
+        import hashlib  # noqa: F811 — worker-side
+
+        names = set(batch.column("name_a").to_pylist()) | set(
+            batch.column("name_b").to_pylist()
+        )
+        names = sorted(names)
+
+        def hid(n):
+            return int.from_bytes(hashlib.md5(n.encode()).digest()[:8], "big") >> 1
+
+        return pa.table(
+            {
+                "id": pa.array([hid(n) for n in names], pa.int64()),
+                "name": pa.array(names, pa.string()),
+            }
+        )
+
+    id_name = (
+        aliases.map_batches(id_name_rows, batch_format="pyarrow")
+        .groupby(["id", "name"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["id", "name"])
+        .materialize()
+    )
+    # injectivity guard: an md5-63 collision would silently merge two
+    # unrelated components — detect and raise instead
+    from ray.data.aggregate import Count as _Count
+
+    bad = (
+        id_name.groupby("id")
+        .aggregate(_Count(alias_name="n_names"))
+        .filter(lambda r: r["n_names"] > 1)
+        .count()
+    )
+    if bad:
+        raise RuntimeError(
+            "entity_resolution: md5-63 id collision across distinct names"
+        )
+
+    labels = connected_components(
+        aliases.map_batches(to_ids, batch_format="pyarrow")
+    )
+
+    # canonical per component = min member NAME: label rows cogrouped with
+    # the id→name map per id-hash bucket, then min-name per label
+    import numpy as np
+
+    def tag_id(batch: pa.Table, col: str) -> pa.Table:
+        ids = np.asarray(batch.column(col), np.int64)
+        t = batch.rename_columns(
+            [c if c != col else "id" for c in batch.column_names]
+        )
+        return t.append_column(
+            "bucket", pa.array((ids % 64).astype(np.int32), pa.int32())
+        )
+
+    def join_names(group: pd.DataFrame) -> pa.Table:
+        have_name = group["name"].notna().to_numpy()
+        nmap = dict(
+            zip(group["id"].to_numpy(object)[have_name],
+                group["name"].to_numpy(object)[have_name])
+        )
+        rows = group[~have_name]
+        if not len(rows):
+            return pa.schema(
+                [("label", pa.int64()), ("name", pa.string())]
+            ).empty_table()
+        return pa.table(
+            {
+                "label": pa.array(rows["label"].to_numpy(np.int64), pa.int64()),
+                "name": pa.array(
+                    [str(nmap[i]) for i in rows["id"].to_numpy(object)],
+                    pa.string(),
+                ),
+            }
+        )
+
+    def as_union(batch: pa.Table, with_label: bool) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "bucket": batch.column("bucket"),
+                "id": batch.column("id"),
+                "label": batch.column("label")
+                if with_label
+                else pa.nulls(n, pa.int64()),
+                "name": pa.nulls(n, pa.string())
+                if with_label
+                else batch.column("name"),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    named = (
+        id_name.map_batches(
+            lambda b: as_union(tag_id(b, "id"), False), batch_format="pyarrow"
+        )
+        .union(
+            labels.map_batches(
+                lambda b: as_union(tag_id(b, "node"), True),
+                batch_format="pyarrow",
+            )
+        )
+        .groupby("bucket")
+        .map_groups(join_names, batch_format="pandas")
+    )
+    canon = named.groupby("label").aggregate(Min("name", alias_name="canonical"))
+
+    # label → canonical joined back to members, then the vocab-wide resolve
+    def relabel(group: pd.DataFrame) -> pa.Table:
+        has_canon = group["canonical"].notna().to_numpy()
+        cmap = dict(
+            zip(group["label"].to_numpy(object)[has_canon],
+                group["canonical"].to_numpy(object)[has_canon])
+        )
+        rows = group[~has_canon]
+        if not len(rows):
+            return pa.schema(
+                [("name", pa.string()), ("canonical", pa.string())]
+            ).empty_table()
+        return pa.table(
+            {
+                "name": pa.array(
+                    [str(x) for x in rows["name"].to_numpy(object)], pa.string()
+                ),
+                "canonical": pa.array(
+                    [str(cmap[l]) for l in rows["label"].to_numpy(object)],
+                    pa.string(),
+                ),
+            }
+        )
+
+    def canon_union(batch: pa.Table, is_canon: bool) -> pa.Table:
+        n = batch.num_rows
+        lab = np.asarray(batch.column("label"), np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array((lab % 64).astype(np.int32), pa.int32()),
+                "label": batch.column("label"),
+                "name": pa.nulls(n, pa.string())
+                if is_canon
+                else batch.column("name"),
+                "canonical": batch.column("canonical")
+                if is_canon
+                else pa.nulls(n, pa.string()),
+            }
+        )
+
+    name_canon = (
+        canon.map_batches(lambda b: canon_union(b, True), batch_format="pyarrow")
+        .union(
+            named.map_batches(
+                lambda b: canon_union(b, False), batch_format="pyarrow"
+            )
+        )
+        .groupby("bucket")
+        .map_groups(relabel, batch_format="pandas")
+        .materialize()  # alias-graph-bounded
+    )
+
+    # vocab-wide resolve: (alias map ∪ vocabulary) cogrouped per name hash
+    def vocab_union(batch: pa.Table, is_map: bool) -> pa.Table:
+        import hashlib  # noqa: F811 — worker-side
+
+        col = "name" if is_map else "entity_name"
+        names = batch.column(col).to_pylist()
+        bk = [
+            int.from_bytes(hashlib.md5(n.encode()).digest()[:4], "big") % 64
+            for n in names
+        ]
+        n = batch.num_rows
+        return pa.table(
+            {
+                "bucket": pa.array(bk, pa.int32()),
+                "name": pa.array(names, pa.string()),
+                "canonical": batch.column("canonical")
+                if is_map
+                else pa.nulls(n, pa.string()),
+            }
+        )
+
+    def resolve(group: pd.DataFrame) -> pa.Table:
+        has_map = group["canonical"].notna().to_numpy()
+        cmap = dict(
+            zip(group["name"].to_numpy(object)[has_map],
+                group["canonical"].to_numpy(object)[has_map])
+        )
+        rows = group[~has_map]
+        if not len(rows):
+            return pa.schema(
+                [("entity_name", pa.string()), ("canonical_name", pa.string())]
+            ).empty_table()
+        names = [str(x) for x in rows["name"].to_numpy(object)]
+        return pa.table(
+            {
+                "entity_name": pa.array(names, pa.string()),
+                "canonical_name": pa.array(
+                    [str(cmap.get(n, n)) for n in names], pa.string()
+                ),
+            }
+        )
+
+    return (
+        name_canon.map_batches(
+            lambda b: vocab_union(b, True), batch_format="pyarrow"
+        )
+        .union(
+            vocab.map_batches(
+                lambda b: vocab_union(b, False), batch_format="pyarrow"
+            )
+        )
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+SQL_ENTITY_RESOLUTION = f"""
+WITH RECURSIVE {_SQL_ALIAS_CTES},
+adj AS (
+  SELECT name_a AS node, name_b AS nbr FROM al
+  UNION ALL SELECT name_b, name_a FROM al
+),
+cc(node, label) AS (
+  SELECT node, node FROM (SELECT DISTINCT node FROM adj)
+  UNION
+  SELECT adj.node, cc.label FROM cc JOIN adj ON adj.nbr = cc.node
+),
+canon AS (SELECT node AS name, min(label) AS canonical FROM cc GROUP BY node)
+SELECT v.name AS entity_name, coalesce(canon.canonical, v.name) AS canonical_name
+FROM v LEFT JOIN canon ON v.name = canon.name
+"""
+
+
 SQL_ENTITY_COOC_PMI = f"""
 WITH {_SQL_WORDS_1CHUNK},
 m AS (SELECT DISTINCT doc_id, word AS name FROM ents),
@@ -622,6 +998,12 @@ def queries() -> dict[str, Callable]:
         "kg_nodes_simple": q_kg_nodes_simple,
         "kg_edges_simple": q_kg_edges_simple,
         "entity_cooc_pmi": q_entity_cooc_pmi,
+        # entity_aliases is API-only: the synthetic vocabulary has no
+        # one-edit pairs, so the driver entry would always be empty (and an
+        # empty Dataset→pandas drops columns, reading as a schema mismatch);
+        # the pair kernel is exercised through entity_resolution and pinned
+        # on crafted corpora in tests/test_text_kernels.py
+        "entity_resolution": q_entity_resolution,
         "exact_dedup": q_exact_dedup,
         "doc_fingerprint": q_doc_fingerprint,
         "text_quality": q_text_quality,
@@ -637,6 +1019,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_nodes_simple": SQL_KG_NODES_SIMPLE,
         "kg_edges_simple": SQL_KG_EDGES_SIMPLE,
         "entity_cooc_pmi": SQL_ENTITY_COOC_PMI,
+        "entity_resolution": SQL_ENTITY_RESOLUTION,
         "exact_dedup": SQL_EXACT_DEDUP,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "text_quality": SQL_TEXT_QUALITY,

@@ -257,6 +257,19 @@ def test_connected_components_shapes(ray_session):
     out_empty = connected_components(rd.from_arrow(empty), buckets=4)
     assert out_empty.count() == 0
     assert sorted(out_empty.schema().names) == ["label", "node"]
+    # ids above 2^53 survive bit-exactly: the propagation transport uses a
+    # -1 sentinel, never a nullable int64 column (pandas coerces those to
+    # float64, silently destroying low bits of hash-derived node ids)
+    big = [(1 << 62) + 7, (1 << 62) + 9, (1 << 61) + 3, (1 << 61) + 4]
+    hp = pa.table({"doc_a": pa.array(big[:2] , pa.int64()),
+                   "doc_b": pa.array(big[2:], pa.int64())})
+    labs_big = {
+        r["node"]: r["label"]
+        for r in connected_components(rd.from_arrow(hp), buckets=4).take_all()
+    }
+    assert set(labs_big) == set(big)
+    assert labs_big[big[0]] == labs_big[big[2]] == min(big[0], big[2])
+    assert labs_big[big[1]] == labs_big[big[3]] == min(big[1], big[3])
 
 
 def test_connected_components_long_chain(ray_session):

@@ -67,3 +67,58 @@ def test_full_build_matches_oracle(ray_session, con, name):
     assert list(ours_df.columns) == list(oracle_df.columns), name
     assert len(ours_df) == len(oracle_df), name
     pd.testing.assert_frame_equal(ours_df, oracle_df, check_dtype=False)
+
+
+def test_entity_aliases_and_resolution_crafted(ray_session, tmp_path):
+    """The alias surface is inert on the synthetic vocabulary (no one-edit
+    pairs exist — why entity_aliases is API-only in the driver catalog);
+    pin the blocked pair kernel and the CC resolution on a crafted corpus
+    where aliases DO exist, against the same DuckDB oracle SQL."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "tables tabled market stream",
+                    "market marked stream window",
+                    "window stream tabled market",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(docs, os.path.join(sf, "documents.parquet"))
+
+    pairs = _normalize(Q.q_entity_aliases(sf).to_pandas())
+    assert pairs.values.tolist() == [
+        ["marked", "market"],
+        ["tabled", "tables"],
+    ]
+
+    res = _normalize(Q.q_entity_resolution(sf).to_pandas())
+    got = dict(zip(res["entity_name"], res["canonical_name"]))
+    assert got == {
+        "tables": "tabled",
+        "tabled": "tabled",
+        "market": "marked",
+        "marked": "marked",
+        "stream": "stream",
+        "window": "window",
+    }
+
+    # same comparison the driver performs, on the crafted corpus
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    oracle_pairs = _normalize(c.execute(Q.SQL_ENTITY_ALIASES).fetchdf())
+    assert pairs.values.tolist() == oracle_pairs.values.tolist()
+    oracle_res = _normalize(c.execute(Q.SQL_ENTITY_RESOLUTION).fetchdf())
+    assert res.values.tolist() == oracle_res.values.tolist()
