@@ -28,6 +28,12 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("BENCH_REPLICATE", "480"))
 WORK = os.environ.get("BENCH_WORK_DIR", "/tmp/lightrag_bench")
 
+
+def _progress(msg: str) -> None:
+    """Per-leg heartbeat on stderr (stdout stays the one JSON line) — makes
+    a wedged leg identifiable from the log instead of a silent hour."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
 TIMED_QUERIES = ["doc_chunk_stats", "kg_nodes_simple", "exact_dedup", "knn_top10",
                  "simhash", "minhash_lsh_pairs", "embedding_lsh_pairs",
                  "knn_ivf_top10", "knn_ivf_delta_top10"]
@@ -266,85 +272,123 @@ def synth_replicated_documents(num_files: int = 16) -> str:
     return root
 
 
+_LEG_TEMPLATE = """
+import json, sys, time
+import ray
+ray.init(address="local", num_cpus={cpus}, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+{body}
+ray.shutdown()
+"""
+
+
+def _subprocess_leg(body: str, timeout: int = 3600) -> dict:
+    """Run one bench leg in its own process with a FRESH Ray session.
+
+    The LSH→CC dedup chains are isolated this way because repeated chain
+    runs inside one long-lived session reproducibly wedged the streaming
+    executor: raylet workers segfault in _raylet.so on the third chain
+    invocation (observed twice at the same instruction pointer, 2.4M-doc
+    corpus), task retries then spin the driver at 100% forever.  A fresh
+    session per heavy leg sidesteps the accumulation and also matches how
+    these legs were measured in isolation."""
+    code = _LEG_TEMPLATE.format(cpus=NUM_CPUS, body=body)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": f"leg subprocess timed out after {timeout}s"}
+    if proc.returncode != 0:
+        return {"error": (proc.stderr or "no stderr")[-300:]}
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    return {"error": "no JSON line from leg subprocess"}
+
+
 def run_dedup_legs() -> dict:
     """LSH→CC→filter chain throughput at bench scale (round-3 VERDICT next
-    #6): corpus_dedup_lsh and curated_corpus_lsh over the replicated
-    documents corpus, with the CC iteration count recorded."""
-    from lightrag_ray.extras import catalog as X
-    from lightrag_ray.extras import dedup as D
-
+    #6) plus the round-5 chain legs, EACH chain in its own subprocess /
+    fresh Ray session (see _subprocess_leg for why)."""
     sf_like = synth_replicated_documents()
-    out = {}
-    for name, fn in (
-        ("corpus_dedup_lsh", X.q_corpus_dedup_lsh),
-        ("curated_corpus_lsh", X.q_curated_corpus_lsh),
-    ):
-        cc: dict = {}
-        t0 = time.perf_counter()
-        try:
-            n = fn(sf_like, cc_stats=cc).count()
-        except Exception as ex:  # one failing leg must not kill the bench
-            out[f"{name}_error"] = repr(ex)[:300]
-            continue
-        out[name] = round(time.perf_counter() - t0, 3)
-        out[f"{name}_rows"] = n
-        out[f"{name}_cc_iters"] = cc.get("cc_iterations")
-    # the round-5 flagship composition: curate (LSH near-dup arm) → pack
-    # into SEQ_LEN-token training sequences — the end-to-end shard-assembly
-    # flow a pretraining-data user runs; only the 16 B/doc count table is
-    # ever materialized on top of the curation chain.
-    from lightrag_ray.extras import packing as PK
+    out: dict = {}
 
+    legs = {
+        "chains": f"""
+from lightrag_ray.extras import catalog as X
+res = {{}}
+for name, fn in (("corpus_dedup_lsh", X.q_corpus_dedup_lsh),
+                 ("curated_corpus_lsh", X.q_curated_corpus_lsh)):
+    cc = {{}}
     t0 = time.perf_counter()
-    try:
-        n = PK.q_training_shards_lsh(sf_like).count()
-        out["training_shards_lsh"] = round(time.perf_counter() - t0, 3)
-        out["training_shards_lsh_rows"] = n
-    except Exception as ex:
-        out["training_shards_lsh_error"] = repr(ex)[:300]
-    # keep-best-representative policy over the same LSH cluster chain
-    # (round-5 addition): measures the rep-argmax pass on top of the chain
+    n = fn({sf_like!r}, cc_stats=cc).count()
+    res[name] = round(time.perf_counter() - t0, 3)
+    res[name + "_rows"] = n
+    res[name + "_cc_iters"] = cc.get("cc_iterations")
+print(json.dumps(res))
+""",
+        # the round-5 flagship composition: curate (LSH near-dup arm) →
+        # pack into SEQ_LEN-token training sequences — only the 16 B/doc
+        # count table is ever materialized on top of the curation chain
+        "training_shards_lsh": f"""
+from lightrag_ray.extras import packing as PK
+t0 = time.perf_counter()
+n = PK.q_training_shards_lsh({sf_like!r}).count()
+print(json.dumps({{"training_shards_lsh": round(time.perf_counter() - t0, 3),
+                   "training_shards_lsh_rows": n}}))
+""",
+        # keep-best-representative policy over the same LSH cluster chain
+        "bestrep_dedup_lsh": f"""
+from lightrag_ray.extras import catalog as X
+t0 = time.perf_counter()
+n = X.q_bestrep_dedup_lsh({sf_like!r}).count()
+print(json.dumps({{"bestrep_dedup_lsh": round(time.perf_counter() - t0, 3),
+                   "bestrep_dedup_lsh_rows": n}}))
+""",
+        # incremental LSH maintenance: one-time base index build vs the
+        # per-refresh delta probe — the crawl-refresh cost model
+        "lsh_delta": f"""
+import os, shutil, tempfile
+from lightrag_ray.extras import dedup as D
+shutil.rmtree(os.path.join(tempfile.gettempdir(), "lightrag_ray_lshindex"),
+              ignore_errors=True)
+res = {{}}
+t0 = time.perf_counter()
+D.build_lsh_band_index({sf_like!r})
+res["lsh_delta_index_build"] = round(time.perf_counter() - t0, 3)
+t0 = time.perf_counter()
+res["lsh_delta_probe_rows"] = D.lsh_delta_pairs({sf_like!r}).count()
+res["lsh_delta_probe"] = round(time.perf_counter() - t0, 3)
+print(json.dumps(res))
+""",
+        # signature-transport comparison (round-4 VERDICT next #1): the
+        # broadcast arm vs the sharded arm the >8M-doc regime runs
+        "lsh_transport": f"""
+from lightrag_ray.extras import dedup as D
+res = {{}}
+for name, fn in (("lsh_pairs_broadcast", D.minhash_lsh_pairs),
+                 ("lsh_pairs_sharded", D._minhash_lsh_pairs_sharded)):
     t0 = time.perf_counter()
-    try:
-        n = X.q_bestrep_dedup_lsh(sf_like).count()
-        out["bestrep_dedup_lsh"] = round(time.perf_counter() - t0, 3)
-        out["bestrep_dedup_lsh_rows"] = n
-    except Exception as ex:
-        out["bestrep_dedup_lsh_error"] = repr(ex)[:300]
-    # incremental LSH maintenance (round-5): one-time base index build vs
-    # the per-refresh delta probe — the crawl-refresh cost model
-    import shutil
-    import tempfile
-
-    shutil.rmtree(
-        os.path.join(tempfile.gettempdir(), "lightrag_ray_lshindex"),
-        ignore_errors=True,
-    )
-    try:
-        t0 = time.perf_counter()
-        D.build_lsh_band_index(sf_like)
-        out["lsh_delta_index_build"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        n = D.lsh_delta_pairs(sf_like).count()
-        out["lsh_delta_probe"] = round(time.perf_counter() - t0, 3)
-        out["lsh_delta_probe_rows"] = n
-    except Exception as ex:
-        out["lsh_delta_error"] = repr(ex)[:300]
-    # Signature-transport comparison at bench scale (round-4 VERDICT next
-    # #1 done-criterion): the broadcast arm (the under-guard default here)
-    # vs the sharded pair→sig hash-join arm that the >8M-doc regime runs.
-    for name, fn in (
-        ("lsh_pairs_broadcast", lambda: D.minhash_lsh_pairs(sf_like)),
-        ("lsh_pairs_sharded", lambda: D._minhash_lsh_pairs_sharded(sf_like)),
-    ):
-        t0 = time.perf_counter()
-        try:
-            n = fn().count()
-        except Exception as ex:
-            out[f"{name}_error"] = repr(ex)[:300]
-            continue
-        out[name] = round(time.perf_counter() - t0, 3)
-        out[f"{name}_rows"] = n
+    res[name + "_rows"] = fn({sf_like!r}).count()
+    res[name] = round(time.perf_counter() - t0, 3)
+print(json.dumps(res))
+""",
+    }
+    for name, body in legs.items():
+        _progress(f"dedup leg {name} (subprocess)")
+        res = _subprocess_leg(body)
+        if "error" in res:
+            out[f"{name}_error"] = res["error"]
+        else:
+            out.update(res)
     if out.get("lsh_pairs_broadcast") and out.get("lsh_pairs_sharded"):
         out["lsh_sharded_vs_broadcast_ratio"] = round(
             out["lsh_pairs_sharded"] / out["lsh_pairs_broadcast"], 3
@@ -383,6 +427,7 @@ def run_webquality_legs() -> dict:
         ("seq_pack", _seq_pack_leg),
         ("passage_dedup_docs", PS.q_passage_dedup_docs),
     ):
+        _progress(f"webquality leg {name}")
         t0 = time.perf_counter()
         try:
             n = fn(sf_like).count()
@@ -738,6 +783,12 @@ def run_queries() -> dict:
 
 
 def main() -> None:
+    import faulthandler
+
+    # if a leg ever wedges, dump every thread's stack to stderr every 10
+    # minutes so the hang site is in the log
+    faulthandler.dump_traceback_later(600, repeat=True, file=sys.stderr)
+
     import ray
 
     ray.init(
@@ -754,23 +805,33 @@ def main() -> None:
     from lightrag_ray.probe import measure_effective_cpus
 
     eff = measure_effective_cpus(NUM_CPUS)
+    _progress("headline")
     headline = run_headline(eff)
     # scaling legs compare ONLY the headline build; skip the incremental +
     # query legs there so a 4-CPU leg doesn't pay an hour of extras
     headline_only = os.environ.get("BENCH_HEADLINE_ONLY") == "1"
-    incr = (
-        {"kg_update_sec": None, "n_delta_pages": 0, "delta_docs_per_sec": None}
-        if headline_only
-        else run_incremental(eff)
+
+    def leg(name, thunk, empty):
+        if headline_only:
+            return empty
+        _progress(f"start {name}")
+        out = thunk()
+        _progress(f"done {name}")
+        return out
+
+    incr = leg(
+        "incremental",
+        lambda: run_incremental(eff),
+        {"kg_update_sec": None, "n_delta_pages": 0, "delta_docs_per_sec": None},
     )
-    qtimes = {} if headline_only else run_queries()
-    dedup_legs = {} if headline_only else run_dedup_legs()
-    webq_legs = {} if headline_only else run_webquality_legs()
-    webcrawl_legs = {} if headline_only else run_webcrawl_legs()
-    linkgraph_legs = {} if headline_only else run_linkgraph_leg()
-    tokenizer_legs = {} if headline_only else run_tokenizer_legs()
-    llm_legs = {} if headline_only else run_llm_legs(eff)
-    query_legs = {} if headline_only else run_query_legs(headline)
+    qtimes = leg("queries", run_queries, {})
+    dedup_legs = leg("dedup", run_dedup_legs, {})
+    webq_legs = leg("webquality", run_webquality_legs, {})
+    webcrawl_legs = leg("webcrawl", run_webcrawl_legs, {})
+    linkgraph_legs = leg("linkgraph", run_linkgraph_leg, {})
+    tokenizer_legs = leg("tokenizer", run_tokenizer_legs, {})
+    llm_legs = leg("llm", lambda: run_llm_legs(eff), {})
+    query_legs = leg("query_path", lambda: run_query_legs(headline), {})
     ray.shutdown()
 
     print(

@@ -1108,6 +1108,7 @@ def lsh_delta_pairs(
     shingle_k: int = 5,
     delta_mod: int = _DELTA_MOD,
     max_bucket: int = 200,
+    force_arm: str | None = None,
 ):
     """Incremental near-dup maintenance: find every LSH pair TOUCHING the
     refresh delta (doc_id % delta_mod == 0) without recomputing the full
@@ -1240,8 +1241,26 @@ def lsh_delta_pairs(
     ).materialize()
     n_raw = raw.count()
 
-    cand = _dedup_pairs(raw, max_col=None, min_col="truncated")
     sig_all = delta_sigs.union(rd.read_parquet(os.path.join(idx, "sigs")))
+
+    # Candidate-FLOOD dispatch, same rule as minhash_lsh_pairs: when the
+    # probed raw-candidate:delta-doc ratio explodes (adversarial dup
+    # density), the pairs×sig cogroup exchange below is the wrong
+    # transport — measured on the 2.4M-doc bench corpus, its 145M-row
+    # sig-attach sort wedged the streaming executor outright.  The grid
+    # arm reuses the full-run cell machinery verbatim: ONE skinny exchange
+    # of the raw pairs, sigs hash-sharded to parquet once and READ per
+    # cell (cell-local dedup ≡ _dedup_pairs semantics).
+    n_delta = delta_sigs.count()
+    use_grid = force_arm == "grid" or (
+        force_arm is None and n_raw >= _GRID_MIN_PAIRS_PER_DOC * max(n_delta, 1)
+    )
+    if use_grid:
+        return _lsh_pairs_grid_arm(
+            raw, sig_all, sf_dir, threshold, num_perm, shingle_k, n_raw
+        )
+
+    cand = _dedup_pairs(raw, max_col=None, min_col="truncated")
     buckets = max(64, min(8192, n_raw // _SIG_ATTACH_PAIRS_PER_BUCKET + 1))
 
     def score(batch: pa.Table) -> pa.Table:

@@ -63,9 +63,11 @@ _SEQ_PARTIAL = pa.schema(
 )
 
 
-def _range_bucket(ids: np.ndarray, hi: int) -> np.ndarray:
+def _range_bucket(
+    ids: np.ndarray, hi: int, buckets: int = _BUCKETS
+) -> np.ndarray:
     """Monotone doc_id → bucket (order-preserving, unlike the hash fold)."""
-    return (ids.astype(np.uint64) * _BUCKETS // np.uint64(hi + 1)).astype(np.int32)
+    return (ids.astype(np.uint64) * buckets // np.uint64(hi + 1)).astype(np.int32)
 
 
 def q_seq_pack(sf_dir: str):
@@ -94,10 +96,10 @@ def q_seq_pack(sf_dir: str):
     )
 
 
-def _bucket_offsets(tok, hi: int):
+def _bucket_offsets(tok, hi: int, buckets: int = _BUCKETS):
     """Phase 1+2 of the parallel scan: range-bucket the ``(doc_id, n)``
     count table and compute each bucket's EXCLUSIVE starting token offset
-    (per-batch combiner → ≤``_BUCKETS``-row groupby → O(buckets) driver
+    (per-batch combiner → ≤``buckets``-row groupby → O(buckets) driver
     cumsum).  Returns ``(rows, offsets)``: the bucketed rows dataset and the
     per-bucket offset array."""
     from ray.data.aggregate import Sum
@@ -106,7 +108,7 @@ def _bucket_offsets(tok, hi: int):
         ids = np.asarray(batch.column("doc_id"), np.int64)
         return pa.table(
             {
-                "bucket": pa.array(_range_bucket(ids, hi), pa.int32()),
+                "bucket": pa.array(_range_bucket(ids, hi, buckets), pa.int32()),
                 "doc_id": batch.column("doc_id").combine_chunks()
                 if hasattr(batch.column("doc_id"), "combine_chunks")
                 else batch.column("doc_id"),
@@ -124,7 +126,7 @@ def _bucket_offsets(tok, hi: int):
     def partial_sums(batch: pa.Table) -> pa.Table:
         b = np.asarray(batch.column("bucket"), np.int64)
         n = np.asarray(batch.column("n"), np.int64)
-        sums = np.zeros(_BUCKETS, np.int64)
+        sums = np.zeros(buckets, np.int64)
         np.add.at(sums, b, n)
         nz = np.flatnonzero(sums)
         return pa.table(
@@ -134,12 +136,12 @@ def _bucket_offsets(tok, hi: int):
             }
         )
 
-    totals = np.zeros(_BUCKETS, np.int64)
+    totals = np.zeros(buckets, np.int64)
     for b in (
         rows.map_batches(partial_sums, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .aggregate(Sum("total", alias_name="total"))
-        .iter_batches(batch_format="pyarrow", batch_size=_BUCKETS)
+        .iter_batches(batch_format="pyarrow", batch_size=65536)
     ):
         for bkt, tot in zip(
             np.asarray(b.column("bucket"), np.int64),
@@ -502,6 +504,17 @@ def write_training_shards(
     return meta
 
 
+def _path_bytes(path: str) -> int:
+    """Total on-disk bytes of a parquet file or directory of files."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 def _pack_write_pass(
     pages: str,
     clusters,
@@ -541,7 +554,14 @@ def _pack_write_pass(
     if n_docs_total == 0:
         return 0, 0
 
-    _rows, offsets = _bucket_offsets(counts, hi)
+    # The assembly map_groups holds ONE bucket's text per task, so the
+    # bucket count must scale with corpus size — a fixed 64 would put
+    # corpus/64 bytes in a single task at 100 TB.  Target ~512 MB of
+    # on-disk pages per bucket (floor _BUCKETS); the offsets array and the
+    # fragment collector stay O(buckets) ≈ O(corpus_bytes / 512 MB).
+    n_buckets = max(_BUCKETS, int(_path_bytes(pages) // (512 << 20)) + 1)
+
+    _rows, offsets = _bucket_offsets(counts, hi, n_buckets)
     off_ref = ray.put(offsets + base_offset)
     n_tokens_total = int(counts.sum("n"))
 
@@ -575,7 +595,7 @@ def _pack_write_pass(
         ids = np.asarray(batch.column("doc_id"), np.int64)
         return pa.table(
             {
-                "bucket": pa.array(_range_bucket(ids, hi), pa.int32()),
+                "bucket": pa.array(_range_bucket(ids, hi, n_buckets), pa.int32()),
                 "doc_id": batch.column("doc_id").combine_chunks()
                 if hasattr(batch.column("doc_id"), "combine_chunks")
                 else batch.column("doc_id"),

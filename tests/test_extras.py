@@ -1249,6 +1249,30 @@ def test_lsh_delta_pairs_crafted_base_delta_dup(ray_session, tmp_path):
     assert out["est_jaccard"].iloc[0] == 1.0
 
 
+def test_lsh_delta_pairs_grid_arm_agreement(ray_session):
+    """The candidate-FLOOD dispatch (force_arm='grid'): the grid-cell
+    transport must produce the identical delta pair table the cogroup
+    sig-attach arm produces — the bench corpus's adversarial density
+    trips this dispatch for real (the cogroup arm's 145M-row sort wedged
+    the executor there)."""
+    import os
+    import shutil
+    import tempfile
+
+    from lightrag_ray.extras import dedup as D
+
+    shutil.rmtree(
+        os.path.join(tempfile.gettempdir(), "lightrag_ray_lshindex"),
+        ignore_errors=True,
+    )
+    cog = _normalize(D.lsh_delta_pairs(SF_DIR, threshold=0.5).to_pandas())
+    grid = _normalize(
+        D.lsh_delta_pairs(SF_DIR, threshold=0.5, force_arm="grid").to_pandas()
+    )
+    assert len(cog) > 0
+    pd.testing.assert_frame_equal(cog, grid, check_dtype=False)
+
+
 def test_pq_codes_deterministic_and_total(ray_session):
     """PQ encode: every vector gets an m-byte code, codes are bit-identical
     across runs and batch-split choices (seeded codebooks + streamed
